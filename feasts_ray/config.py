@@ -1,0 +1,60 @@
+"""Engine configuration: retention tiers, series keys, codec constants.
+
+The reference derives seasonal period from the index interval
+(``/root/reference/R/utils.R:90-120`` interval->period); our engine makes the
+tier ladder explicit config instead (raw 1s -> 1m -> 1h -> 1d), per the
+north rule's cascading retention tiers.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class Tier:
+    name: str
+    unit_s: int  # bucket width in seconds
+
+
+# Cascading retention ladder. Buckets are int64 epoch-seconds floored to the
+# tier unit (numeric flooring semantics of R/utils.R:134-139:
+# (x - origin) // unit * unit + origin, with origin = 0 epoch).
+TIERS: tuple[Tier, ...] = (
+    Tier("raw", 1),
+    Tier("1m", 60),
+    Tier("1h", 3600),
+    Tier("1d", 86400),
+)
+
+TIER_BY_NAME = {t.name: t for t in TIERS}
+
+# Rolled-up value columns produced at every tier for the measured var n_tok.
+AGG_COLUMNS = ("count", "sum", "min", "max", "mean")
+
+# Series key for rollups: one series per source.
+SERIES_KEY = "source"
+BUCKET_COL = "bucket"
+
+# Encode stage: points per compressed segment blob. Segments are addressed
+# by bucket id (segment = bucket // (SEGMENT_POINTS * unit_s)) so encoding is
+# deterministic, parallel and resumable regardless of block boundaries.
+SEGMENT_POINTS = 4096
+
+# Salting for skewed sources: number of salt partitions for the hot-key
+# pre-aggregation pass (SURVEY.md §4.2). Partial aggregation inside
+# map_batches already bounds per-key fan-in to #batches; SALT further splits
+# a pathological (source,bucket) hot key at the doc level.
+DEFAULT_SALT = 8
+
+
+@dataclass
+class RollupConfig:
+    tiers: tuple[Tier, ...] = TIERS
+    value_col: str = "n_tok"
+    series_key: str = SERIES_KEY
+    segment_points: int = SEGMENT_POINTS
+    gap_fill: bool = True
+    # batch size for the bucketize/partial-agg map_batches stage
+    batch_size: int = 32768
+    extra_agg_keys: tuple[str, ...] = field(default_factory=tuple)

@@ -1,0 +1,107 @@
+"""Gorilla / delta-of-delta encode of rolled-up point columns -> binary blobs.
+
+Segments are addressed by bucket id: segment = bucket // (segment_points *
+unit_s), so blob boundaries are a pure function of the data — deterministic,
+parallel, and resumable regardless of block boundaries (SURVEY.md §7.3
+"Gorilla state across block boundaries"). The encoder is a callable CLASS
+(actor pool): per-partition compressor state (scratch buffers, window
+state) lives in the actor across batches, per the north rule's stateful
+actor pools.
+
+Output: one row per (source, tier, segment) with
+  n_points, first_bucket, bucket_blob (delta-of-delta; ~1 bit/pt on
+  gap-filled regular series), count_blob, sum_blob (dod ints),
+  min_blob / max_blob / mean_blob (validity bitmap + Gorilla XOR floats).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+
+from ..codecs import (
+    decode_ints,
+    decode_nullable_floats,
+    encode_ints,
+    encode_nullable_floats,
+)
+from ..config import SEGMENT_POINTS
+
+_FLOAT_COLS = ("min", "max", "mean")
+_INT_COLS = ("count", "sum")
+
+
+class SegmentEncoder:
+    """Actor-pool kernel: encode one (source, segment) group per call."""
+
+    def __init__(self, tier_name: str, key_col: str = "source"):
+        self.tier_name = tier_name
+        self.key_col = key_col
+
+    def __call__(self, group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values("bucket", kind="mergesort")
+        buckets = g["bucket"].to_numpy(dtype=np.int64)
+        row = {
+            self.key_col: [g[self.key_col].iloc[0]],
+            "tier": [self.tier_name],
+            "segment": [int(g["segment"].iloc[0])],
+            "n_points": [len(g)],
+            "first_bucket": [int(buckets[0])],
+            "bucket_blob": [encode_ints(buckets)],
+        }
+        for c in _INT_COLS:
+            v = g[c].to_numpy(dtype=np.int64)
+            row[f"{c}_blob"] = [encode_ints(v)]
+        for c in _FLOAT_COLS:
+            col = g[c]
+            valid = col.notna().to_numpy()
+            vals = col.to_numpy(dtype=np.float64, na_value=np.nan)
+            row[f"{c}_blob"] = [encode_nullable_floats(vals, valid)]
+        return pd.DataFrame(row)
+
+
+def encode_tier(
+    ds: "ray.data.Dataset",
+    unit_s: int,
+    tier_name: str,
+    key_col: str = "source",
+    segment_points: int = SEGMENT_POINTS,
+) -> "ray.data.Dataset":
+    seg_span = segment_points * unit_s
+
+    def _add_segment(batch: pa.Table) -> pa.Table:
+        seg = batch["bucket"].to_numpy(zero_copy_only=False) // seg_span
+        return batch.append_column("segment", pa.array(seg, type=pa.int64()))
+
+    with_seg = ds.map_batches(_add_segment, batch_format="pyarrow")
+    return with_seg.groupby([key_col, "segment"]).map_groups(
+        SegmentEncoder,
+        fn_constructor_args=(tier_name, key_col),
+        batch_format="pandas",
+        concurrency=(1, 8),
+    )
+
+
+def decode_segments(blob_rows: pa.Table | pd.DataFrame, key_col: str = "source") -> pd.DataFrame:
+    """Decode blob rows back to long (source, bucket, count, sum, min, max,
+    mean) form — used for the bit-exactness invariant and as a reader."""
+    if isinstance(blob_rows, pa.Table):
+        blob_rows = blob_rows.to_pandas()
+    parts = []
+    for _, r in blob_rows.iterrows():
+        buckets = decode_ints(r["bucket_blob"])
+        d = {key_col: r[key_col], "bucket": buckets}
+        for c in _INT_COLS:
+            d[c] = decode_ints(r[f"{c}_blob"])
+        for c in _FLOAT_COLS:
+            vals, _ = decode_nullable_floats(r[f"{c}_blob"])
+            d[c] = vals
+        parts.append(pd.DataFrame(d))
+    if not parts:
+        return pd.DataFrame(columns=[key_col, "bucket", *_INT_COLS, *_FLOAT_COLS])
+    return pd.concat(parts, ignore_index=True).sort_values(
+        [key_col, "bucket"], ignore_index=True
+    )

@@ -1,0 +1,96 @@
+"""Continuous-aggregate rollup: partial per-batch agg -> groupby merge.
+
+The wide shuffle pattern (SURVEY.md §4.2): every batch is pre-aggregated
+to one row per (source, bucket) inside map_batches — a combiner — so the
+global ``groupby(source, bucket)`` only shuffles partials. This bounds any
+hot (source, bucket) key's fan-in to #batches, which is the explicit
+skew/salting strategy for Zipf-distributed sources: the per-batch combine
+IS the salt (salt = batch id), and the merge AGG is the de-salt.
+
+Sums/counts are int64 (exact); mean = sum/count is derived after the merge
+so results are bit-exact regardless of reduction order.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+from ray.data.aggregate import Max, Min, Sum
+
+from ..timebase import floor_bucket
+
+
+def partial_rollup_batch(
+    batch: pa.Table,
+    unit_s: int,
+    value_col: str = "n_tok",
+    key_col: str = "source",
+    ts_col: str = "ts_s",
+) -> pa.Table:
+    """Combine a batch to one partial row per (source, bucket)."""
+    ts = batch[ts_col].to_numpy(zero_copy_only=False)
+    bucket = floor_bucket(ts, unit_s)
+    v = batch[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    src = batch[key_col].to_numpy(zero_copy_only=False)
+    # factorize the composite key within the batch (vectorized)
+    df = pd.DataFrame({"source": src, "bucket": bucket, "v": v})
+    g = df.groupby(["source", "bucket"], sort=False, observed=True)["v"]
+    out = g.agg(count="count", sum="sum", min="min", max="max").reset_index()
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def merge_partials(ds: "ray.data.Dataset", key_cols=("source", "bucket")) -> "ray.data.Dataset":
+    """Global merge of partial aggregates (the one wide shuffle)."""
+    return ds.groupby(list(key_cols)).aggregate(
+        Sum("count", alias_name="count"),
+        Sum("sum", alias_name="sum"),
+        Min("min", alias_name="min"),
+        Max("max", alias_name="max"),
+    )
+
+
+def cascade_batch(batch: pa.Table, unit_s: int) -> pa.Table:
+    """Re-bucket a finer tier's aggregate rows to a coarser tier (partial).
+
+    count/sum/min/max re-aggregate exactly; mean is re-derived after the
+    merge (north rule: tier[k+1] = re-aggregation of tier[k], no re-shuffle
+    of raw). Gap rows (count=0, null min/max) pass through harmlessly.
+    """
+    bucket = floor_bucket(batch["bucket"].to_numpy(zero_copy_only=False), unit_s)
+    df = pd.DataFrame(
+        {
+            "source": batch["source"].to_numpy(zero_copy_only=False),
+            "bucket": bucket,
+            "count": batch["count"].to_numpy(zero_copy_only=False),
+            "sum": batch["sum"].to_numpy(zero_copy_only=False),
+            "min": batch["min"].to_numpy(zero_copy_only=False),
+            "max": batch["max"].to_numpy(zero_copy_only=False),
+        }
+    )
+    g = df.groupby(["source", "bucket"], sort=False, observed=True)
+    out = g.agg(
+        count=("count", "sum"),
+        sum=("sum", "sum"),
+        min=("min", "min"),
+        max=("max", "max"),
+    ).reset_index()
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def add_mean(ds: "ray.data.Dataset") -> "ray.data.Dataset":
+    """mean = sum / count (float64), null when count == 0."""
+
+    def _mean(batch: pa.Table) -> pa.Table:
+        cnt = batch["count"].to_numpy(zero_copy_only=False).astype(np.float64)
+        s = batch["sum"].to_numpy(zero_copy_only=False).astype(np.float64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            mean = np.where(cnt > 0, s / cnt, np.nan)
+        col = pa.array(mean, type=pa.float64(), mask=cnt == 0)  # null when empty bucket
+        if "mean" in batch.column_names:
+            batch = batch.drop_columns(["mean"])
+        return batch.append_column("mean", col)
+
+    return ds.map_batches(_mean, batch_format="pyarrow")

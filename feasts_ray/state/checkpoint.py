@@ -1,0 +1,66 @@
+"""Per-tier checkpoint manifests: lineage + metrics, resume support.
+
+The reference has no persistence at all (SURVEY.md §4.1); resumability is
+a north-rule addition. Each completed tier directory gets a
+``_CHECKPOINT.json`` recording lineage (input path, config hash) and
+metrics (rows in/out, compressed bytes, watermark = max completed bucket,
+wall seconds). On restart, a tier whose manifest matches the lineage hash
+is skipped and its parquet output is reused by the cascade — a killed run
+resumes without recomputing completed tiers.
+
+Writes are atomic (tmp file + os.replace) so a crash mid-write never
+leaves a valid-looking manifest.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import time
+from pathlib import Path
+from typing import Any
+
+MANIFEST_NAME = "_CHECKPOINT.json"
+
+
+def lineage_hash(input_path: str, config: dict[str, Any]) -> str:
+    payload = json.dumps({"input": input_path, "config": config}, sort_keys=True)
+    return hashlib.sha256(payload.encode()).hexdigest()[:16]
+
+
+def manifest_path(tier_dir: str | Path) -> Path:
+    return Path(tier_dir) / MANIFEST_NAME
+
+
+def load_manifest(tier_dir: str | Path) -> dict[str, Any] | None:
+    p = manifest_path(tier_dir)
+    if not p.exists():
+        return None
+    try:
+        return json.loads(p.read_text())
+    except (json.JSONDecodeError, OSError):
+        return None
+
+
+def is_complete(tier_dir: str | Path, lineage: str) -> bool:
+    m = load_manifest(tier_dir)
+    return bool(m) and m.get("lineage") == lineage and m.get("status") == "complete"
+
+
+def save_manifest(tier_dir: str | Path, payload: dict[str, Any]) -> None:
+    p = manifest_path(tier_dir)
+    p.parent.mkdir(parents=True, exist_ok=True)
+    payload = dict(payload, completed_at=time.time(), status="complete")
+    tmp = str(p) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(payload, f, indent=1, default=str)
+    os.replace(tmp, p)
+
+
+def dir_bytes(d: str | Path) -> int:
+    total = 0
+    for root, _dirs, files in os.walk(d):
+        for fn in files:
+            total += os.path.getsize(os.path.join(root, fn))
+    return total

