@@ -1,0 +1,181 @@
+"""ACF / PACF / CCF kernels matching R stats::acf semantics.
+
+Reference behavior (reimplemented, not ported — /root/reference/R/acf.R
+drives stats::acf's C internals):
+- autocovariance at lag k: sum over complete pairs of centered products,
+  divided by (n_pairs + k) — i.e. by n when there are no NAs (R's
+  na.pass divisor convention); correlation = acov(k)/acov(0)
+- demean uses the whole-series non-NA mean
+- default lag_max = floor(10*log10(n)) capped at n-1 (univariate);
+  CCF uses floor(10*log10(n/2))
+- PACF via Durbin-Levinson recursion on the ACF (R's uni_pacf)
+- tacf: McMurry-Politis banded/tapered acf + eigen shrinkage toward
+  white noise (R/acf.R:252-300); O(n^2..3) — modest series only.
+
+FFT is used for the products when the series is long (O(n log n)).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+
+def _lagged_products(x: np.ndarray, lag_max: int) -> tuple[np.ndarray, np.ndarray]:
+    """sum_t x[t]*x[t+k] (NaN treated as 0) and complete-pair counts
+    for k = 0..lag_max, via FFT autocorrelation."""
+    n = len(x)
+    ok = ~np.isnan(x)
+    x0 = np.where(ok, x, 0.0)
+    m = 1 << int(np.ceil(np.log2(2 * n)))
+    fx = np.fft.rfft(x0, m)
+    prods = np.fft.irfft(fx * np.conj(fx), m)[: lag_max + 1]
+    fi = np.fft.rfft(ok.astype(np.float64), m)
+    counts = np.rint(np.fft.irfft(fi * np.conj(fi), m)[: lag_max + 1]).astype(np.int64)
+    return prods, counts
+
+
+def acovf(x: np.ndarray, lag_max: int, demean: bool = True) -> np.ndarray:
+    """Autocovariance 0..lag_max with R's na.pass divisor (n_pairs + k)."""
+    x = np.asarray(x, dtype=np.float64)
+    n = len(x)
+    lag_max = min(lag_max, n - 1)
+    if demean:
+        x = x - np.nanmean(x)
+    if n < 500:
+        ok = ~np.isnan(x)
+        x0 = np.where(ok, x, 0.0)
+        out = np.empty(lag_max + 1)
+        for k in range(lag_max + 1):
+            pair = ok[: n - k] & ok[k:]
+            npairs = int(pair.sum())
+            s = float((x0[: n - k] * x0[k:])[pair].sum()) if npairs else math.nan
+            out[k] = s / (npairs + k) if npairs else math.nan
+        return out
+    prods, counts = _lagged_products(x, lag_max)
+    k = np.arange(lag_max + 1)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        out = np.where(counts > 0, prods / (counts + k), np.nan)
+    return out
+
+
+def acf(
+    x: np.ndarray,
+    lag_max: int | None = None,
+    kind: str = "correlation",
+    demean: bool = True,
+) -> np.ndarray:
+    """ACF values at lags 0..lag_max (index 0 is lag 0, == 1 for correlation)."""
+    x = np.asarray(x, dtype=np.float64)
+    n = len(x)
+    if lag_max is None:
+        lag_max = int(math.floor(10 * math.log10(n)))
+    lag_max = max(1, min(lag_max, n - 1))
+    acv = acovf(x, lag_max, demean=demean)
+    if kind == "covariance":
+        return acv
+    with np.errstate(invalid="ignore", divide="ignore"):
+        return acv / acv[0]
+
+
+def pacf_from_acf(rho: np.ndarray, lag_max: int) -> np.ndarray:
+    """Durbin-Levinson: partial autocorrelations at lags 1..lag_max from
+    correlations rho[0..lag_max] (rho[0] == 1)."""
+    p = np.zeros(lag_max)
+    phi_prev = np.zeros(lag_max + 1)
+    phi = np.zeros(lag_max + 1)
+    p[0] = phi_prev[1] = rho[1]
+    for k in range(2, lag_max + 1):
+        num = rho[k] - np.dot(phi_prev[1:k], rho[k - 1 : 0 : -1])
+        den = 1.0 - np.dot(phi_prev[1:k], rho[1:k])
+        pk = num / den
+        phi[1:k] = phi_prev[1:k] - pk * phi_prev[k - 1 : 0 : -1]
+        phi[k] = pk
+        phi_prev[: k + 1] = phi[: k + 1]
+        p[k - 1] = pk
+    return p
+
+
+def pacf(x: np.ndarray, lag_max: int | None = None) -> np.ndarray:
+    """Partial ACF at lags 1..lag_max (stats::pacf; NA-contiguous upstream)."""
+    x = np.asarray(x, dtype=np.float64)
+    n = len(x)
+    if lag_max is None:
+        lag_max = int(math.floor(10 * math.log10(n)))
+    lag_max = max(1, min(lag_max, n - 1))
+    rho = acf(x, lag_max)
+    return pacf_from_acf(rho, lag_max)
+
+
+def ccf(
+    y: np.ndarray, x: np.ndarray, lag_max: int | None = None, kind: str = "correlation"
+) -> tuple[np.ndarray, np.ndarray]:
+    """Cross-correlation of y and x at lags -k..k (stats::ccf order:
+    value at lag k is cor(y[t+k], x[t])). Returns (lags, values)."""
+    y = np.asarray(y, dtype=np.float64)
+    x = np.asarray(x, dtype=np.float64)
+    n = min(len(y), len(x))
+    y, x = y[:n], x[:n]
+    if lag_max is None:
+        lag_max = int(math.floor(10 * math.log10(n / 2)))
+    lag_max = max(1, min(lag_max, n - 1))
+    yc = y - np.nanmean(y)
+    xc = x - np.nanmean(x)
+    oky, okx = ~np.isnan(yc), ~np.isnan(xc)
+    y0 = np.where(oky, yc, 0.0)
+    x0 = np.where(okx, xc, 0.0)
+    lags = np.arange(-lag_max, lag_max + 1)
+    vals = np.empty(len(lags))
+    for idx, k in enumerate(lags):
+        if k >= 0:
+            pair = okx[: n - k] & oky[k:]
+            s = float((x0[: n - k] * y0[k:])[pair].sum())
+        else:
+            j = -k
+            pair = oky[: n - j] & okx[j:]
+            s = float((y0[: n - j] * x0[j:])[pair].sum())
+        npairs = int(pair.sum())
+        vals[idx] = s / (npairs + abs(k)) if npairs else math.nan
+    if kind == "correlation":
+        sy = math.sqrt(float((y0[oky] ** 2).sum()) / n)
+        sx = math.sqrt(float((x0[okx] ** 2).sum()) / n)
+        vals = vals / (sy * sx)
+    return lags, vals
+
+
+def tacf(x: np.ndarray) -> np.ndarray:
+    """Banded/tapered autocorrelation with eigen shrinkage
+    (McMurry & Politis 2010; reference R/acf.R:252-300 behavior).
+    O(n^2)-O(n^3): intended for modest series lengths (documented cap)."""
+    x = np.asarray(x, dtype=np.float64)
+    n = len(x)
+    ac = acf(x, lag_max=n - 1)
+    s = np.arange(1, len(ac) + 1, dtype=np.float64)
+    upper = 2 * math.sqrt(math.log10(n) / n)
+    below = np.abs(ac) < upper
+    l = 0
+    for k in range(len(below) - 4):
+        if below[k : k + 5].all():
+            l = k + 1  # 1-based index like the reference
+            break
+    if l == 0:
+        l = len(ac)  # no taper point found: keep everything
+    sl = s / l
+    taper = np.zeros(len(sl))
+    taper[sl <= 1] = 1.0
+    mid = (sl > 1) & (sl <= 2)
+    taper[mid] = 2 - sl[mid]
+    gamma = ac * taper
+    # shrinkage toward white noise via eigenvalue flooring
+    m = len(gamma)
+    idx = np.abs(np.subtract.outer(np.arange(m), np.arange(m)))
+    G = gamma[idx]
+    w, V = np.linalg.eigh(G)
+    d = np.maximum(w, 20.0 / n)
+    G2 = (V * d) @ V.T
+    G2 = G2 / d.mean()
+    out = gamma.copy()
+    for i in range(1, m):
+        out[i] = np.mean(np.diagonal(G2, offset=i))
+    return out

@@ -1,0 +1,499 @@
+"""Feature extractors: pure vector -> named-scalars kernels.
+
+Each mirrors a reference extractor's semantics (cited per function into
+/root/reference/R/features.R, guerrero.R, tests.R — reimplemented in
+NumPy, not ported). All handle the reference's NA conventions where the
+original does (na.rm means, longest-contiguous-run windows).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from .acf import acf, pacf
+from .registry import register_feature
+from .spectral import spectral_entropy
+from .stats_utils import (
+    bw_nrd0,
+    brent_minimize,
+    chi2_sf,
+    diff,
+    embed,
+    longest_contiguous_run,
+    mean_narm,
+    na_contiguous,
+    norm_pdf,
+    poly_orthogonal,
+    rle,
+    sd_narm,
+    var_narm,
+)
+from .stl import estimate_stl
+
+
+@register_feature("n_crossing_points", ("count",), uses_period=False)
+def n_crossing_points(x: np.ndarray, period: int = 1) -> dict[str, float]:
+    """# times the series crosses its median (features.R:4-13)."""
+    x = np.asarray(x, dtype=np.float64)
+    mid = np.nanmedian(x)
+    ab = x <= mid
+    cross = ab[:-1] ^ ab[1:]
+    return {"n_crossing_points": float(np.nansum(cross))}
+
+
+@register_feature("stat_arch_lm", ("test",), uses_period=False)
+def stat_arch_lm(x: np.ndarray, period: int = 1, lags: int = 12, demean: bool = True) -> dict[str, float]:
+    """R² of x² on its 12 lags — ARCH LM statistic (features.R:18-30)."""
+    x = np.asarray(x, dtype=np.float64)
+    if len(x) <= lags + 1:
+        return {"stat_arch_lm": math.nan}
+    if demean:
+        x = x - np.nanmean(x)
+    mat = embed(x**2, lags + 1)
+    mat = mat[~np.isnan(mat).any(axis=1)]  # lm's na.omit row handling
+    if len(mat) <= lags + 1:
+        return {"stat_arch_lm": math.nan}
+    yv = mat[:, 0]
+    X = np.column_stack([np.ones(len(mat)), mat[:, 1:]])
+    beta, *_ = np.linalg.lstsq(X, yv, rcond=None)
+    fitted = X @ beta
+    ss_res = float(np.sum((yv - fitted) ** 2))
+    ss_tot = float(np.sum((yv - yv.mean()) ** 2))
+    r2 = 1.0 - ss_res / ss_tot if ss_tot > 0 else math.nan
+    return {"stat_arch_lm": 1.0 if math.isnan(r2) else r2}
+
+
+@register_feature("feat_stl", ("stl", "trend", "seasonal", "decomposition"))
+def feat_stl(x: np.ndarray, period: int = 1, s_window: int = 11, **stl_kwargs) -> dict[str, float]:
+    """STL-based strength/shape features (features.R:49-119): trend/seasonal
+    strength (variance ratios clamped to [0,1]), seasonal peak/trough
+    position mod period, spikiness (variance of leave-one-out variances),
+    linearity/curvature (orthogonal-poly coefs of the trend), residual
+    acf1 and sum-of-squares acf10. Seasonality skipped when
+    len(x) <= 2*period; longest contiguous non-NA run is used."""
+    x = np.asarray(x, dtype=np.float64)
+    season_args = {}
+    if len(x) > period * 2 and period > 1:
+        season_args[str(period)] = {"period": period, "s_window": s_window}
+    ok = ~np.isnan(x)
+    if not ok.any():
+        return {"trend_strength": math.nan}
+    if (~ok).any():
+        lo, hi = longest_contiguous_run(ok)
+        x = x[lo:hi]
+    else:
+        lo = 0
+    dcmp = estimate_stl(x, season_args=season_args, **stl_kwargs)
+    trend = dcmp["trend"]
+    remainder = dcmp["remainder"]
+    season_adjust = dcmp["season_adjust"]
+    seasonalities = {k[len("season_"):]: v for k, v in dcmp.items() if k.startswith("season_") and k != "season_adjust"}
+
+    var_e = var_narm(remainder)
+    n = len(x)
+
+    d = (remainder - mean_narm(remainder)) ** 2
+    var_loo = (var_e * (n - 1) - d) / (n - 2) if n > 2 else np.full(n, math.nan)
+    spikiness = var_narm(var_loo)
+
+    if n >= 3:
+        P = poly_orthogonal(n, 2)
+        linearity = float(P[:, 0] @ trend)
+        curvature = float(P[:, 1] @ trend)
+    else:
+        linearity = curvature = math.nan
+
+    denom = var_narm(season_adjust)
+    trend_strength = max(0.0, min(1.0, 1.0 - var_e / denom)) if denom and not math.isnan(denom) else math.nan
+
+    out = {"trend_strength": trend_strength}
+    for name, seas in seasonalities.items():
+        v = var_narm(remainder + seas)
+        out[f"seasonal_strength_{name}"] = (
+            max(0.0, min(1.0, 1.0 - var_e / v)) if v and not math.isnan(v) else math.nan
+        )
+    for name, seas in seasonalities.items():
+        out[f"seasonal_peak_{name}"] = float((int(np.argmax(seas)) + 1 + lo) % period)
+    for name, seas in seasonalities.items():
+        out[f"seasonal_trough_{name}"] = float((int(np.argmin(seas)) + 1 + lo) % period)
+    out["spikiness"] = spikiness
+    out["linearity"] = linearity
+    out["curvature"] = curvature
+    acf_r = acf(remainder, lag_max=max(10, period))
+    out["stl_e_acf1"] = float(acf_r[1]) if len(acf_r) > 1 else math.nan
+    upper = min(11, len(acf_r))
+    out["stl_e_acf10"] = float(np.sum(acf_r[1:upper] ** 2))
+    return out
+
+
+@register_feature("unitroot_kpss", ("test", "unitroot"), uses_period=False)
+def feat_unitroot_kpss(x: np.ndarray, period: int = 1) -> dict[str, float]:
+    from .unitroot import unitroot_kpss
+
+    return unitroot_kpss(np.asarray(x, dtype=np.float64))
+
+
+@register_feature("unitroot_pp", ("test", "unitroot"), uses_period=False)
+def feat_unitroot_pp(x: np.ndarray, period: int = 1) -> dict[str, float]:
+    from .unitroot import unitroot_pp
+
+    return unitroot_pp(np.asarray(x, dtype=np.float64))
+
+
+@register_feature("unitroot_ndiffs", ("test", "unitroot"), uses_period=False)
+def unitroot_ndiffs(x: np.ndarray, period: int = 1, alpha: float = 0.05) -> dict[str, float]:
+    """Min d in {0,1,2} for stationarity by KPSS p-value (features.R:181-203;
+    candidate-set semantics mirrored exactly: ndiffs = max of differences
+    whose predicate holds, prefixed by 0)."""
+    from .unitroot import unitroot_kpss
+
+    x = np.asarray(x, dtype=np.float64)
+    differences = [d for d in (0, 1, 2) if not np.all(np.isnan(diff(x, differences=d)) if d else np.isnan(x))]
+    candidates = [differences[0]] if differences else [0]
+    for d in differences[1:]:
+        p = unitroot_kpss(diff(x, differences=d - 1))["kpss_pvalue"]
+        if not math.isnan(p) and p < alpha:
+            candidates.append(d)
+    return {"ndiffs": float(max(candidates))}
+
+
+@register_feature("unitroot_nsdiffs", ("test", "seasonal", "unitroot"))
+def unitroot_nsdiffs(x: np.ndarray, period: int = 1, alpha: float = 0.05) -> dict[str, float]:
+    """Min seasonal D by the feat_stl seasonal-strength >= 0.64 rule
+    (features.R:209-235)."""
+    if period == 1:
+        return {"nsdiffs": 0.0}
+    x = np.asarray(x, dtype=np.float64)
+
+    def strength_rule(v: np.ndarray) -> bool:
+        vals = list(feat_stl(v, period).values())
+        # reference indexes feat_stl(.)[2]: the second element of the vector
+        second = vals[1] if len(vals) > 1 else math.nan
+        return (not math.isnan(second)) and second >= 0.64
+
+    differences = [d for d in (0, 1, 2) if not np.all(np.isnan(diff(x, lag=period, differences=d)) if d else np.isnan(x))]
+    candidates = [differences[0]] if differences else [0]
+    for d in differences[1:]:
+        if strength_rule(diff(x, lag=period, differences=d - 1)):
+            candidates.append(d)
+    return {"nsdiffs": float(max(candidates))}
+
+
+def _cut_codes(x: np.ndarray, breaks: int = 10) -> np.ndarray:
+    """R cut(x, breaks, include.lowest=TRUE, labels=FALSE): equal-width
+    bins over [min, max] with outer limits pushed out by 0.1% of range."""
+    lo, hi = np.nanmin(x), np.nanmax(x)
+    rng = hi - lo
+    if rng == 0:
+        rng = abs(lo) if lo != 0 else 1.0
+        edges = np.linspace(lo - rng * 0.001, hi + rng * 0.001, breaks + 1)
+    else:
+        edges = np.linspace(lo, hi, breaks + 1)
+        edges[0] -= rng * 0.001
+        edges[-1] += rng * 0.001
+    return np.digitize(x, edges[1:-1], right=True)
+
+
+@register_feature("longest_flat_spot", ("count", "rle"), uses_period=False)
+def longest_flat_spot(x: np.ndarray, period: int = 1) -> dict[str, float]:
+    """Max run length within any of 10 equal-width bins (features.R:349-353)."""
+    codes = _cut_codes(np.asarray(x, dtype=np.float64))
+    _, lengths = rle(codes)
+    return {"longest_flat_spot": float(lengths.max()) if len(lengths) else math.nan}
+
+
+@register_feature("coef_hurst", ("coefficients",), uses_period=False)
+def coef_hurst(x: np.ndarray, period: int = 1) -> dict[str, float]:
+    """Hurst = d + 0.5 on the longest contiguous run (features.R:372-376).
+
+    DOCUMENTED DEVIATION: the reference estimates d by fracdiff's
+    approximate MLE (Haslett & Raftery 1989); with no fracdiff available we
+    use the GPH log-periodogram regression estimator (Geweke &
+    Porter-Hudak 1983) with m = n^0.5 frequencies — same quantity, a
+    different published estimator."""
+    x = na_contiguous(np.asarray(x, dtype=np.float64))
+    n = len(x)
+    if n < 16:
+        return {"coef_hurst": math.nan}
+    xc = x - x.mean()
+    periodogram = np.abs(np.fft.rfft(xc)) ** 2 / (2 * math.pi * n)
+    m = int(math.sqrt(n))
+    lam = 2 * math.pi * np.arange(1, m + 1) / n
+    I = periodogram[1 : m + 1]
+    pos = I > 0
+    if pos.sum() < 4:
+        return {"coef_hurst": math.nan}
+    yreg = np.log(I[pos])
+    xreg = np.log(4 * np.sin(lam[pos] / 2.0) ** 2)
+    X = np.column_stack([np.ones(len(xreg)), xreg])
+    beta, *_ = np.linalg.lstsq(X, yreg, rcond=None)
+    d = -beta[1]
+    return {"coef_hurst": float(d + 0.5)}
+
+
+def _roll_mean_trailing(x: np.ndarray, size: int) -> np.ndarray:
+    """slider::slide_dbl(x, mean, .before=size-1, na.rm=TRUE): trailing
+    window, partial at the start, NaN-ignoring."""
+    x = np.asarray(x, dtype=np.float64)
+    ok = ~np.isnan(x)
+    xs = np.where(ok, x, 0.0)
+    cs = np.concatenate([[0.0], np.cumsum(xs)])
+    cn = np.concatenate([[0], np.cumsum(ok)])
+    idx = np.arange(len(x))
+    start = np.maximum(0, idx - size + 1)
+    s = cs[idx + 1] - cs[start]
+    c = cn[idx + 1] - cn[start]
+    with np.errstate(invalid="ignore", divide="ignore"):
+        return np.where(c > 0, s / c, np.nan)
+
+
+def _roll_var_trailing(x: np.ndarray, size: int) -> np.ndarray:
+    """Trailing rolling sample variance (ddof=1), partial windows, na.rm."""
+    x = np.asarray(x, dtype=np.float64)
+    ok = ~np.isnan(x)
+    xs = np.where(ok, x, 0.0)
+    cs = np.concatenate([[0.0], np.cumsum(xs)])
+    cs2 = np.concatenate([[0.0], np.cumsum(xs * xs)])
+    cn = np.concatenate([[0], np.cumsum(ok)])
+    idx = np.arange(len(x))
+    start = np.maximum(0, idx - size + 1)
+    s = cs[idx + 1] - cs[start]
+    s2 = cs2[idx + 1] - cs2[start]
+    c = (cn[idx + 1] - cn[start]).astype(np.float64)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        v = (s2 - s * s / c) / (c - 1)
+    v[c < 2] = np.nan
+    return v
+
+
+@register_feature("shift_level_max", ("roll", "slide"))
+def shift_level_max(x: np.ndarray, period: int = 1, size: int | None = None) -> dict[str, float]:
+    """Largest |mean shift| between trailing windows .size apart
+    (features.R:395-417)."""
+    if size is None:
+        size = 10 if period == 1 else period
+    rollmean = _roll_mean_trailing(x, size)
+    means = np.abs(rollmean[size:] - rollmean[:-size])
+    if len(means) == 0:
+        return {"shift_level_max": 0.0, "shift_level_index": math.nan}
+    if np.all(np.isnan(means)):
+        return {"shift_level_max": math.nan, "shift_level_index": math.nan}
+    return {
+        "shift_level_max": float(np.nanmax(means)),
+        "shift_level_index": float(int(np.nanargmax(means)) + 2),  # R which.max + 1, 1-based
+    }
+
+
+@register_feature("shift_var_max", ("roll", "slide"))
+def shift_var_max(x: np.ndarray, period: int = 1, size: int | None = None) -> dict[str, float]:
+    """Largest |variance shift| between trailing windows (features.R:421-444)."""
+    if size is None:
+        size = 10 if period == 1 else period
+    rollvar = _roll_var_trailing(x, size)
+    vars_ = np.abs(rollvar[size:] - rollvar[:-size])
+    if len(vars_) == 0:
+        return {"shift_var_max": 0.0, "shift_var_index": math.nan}
+    if np.all(np.isnan(vars_)):
+        return {"shift_var_max": math.nan, "shift_var_index": math.nan}
+    return {
+        "shift_var_max": float(np.nanmax(vars_)),
+        "shift_var_index": float(int(np.nanargmax(vars_)) + 2),
+    }
+
+
+@register_feature("shift_kl_max", ("roll", "slide"))
+def shift_kl_max(x: np.ndarray, period: int = 1, size: int | None = None) -> dict[str, float]:
+    """Largest jump in KL divergence between KDE-smoothed densities of
+    consecutive windows (features.R:448-487): 100-point grid, nrd0
+    bandwidth, density floor dnorm(38)."""
+    x = np.asarray(x, dtype=np.float64)
+    if size is None:
+        size = 10 if period == 1 else period
+    n = len(x)
+    if n <= 2 * size:
+        return {"shift_kl_max": math.nan, "shift_kl_index": math.nan}
+    gw = 100
+    lo, hi = np.nanmin(x), np.nanmax(x)
+    xgrid = np.linspace(lo, hi, gw)
+    grid = xgrid[1] - xgrid[0] if gw > 1 else 0.0
+    bw = bw_nrd0(x[~np.isnan(x)])
+    floor = float(norm_pdf(np.array([38.0]))[0])
+    # densities[g, t] = max(dnorm(xgrid[g]; x[t], bw), dnorm(38))
+    dens = np.maximum(norm_pdf(xgrid[:, None], mean=x[None, :], sd=bw), floor)
+    # trailing rolling mean over t for each grid row
+    rmean = np.vstack([_roll_mean_trailing(dens[g], size) for g in range(gw)])
+    a = rmean[:, : n - size]
+    b = rmean[:, size:]
+    with np.errstate(invalid="ignore", divide="ignore"):
+        kl = np.nansum(a * (np.log(a) - np.log(b)) * grid, axis=0)
+    diffkl = np.diff(kl)
+    if len(diffkl) == 0:
+        return {"shift_kl_max": 0.0, "shift_kl_index": math.nan}
+    return {
+        "shift_kl_max": float(np.nanmax(diffkl)),
+        "shift_kl_index": float(int(np.nanargmax(diffkl)) + 2),
+    }
+
+
+@register_feature("feat_spectral", ("spectral",))
+def feat_spectral(x: np.ndarray, period: int = 1) -> dict[str, float]:
+    """Shannon spectral entropy of the Burg AR spectrum (features.R:528-545)."""
+    return {"spectral_entropy": spectral_entropy(np.asarray(x, dtype=np.float64), period)}
+
+
+def _tile_stats(x: np.ndarray, size: int, stat: str, complete: bool) -> np.ndarray:
+    vals = []
+    for s in range(0, len(x), size):
+        tile = x[s : s + size]
+        if complete and len(tile) < size:
+            continue
+        t = tile[~np.isnan(tile)]
+        if stat == "mean":
+            vals.append(t.mean() if len(t) else math.nan)
+        else:
+            vals.append(t.var(ddof=1) if len(t) > 1 else math.nan)
+    return np.asarray(vals, dtype=np.float64)
+
+
+@register_feature("var_tiled_var", ("lumpiness", "tile"))
+def var_tiled_var(x: np.ndarray, period: int = 1, size: int | None = None) -> dict[str, float]:
+    """Lumpiness: variance of per-tile variances of the scaled series
+    (features.R:562-576); 0 when fewer than 2 full tiles."""
+    x = np.asarray(x, dtype=np.float64)
+    if size is None:
+        size = 10 if period == 1 else period
+    mu, sd = mean_narm(x), sd_narm(x)
+    z = (x - mu) / sd if sd else x - mu
+    if len(x) < 2 * size:
+        return {"var_tiled_var": 0.0}
+    tiles = _tile_stats(z, size, "var", complete=True)
+    return {"var_tiled_var": var_narm(tiles)}
+
+
+@register_feature("var_tiled_mean", ("stability", "tile"))
+def var_tiled_mean(x: np.ndarray, period: int = 1, size: int | None = None) -> dict[str, float]:
+    """Stability: variance of per-tile means (features.R:580-595); partial
+    trailing tile included (mirrors slide .step without .complete)."""
+    x = np.asarray(x, dtype=np.float64)
+    if size is None:
+        size = 10 if period == 1 else period
+    mu, sd = mean_narm(x), sd_narm(x)
+    z = (x - mu) / sd if sd else x - mu
+    if len(x) < 2 * size:
+        return {"var_tiled_mean": 0.0}
+    tiles = _tile_stats(z, size, "mean", complete=False)
+    return {"var_tiled_mean": var_narm(tiles)}
+
+
+@register_feature("feat_acf", ("acf", "autocorrelation"))
+def feat_acf(x: np.ndarray, period: int = 1, lag_max: int | None = None) -> dict[str, float]:
+    """acf1 / sum-of-squares acf10 for x, diff(x), diff2(x) (+ seasonal lag)
+    (features.R:616-653)."""
+    x = np.asarray(x, dtype=np.float64)
+    acfx = acf(x, lag_max=lag_max or max(period, 10))
+    acfd1 = acf(diff(x), lag_max=lag_max or 10)
+    acfd2 = acf(diff(x, differences=2), lag_max=lag_max or 10)
+    out = {
+        "acf1": float(acfx[1]),
+        "acf10": float(np.sum(acfx[1 : min(11, len(acfx))] ** 2)),
+        "diff1_acf1": float(acfd1[1]),
+        "diff1_acf10": float(np.sum(acfd1[1:] ** 2)),
+        "diff2_acf1": float(acfd2[1]),
+        "diff2_acf10": float(np.sum(acfd2[1:] ** 2)),
+    }
+    if period > 1 and len(acfx) > period:
+        out["season_acf1"] = float(acfx[period])
+    return out
+
+
+@register_feature("feat_pacf", ("pacf", "autocorrelation"))
+def feat_pacf(x: np.ndarray, period: int = 1, lag_max: int | None = None) -> dict[str, float]:
+    """Sum of squares of first 5 pacfs for x, diff, diff2 (+ seasonal)
+    (features.R:669-695)."""
+    x = np.asarray(x, dtype=np.float64)
+    lm = lag_max or max(period, 5)
+    px = pacf(x, lag_max=lm)
+    pd1 = pacf(diff(x), lag_max=lm)
+    pd2 = pacf(diff(x, differences=2), lag_max=lm)
+    out = {
+        "pacf5": float(np.sum(px[:5] ** 2)),
+        "diff1_pacf5": float(np.sum(pd1[:5] ** 2)),
+        "diff2_pacf5": float(np.sum(pd2[:5] ** 2)),
+    }
+    if period > 1 and len(px) >= period:
+        out["season_pacf"] = float(px[period - 1])
+    return out
+
+
+@register_feature("feat_intermittent", ("intermittent",), uses_period=False)
+def feat_intermittent(x: np.ndarray, period: int = 1) -> dict[str, float]:
+    """Intermittency measures (features.R:716-726)."""
+    x = np.asarray(x, dtype=np.float64)
+    vals, lengths = rle(x)
+    nonzero = x[x != 0]
+    zero_runs = lengths[vals == 0]
+    sd_nz = sd_narm(nonzero) if len(nonzero) else math.nan
+    mu_nz = mean_narm(nonzero) if len(nonzero) else math.nan
+    return {
+        "zero_run_mean": 0.0 if len(nonzero) == len(x) else (float(zero_runs.mean()) if len(zero_runs) else math.nan),
+        "nonzero_squared_cv": (sd_nz / mu_nz) ** 2 if mu_nz not in (0,) and not math.isnan(mu_nz) else math.nan,
+        "zero_start_prop": float(lengths[0] / len(x)) if len(vals) and vals[0] == 0 else 0.0,
+        "zero_end_prop": float(lengths[-1] / len(x)) if len(vals) and vals[-1] == 0 else 0.0,
+    }
+
+
+@register_feature("guerrero", ("optimisation", "boxcox"))
+def guerrero(x: np.ndarray, period: int = 1, lower: float = -0.9, upper: float = 2.0) -> dict[str, float]:
+    """Guerrero's (1993) Box-Cox lambda: minimize the CV of per-subseries
+    sd/mean^(1-lambda) over tail-aligned subseries of width period
+    (guerrero.R:30-60); constant series -> lambda = 1."""
+    x = np.asarray(x, dtype=np.float64)
+    if len(x) == 0 or np.all(x == x[0]):
+        return {"lambda_guerrero": 1.0}
+    p = max(2, period)
+    n_obs = len(x)
+    n_sub = n_obs // p
+    if n_sub < 2:
+        return {"lambda_guerrero": math.nan}
+    tail = x[n_obs - n_sub * p :]
+    mat = tail.reshape(n_sub, p).T  # column = one subseries (R column-major)
+
+    mu = np.nanmean(mat, axis=0)
+    sig = np.nanstd(mat, axis=0, ddof=1)
+
+    def cv(lam: float) -> float:
+        with np.errstate(invalid="ignore", divide="ignore"):
+            rat = sig / mu ** (1.0 - lam)
+        m = np.nanmean(rat)
+        s = np.nanstd(rat, ddof=1)
+        return s / m if m else math.inf
+
+    lam = brent_minimize(cv, lower, upper)
+    return {"lambda_guerrero": float(lam)}
+
+
+@register_feature("ljung_box", ("test", "portmanteau"), uses_period=False)
+def ljung_box(x: np.ndarray, period: int = 1, lag: int = 1, dof: int = 0) -> dict[str, float]:
+    """Ljung-Box Q and chi-square p-value (tests.R:19-22)."""
+    x = np.asarray(x, dtype=np.float64)
+    n = len(x)
+    r = acf(x, lag_max=lag)
+    k = np.arange(1, lag + 1)
+    stat = float(n * (n + 2) * np.sum(r[1 : lag + 1] ** 2 / (n - k)))
+    return {"lb_stat": stat, "lb_pvalue": chi2_sf(stat, lag - dof)}
+
+
+@register_feature("box_pierce", ("test", "portmanteau"), uses_period=False)
+def box_pierce(x: np.ndarray, period: int = 1, lag: int = 1, dof: int = 0) -> dict[str, float]:
+    """Box-Pierce Q and p-value (tests.R:28-31)."""
+    x = np.asarray(x, dtype=np.float64)
+    n = len(x)
+    r = acf(x, lag_max=lag)
+    stat = float(n * np.sum(r[1 : lag + 1] ** 2))
+    return {"bp_stat": stat, "bp_pvalue": chi2_sf(stat, lag - dof)}
+
+
+# composite set mirroring portmanteau_tests (tests.R:35)
+PORTMANTEAU_TESTS = (ljung_box, box_pierce)

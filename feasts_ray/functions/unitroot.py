@@ -1,0 +1,125 @@
+"""Unit-root tests: KPSS and Phillips-Perron (Z-tau), reimplemented from
+the published tests (Kwiatkowski, Phillips, Schmidt & Shin 1992; Phillips &
+Perron 1988) with the same knobs the reference uses through urca
+(/root/reference/R/features.R:139-159): lag truncation "short" =
+trunc(4*(n/100)^0.25), Bartlett-kernel long-run variance, p-values by
+linear interpolation of the tabulated critical values (approx rule=2)."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from .stats_utils import approx_clamped
+
+# KPSS critical values (KPSS 1992 Table 1), columns 10%, 5%, 2.5%, 1%
+_KPSS_CVAL = {
+    "mu": np.array([0.347, 0.463, 0.574, 0.739]),
+    "tau": np.array([0.119, 0.146, 0.176, 0.216]),
+}
+_KPSS_PCT = np.array([0.10, 0.05, 0.025, 0.01])
+
+# Dickey-Fuller tau_mu critical values (Fuller 1976, as used for PP with a
+# constant), rows n = 25, 50, 100, 250, 500, inf; columns 1%, 5%, 10%.
+_DF_TAU_MU_N = np.array([25, 50, 100, 250, 500, 100000], dtype=np.float64)
+_DF_TAU_MU = np.array(
+    [
+        [-3.75, -3.00, -2.63],
+        [-3.58, -2.93, -2.60],
+        [-3.51, -2.89, -2.58],
+        [-3.46, -2.88, -2.57],
+        [-3.44, -2.87, -2.57],
+        [-3.43, -2.86, -2.57],
+    ]
+)
+_DF_PCT = np.array([0.01, 0.05, 0.10])
+
+
+def _bartlett_lrv(e: np.ndarray, lags: int) -> float:
+    """Long-run variance with Bartlett weights: s^2 = (1/n)Σe² +
+    (2/n)Σ_l w_l Σ_t e_t e_{t-l}, w_l = 1 - l/(lags+1)."""
+    n = len(e)
+    s2 = float(np.dot(e, e)) / n
+    for l in range(1, lags + 1):
+        w = 1.0 - l / (lags + 1.0)
+        s2 += 2.0 / n * w * float(np.dot(e[l:], e[:-l]))
+    return s2
+
+
+def _short_lags(n: int) -> int:
+    return int(math.trunc(4.0 * (n / 100.0) ** 0.25))
+
+
+def unitroot_kpss(x: np.ndarray, type_: str = "mu", lags: str | int = "short") -> dict[str, float]:
+    """KPSS stat + interpolated p-value (kpss_stat, kpss_pvalue)."""
+    x = np.asarray(x, dtype=np.float64)
+    x = x[~np.isnan(x)]
+    n = len(x)
+    if n < 4:
+        return {"kpss_stat": math.nan, "kpss_pvalue": math.nan}
+    if isinstance(lags, str):
+        if lags == "short":
+            L = _short_lags(n)
+        elif lags == "long":
+            L = int(math.trunc(12.0 * (n / 100.0) ** 0.25))
+        else:  # "nil"
+            L = 0
+    else:
+        L = int(lags)
+    if type_ == "mu":
+        e = x - x.mean()
+    else:  # tau: residuals of regression on a linear trend
+        t = np.arange(1, n + 1, dtype=np.float64)
+        X = np.column_stack([np.ones(n), t])
+        beta, *_ = np.linalg.lstsq(X, x, rcond=None)
+        e = x - X @ beta
+    s = np.cumsum(e)
+    lrv = _bartlett_lrv(e, L)
+    if lrv <= 0:  # constant / perfectly-fit series
+        return {"kpss_stat": math.nan, "kpss_pvalue": math.nan}
+    stat = float(np.dot(s, s)) / (n * n * lrv)
+    pval = approx_clamped(_KPSS_CVAL[type_], _KPSS_PCT, stat)
+    return {"kpss_stat": stat, "kpss_pvalue": pval}
+
+
+def unitroot_pp(
+    x: np.ndarray, type_: str = "Z-tau", model: str = "constant", lags: str = "short"
+) -> dict[str, float]:
+    """Phillips-Perron test (Z-tau or Z-alpha) with constant trend."""
+    x = np.asarray(x, dtype=np.float64)
+    x = x[~np.isnan(x)]
+    n0 = len(x)
+    if n0 < 5:
+        return {"pp_stat": math.nan, "pp_pvalue": math.nan}
+    y = x[1:]
+    ylag = x[:-1]
+    n = len(y)
+    if model == "constant":
+        X = np.column_stack([np.ones(n), ylag])
+    else:  # trend
+        t = np.arange(1, n + 1, dtype=np.float64)
+        X = np.column_stack([np.ones(n), t - n / 2.0, ylag])
+    beta, *_ = np.linalg.lstsq(X, y, rcond=None)
+    e = y - X @ beta
+    rho_idx = X.shape[1] - 1
+    s2 = float(np.dot(e, e)) / (n - X.shape[1])
+    if s2 <= 0:
+        return {"pp_stat": math.nan, "pp_pvalue": math.nan}
+    XtX_inv = np.linalg.pinv(X.T @ X)  # pinv: tolerate collinear regressors
+    se_rho = math.sqrt(s2 * XtX_inv[rho_idx, rho_idx])
+    rho = beta[rho_idx]
+    t_stat = (rho - 1.0) / se_rho
+    L = _short_lags(n) if lags == "short" else int(math.trunc(12.0 * (n / 100.0) ** 0.25))
+    gamma0 = float(np.dot(e, e)) / n
+    lam2 = _bartlett_lrv(e, L)
+    if type_ == "Z-tau":
+        stat = math.sqrt(gamma0 / lam2) * t_stat - (lam2 - gamma0) * n * se_rho / (
+            2.0 * math.sqrt(lam2) * math.sqrt(s2)
+        )
+    else:  # Z-alpha
+        stat = n * (rho - 1.0) - (lam2 - gamma0) / 2.0 * (n * se_rho) ** 2 / s2
+    # interpolate the critical-value row for this sample size, then the p-value
+    cvals = np.array([approx_clamped(_DF_TAU_MU_N, _DF_TAU_MU[:, j], n0) for j in range(3)])
+    pval = approx_clamped(cvals, _DF_PCT, stat)
+    return {"pp_stat": float(stat), "pp_pvalue": float(pval)}

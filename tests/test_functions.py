@@ -1,0 +1,352 @@
+"""Kernel validation vs independent oracles and the reference's published
+fixtures (SURVEY.md §5; fixtures F2-F4 from FIXTURES.md).
+
+No R in this environment, so cross-checks are (a) brute-force
+reimplementations of the defining formulas, (b) closed-form fixtures from
+the reference test suite (test-stl.R:47-80 multi-seasonal series), and
+(c) reconstruction/measure invariants.
+"""
+
+import math
+
+import numpy as np
+import pytest
+
+from feasts_ray.functions.acf import acf, acovf, ccf, pacf, pacf_from_acf, tacf
+from feasts_ray.functions.features import (
+    box_pierce,
+    feat_acf,
+    feat_intermittent,
+    feat_pacf,
+    feat_spectral,
+    feat_stl,
+    guerrero,
+    ljung_box,
+    longest_flat_spot,
+    n_crossing_points,
+    shift_level_max,
+    shift_var_max,
+    stat_arch_lm,
+    unitroot_ndiffs,
+    unitroot_nsdiffs,
+    var_tiled_mean,
+    var_tiled_var,
+)
+from feasts_ray.functions.stats_utils import brent_minimize, chi2_sf, embed, rle
+from feasts_ray.functions.stl import classical_decompose, estimate_stl, stl_decompose, supsmu
+from feasts_ray.functions.unitroot import unitroot_kpss, unitroot_pp
+
+
+@pytest.fixture(scope="module")
+def ar1():
+    rng = np.random.default_rng(42)
+    e = rng.normal(0, 1, 200)
+    x = np.empty(200)
+    x[0] = e[0]
+    for t in range(1, 200):
+        x[t] = 0.7 * x[t - 1] + e[t]
+    return x
+
+
+@pytest.fixture(scope="module")
+def seasonal():
+    rng = np.random.default_rng(1)
+    t = np.arange(144)
+    return 100 + 0.3 * t + 10 * np.sin(2 * np.pi * t / 12) + rng.normal(0, 2, 144)
+
+
+# ------------------------------------------------------------------- ACF
+
+
+def test_acf_matches_bruteforce(ar1):
+    x = ar1
+    n = len(x)
+    xc = x - x.mean()
+    got = acf(x, lag_max=15)
+    c0 = np.sum(xc * xc) / n
+    for k in range(16):
+        ck = np.sum(xc[: n - k] * xc[k:]) / n
+        assert got[k] == pytest.approx(ck / c0, abs=1e-12)
+
+
+def test_acf_na_pass_divisor():
+    x = np.array([1.0, 2.0, np.nan, 4.0, 5.0, 6.0, 7.0, 8.0])
+    got = acovf(x, 2)
+    xc = x - np.nanmean(x)
+    ok = ~np.isnan(xc)
+    # R convention: sum over complete pairs / (n_pairs + lag)
+    for k in range(3):
+        pair = ok[: len(x) - k] & ok[k:]
+        s = np.nansum(np.where(pair, xc[: len(x) - k] * xc[k:], 0.0))
+        assert got[k] == pytest.approx(s / (pair.sum() + k), abs=1e-12)
+
+
+def test_pacf_matches_yule_walker(ar1):
+    rho = acf(ar1, lag_max=8)
+    got = pacf_from_acf(rho, 8)
+    # independent check: phi_kk from solving the Yule-Walker system directly
+    for k in range(1, 9):
+        R = np.array([[rho[abs(i - j)] for j in range(k)] for i in range(k)])
+        phi = np.linalg.solve(R, rho[1 : k + 1])
+        assert got[k - 1] == pytest.approx(phi[-1], abs=1e-10)
+
+
+def test_ccf_lag_alignment():
+    rng = np.random.default_rng(3)
+    x = rng.normal(0, 1, 200)
+    y = np.concatenate([[0.0, 0.0, 0.0], x[:-3]])  # y lags x by 3
+    lags, vals = ccf(y, x, lag_max=6)
+    assert lags[np.argmax(vals)] == 3  # cor(y[t+3], x[t]) maximal
+
+
+def test_tacf_white_noise_shrinks():
+    rng = np.random.default_rng(5)
+    x = rng.normal(0, 1, 100)
+    g = tacf(x)
+    assert g[0] == pytest.approx(1.0, abs=1e-8)
+    assert np.abs(g[20:]).max() < 0.2
+
+
+# ------------------------------------------------------------------- STL
+
+
+def test_stl_reconstruction(seasonal):
+    d = stl_decompose(seasonal, 12, s_window=11)
+    np.testing.assert_allclose(
+        seasonal, d["seasonal"] + d["trend"] + d["remainder"], atol=1e-10
+    )
+
+
+def test_stl_periodic_exact_on_clean_series():
+    t = np.arange(120)
+    season = np.tile([3.0, -1.0, -2.0, 0.0], 30)
+    y = 5.0 + season
+    d = stl_decompose(y, 4, s_window="periodic")
+    # a pure periodic signal: seasonal should match the recentred pattern
+    np.testing.assert_allclose(d["seasonal"], season, atol=0.05)
+    np.testing.assert_allclose(d["trend"], 5.0, atol=0.05)
+
+
+def test_multiseasonal_closed_form():
+    """Reference fixture test-stl.R:47-80: y = rep(1:4) + rep(1:7), n=100.
+    testthat's tolerance=0.01 bounds the MEAN difference, mirrored here."""
+    n = 100
+    y = (np.arange(n) % 4 + 1) + (np.arange(n) % 7 + 1).astype(np.float64)
+    d = estimate_stl(y, season_args={"4": {"period": 4}, "7": {"period": 7}})
+    assert np.abs(d["trend"] - 6.5).mean() < 0.01
+    assert np.abs(d["remainder"]).mean() < 0.01
+    assert np.abs(d["season_4"] - ((np.arange(n) % 4 + 1) - 2.5)).mean() < 0.01
+    assert np.abs(d["season_7"] - ((np.arange(n) % 7 + 1) - 4.0)).mean() < 0.01
+    np.testing.assert_allclose(
+        y - d["season_4"] - d["season_7"], d["season_adjust"], atol=1e-10
+    )
+    np.testing.assert_allclose(
+        d["season_adjust"], d["trend"] + d["remainder"], atol=1e-10
+    )
+
+
+def test_nonseasonal_stl_uses_supsmu(ar1):
+    d = estimate_stl(ar1, season_args={})
+    np.testing.assert_allclose(d["trend"], supsmu(ar1), atol=1e-12)
+    np.testing.assert_allclose(d["season_adjust"], ar1, atol=1e-12)
+
+
+def test_supsmu_tracks_smooth_signal():
+    t = np.arange(200)
+    y = np.sin(t / 30.0)
+    sm = supsmu(y)
+    assert np.abs(sm - y).max() < 0.05
+
+
+def test_classical_additive_bruteforce(seasonal):
+    y = seasonal
+    d = classical_decompose(y, 12, "additive")
+    # trend: centered MA(12) with half weights
+    filt = np.concatenate([[0.5], np.ones(11), [0.5]]) / 12
+    expected = np.convolve(y, filt, mode="valid")
+    np.testing.assert_allclose(d["trend"][6:-6], expected, atol=1e-10)
+    assert np.isnan(d["trend"][:6]).all() and np.isnan(d["trend"][-6:]).all()
+    # seasonal figure sums to ~0 and repeats with period 12
+    np.testing.assert_allclose(d["seasonal"][:12].sum(), 0.0, atol=1e-10)
+    np.testing.assert_allclose(d["seasonal"][:12], d["seasonal"][12:24], atol=1e-12)
+    # reconstruction
+    ok = ~np.isnan(d["random"])
+    np.testing.assert_allclose(
+        y[ok], (d["trend"] + d["seasonal"] + d["random"])[ok], atol=1e-10
+    )
+
+
+def test_classical_multiplicative(seasonal):
+    y = np.abs(seasonal) + 10
+    d = classical_decompose(y, 12, "multiplicative")
+    ok = ~np.isnan(d["random"])
+    np.testing.assert_allclose(
+        y[ok], (d["trend"] * d["seasonal"] * d["random"])[ok], rtol=1e-10
+    )
+    np.testing.assert_allclose(d["seasonal"][:12].mean(), 1.0, atol=1e-10)
+
+
+# -------------------------------------------------------------- features
+
+
+def test_feat_stl_strengths(seasonal, ar1):
+    out = feat_stl(seasonal, 12)
+    assert out["seasonal_strength_12"] > 0.8  # strong planted seasonality
+    assert out["trend_strength"] > 0.8  # strong planted trend
+    flat = feat_stl(np.random.default_rng(0).normal(0, 1, 100), 1)
+    assert "seasonal_strength_1" not in flat  # no seasonality at period 1
+
+
+def test_feat_stl_short_series_skips_seasonality():
+    out = feat_stl(np.arange(20, dtype=float), 12)  # n <= 2*period
+    assert not any(k.startswith("seasonal_strength") for k in out)
+
+
+def test_crossing_and_flat_spots():
+    x = np.array([1.0, 5.0, 1.0, 5.0, 1.0, 5.0])
+    assert n_crossing_points(x)["n_crossing_points"] == 5
+    y = np.concatenate([np.zeros(10), np.ones(4) * 100])
+    assert longest_flat_spot(y)["longest_flat_spot"] == 10
+
+
+def test_stat_arch_lm_bounds(ar1):
+    v = stat_arch_lm(ar1)["stat_arch_lm"]
+    assert 0 <= v <= 1
+    assert math.isnan(stat_arch_lm(np.arange(10.0))["stat_arch_lm"])
+
+
+def test_intermittent():
+    x = np.array([0, 0, 3, 0, 0, 0, 4, 5, 0], dtype=float)
+    out = feat_intermittent(x)
+    assert out["zero_run_mean"] == pytest.approx((2 + 3 + 1) / 3)
+    assert out["zero_start_prop"] == pytest.approx(2 / 9)
+    assert out["zero_end_prop"] == pytest.approx(1 / 9)
+    dense = feat_intermittent(np.arange(1.0, 10.0))
+    assert dense["zero_run_mean"] == 0.0
+
+
+def test_guerrero_constant_and_range(seasonal):
+    assert guerrero(np.ones(50), 12)["lambda_guerrero"] == 1.0
+    lam = guerrero(np.exp(seasonal / 50), 12)["lambda_guerrero"]
+    assert -0.9 <= lam <= 2.0
+
+
+def test_ljung_box_formulas(ar1):
+    n = len(ar1)
+    r = acf(ar1, lag_max=3)
+    lb = ljung_box(ar1, lag=3)
+    expect = n * (n + 2) * sum(r[k] ** 2 / (n - k) for k in range(1, 4))
+    assert lb["lb_stat"] == pytest.approx(expect, abs=1e-10)
+    bp = box_pierce(ar1, lag=3)
+    assert bp["bp_stat"] == pytest.approx(n * sum(r[k] ** 2 for k in range(1, 4)), abs=1e-10)
+    # strong autocorrelation -> tiny p-values
+    assert lb["lb_pvalue"] < 1e-6 and bp["bp_pvalue"] < 1e-6
+
+
+def test_chi2_sf_known_values():
+    # classic chi-square critical values
+    assert chi2_sf(3.841459, 1) == pytest.approx(0.05, abs=1e-5)
+    assert chi2_sf(5.991465, 2) == pytest.approx(0.05, abs=1e-5)
+    assert chi2_sf(18.307038, 10) == pytest.approx(0.05, abs=1e-5)
+    assert chi2_sf(0.0, 3) == 1.0
+
+
+def test_kpss_and_ndiffs(ar1):
+    rw = np.cumsum(np.random.default_rng(11).normal(0, 1, 300))
+    stat_rw = unitroot_kpss(rw)
+    stat_wn = unitroot_kpss(np.random.default_rng(12).normal(0, 1, 300))
+    assert stat_rw["kpss_stat"] > stat_wn["kpss_stat"]
+    assert stat_rw["kpss_pvalue"] <= 0.05  # random walk: reject stationarity
+    assert stat_wn["kpss_pvalue"] >= 0.09  # white noise: don't reject
+    # consistency (reference test-features.R:18-19): p<0.05 <=> ndiffs>=1
+    assert unitroot_ndiffs(rw)["ndiffs"] >= 1
+    assert unitroot_ndiffs(np.random.default_rng(12).normal(0, 1, 300))["ndiffs"] == 0
+
+
+def test_pp_rejects_stationary(ar1):
+    wn = np.random.default_rng(13).normal(0, 1, 300)
+    assert unitroot_pp(wn)["pp_pvalue"] <= 0.05  # stationary: reject unit root
+    rw = np.cumsum(np.random.default_rng(14).normal(0, 1, 300))
+    assert unitroot_pp(rw)["pp_pvalue"] >= 0.09
+
+
+def test_nsdiffs_consistency(seasonal):
+    # strong seasonality -> at least one seasonal difference
+    assert unitroot_nsdiffs(seasonal, 12)["nsdiffs"] >= 1
+    assert unitroot_nsdiffs(np.random.default_rng(2).normal(0, 1, 120), 12)["nsdiffs"] == 0
+    assert unitroot_nsdiffs(seasonal, 1)["nsdiffs"] == 0
+
+
+def test_spectral_entropy_ordering():
+    rng = np.random.default_rng(21)
+    noise = feat_spectral(rng.normal(0, 1, 512))["spectral_entropy"]
+    t = np.arange(512)
+    tone = feat_spectral(np.sin(2 * np.pi * t / 20) + 0.01 * rng.normal(0, 1, 512))[
+        "spectral_entropy"
+    ]
+    assert tone < 0.5 < noise <= 1.0
+    assert math.isnan(feat_spectral(np.ones(100))["spectral_entropy"])
+
+
+def test_tiled_and_shift_features(seasonal):
+    assert var_tiled_var(np.ones(100) * 3, 1)["var_tiled_var"] == pytest.approx(0.0, abs=1e-20)
+    jump = np.concatenate([np.zeros(50), np.ones(50) * 10]) + np.random.default_rng(3).normal(0, 0.1, 100)
+    out = shift_level_max(jump, 1)
+    assert out["shift_level_max"] > 8
+    assert 45 <= out["shift_level_index"] <= 56  # shift located near the jump
+    sv = shift_var_max(np.concatenate([np.random.default_rng(4).normal(0, 0.1, 50),
+                                       np.random.default_rng(5).normal(0, 5, 50)]), 1)
+    assert sv["shift_var_max"] > 1
+
+
+def test_feat_acf_pacf_consistency(ar1):
+    fa = feat_acf(ar1, 1)
+    assert fa["acf1"] == pytest.approx(acf(ar1, 10)[1], abs=1e-12)
+    assert fa["acf1"] > 0.5  # AR(0.7)
+    fp = feat_pacf(ar1, 1)
+    assert fp["pacf5"] > 0.3
+    fa12 = feat_acf(ar1, 12)
+    assert "season_acf1" in fa12 and "season_acf1" not in fa
+
+
+def test_embed_and_rle():
+    m = embed(np.array([1.0, 2, 3, 4, 5]), 3)
+    np.testing.assert_array_equal(m[0], [3, 2, 1])
+    np.testing.assert_array_equal(m[-1], [5, 4, 3])
+    v, l = rle(np.array([1, 1, 2, 2, 2, 1]))
+    np.testing.assert_array_equal(v, [1, 2, 1])
+    np.testing.assert_array_equal(l, [2, 3, 1])
+
+
+def test_brent_minimize_quadratic():
+    assert brent_minimize(lambda z: (z - 1.3) ** 2, -5, 5) == pytest.approx(1.3, abs=1e-6)
+
+
+def test_all_features_on_edge_series():
+    """FIXTURES.md F4: constant, NaN-holed and tiny series must not crash
+    any registered feature (edge cases found by live probing)."""
+    import warnings
+
+    from feasts_ray.functions import feature_set
+
+    rng = np.random.default_rng(99)
+    t = np.arange(240)
+    base = 50 + 0.1 * t + 8 * np.sin(2 * np.pi * t / 12) + rng.normal(0, 1.5, 240)
+    holed = base.copy()
+    holed[40:45] = np.nan
+    cases = {
+        "constant": np.full(100, 7.0),
+        "nan_holed": holed,
+        "tiny": np.array([1.0, 2, 1, 3, 2]),
+        "zeros": np.zeros(50),
+    }
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        for label, series in cases.items():
+            for spec in feature_set():
+                out = spec.fn(series, 12 if label != "tiny" else 1)
+                assert isinstance(out, dict) and out, (label, spec.name)
+    # reference-pinned edge semantics
+    const = np.full(100, 7.0)
+    assert guerrero(const, 12)["lambda_guerrero"] == 1.0  # guerrero.R:31
+    assert math.isnan(feat_spectral(const)["spectral_entropy"])  # features.R:529
