@@ -1,16 +1,12 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here (or in feasts_ray) calls ray.init()/ray.shutdown().
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Every SQL-expressible query's oracle computes the identical exact
+integers (counts / cent-sums / bucket ids) and mirrors the identical
+IEEE-double expression tree for derived floats, so the driver's
+value-hash compare is bit-exact (see feasts_ray/pipelines/events.py).
 """
 
 from __future__ import annotations
@@ -20,25 +16,122 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship on sf0.001: events -> 1m continuous aggregate -> cascade
+    to 1h (tier[k+1] from tier[k]) -> distributed gap-fill -> derived
+    mean. Returns a streaming ray.data.Dataset."""
+    from feasts_ray.pipelines.events import rollup_table
+
+    return rollup_table("/root/testdata/sf0.001/events.parquet", 3600,
+                        cascade_from_s=60, fill_gaps=True)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from feasts_ray.pipelines.queries import ALL_QUERIES
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(ALL_QUERIES)
+
+
+# ---- oracle SQL building blocks (kept in sync with pipelines/events.py) ----
+
+_EV_SEC = ("SELECT event_type, (epoch_us(ts)//1000000//{u})*{u} AS bucket, "
+           "CAST(ROUND(value*100) AS BIGINT) AS cents FROM events")
+
+_ROLLUP = ("WITH sec AS ({sec}) "
+           "SELECT event_type, bucket, COUNT(*) AS count, "
+           "SUM(cents) AS sum_cents, MIN(cents) AS min_cents, "
+           "MAX(cents) AS max_cents, "
+           "(CAST(SUM(cents) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) / 100.0 "
+           "AS mean_val FROM sec GROUP BY event_type, bucket")
+
+
+def _rollup_sql(unit_s: int) -> str:
+    return _ROLLUP.format(sec=_EV_SEC.format(u=unit_s))
+
+
+_GAPFILL_1H = """
+WITH sec AS ({sec}),
+agg AS (
+  SELECT event_type, bucket, COUNT(*) AS count, SUM(cents) AS sum_cents,
+         MIN(cents) AS min_cents, MAX(cents) AS max_cents
+  FROM sec GROUP BY event_type, bucket),
+span AS (SELECT event_type, MIN(bucket) AS lo, MAX(bucket) AS hi FROM agg GROUP BY event_type),
+dense AS (SELECT event_type, unnest(generate_series(lo, hi, 3600)) AS bucket FROM span)
+SELECT d.event_type, d.bucket,
+       COALESCE(a.count, 0) AS count, COALESCE(a.sum_cents, 0) AS sum_cents,
+       a.min_cents AS min_cents, a.max_cents AS max_cents,
+       CASE WHEN a.count IS NOT NULL THEN
+         (CAST(a.sum_cents AS DOUBLE) / CAST(a.count AS DOUBLE)) / 100.0 END AS mean_val
+FROM dense d LEFT JOIN agg a ON a.event_type = d.event_type AND a.bucket = d.bucket
+""".format(sec=_EV_SEC.format(u=3600))
+
+_ACF_1H = """
+WITH sec AS ({sec}),
+agg AS (SELECT event_type, bucket, COUNT(*) AS x FROM sec GROUP BY event_type, bucket),
+span AS (SELECT event_type, MIN(bucket) AS lo, MAX(bucket) AS hi FROM agg GROUP BY event_type),
+dense AS (SELECT event_type, unnest(generate_series(lo, hi, 3600)) AS bucket FROM span),
+series AS (
+  SELECT d.event_type, d.bucket, COALESCE(a.x, 0) AS x
+  FROM dense d LEFT JOIN agg a ON a.event_type = d.event_type AND a.bucket = d.bucket),
+stats AS (SELECT event_type, COUNT(*) AS n, SUM(x) AS s, SUM(x*x) AS ss FROM series GROUP BY event_type),
+lags AS (
+  SELECT a.event_type, k.lag AS lag, SUM(a.x * b.x) AS sxy,
+         SUM(a.x) AS h, SUM(b.x) AS t, COUNT(*) AS cnt
+  FROM series a
+  JOIN (SELECT range AS lag FROM range(1, 25)) k ON TRUE
+  JOIN series b ON b.event_type = a.event_type AND b.bucket = a.bucket + k.lag * 3600
+  GROUP BY a.event_type, k.lag)
+SELECT l.event_type, l.lag,
+  ((l.sxy - (CAST(st.s AS DOUBLE) / st.n) * (l.h + l.t))
+    + (l.cnt * (CAST(st.s AS DOUBLE) / st.n)) * (CAST(st.s AS DOUBLE) / st.n))
+  / (st.ss - st.s * (CAST(st.s AS DOUBLE) / st.n)) AS acf
+FROM lags l JOIN stats st ON st.event_type = l.event_type
+""".format(sec=_EV_SEC.format(u=3600))
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "rollup_1m": _rollup_sql(60),
+        "rollup_1h_cascade": _rollup_sql(3600),
+        "rollup_1h_blobs_roundtrip": _rollup_sql(3600),
+        "gapfill_1h": _GAPFILL_1H,
+        "gap_counts": (
+            "WITH sec AS ({sec}), agg AS (SELECT event_type, bucket FROM sec "
+            "GROUP BY event_type, bucket) "
+            "SELECT event_type, (MAX(bucket) - MIN(bucket))//3600 + 1 AS n_buckets, "
+            "COUNT(*) AS n_present, "
+            "(MAX(bucket) - MIN(bucket))//3600 + 1 - COUNT(*) AS n_missing "
+            "FROM agg GROUP BY event_type".format(sec=_EV_SEC.format(u=3600))),
+        "acf_1h_counts": _ACF_1H,
+        "event_type_stats": (
+            "WITH sec AS ({sec}) SELECT event_type, COUNT(*) AS n_events, "
+            "SUM(cents) AS sum_cents, MIN(cents) AS min_cents, "
+            "MAX(cents) AS max_cents FROM sec GROUP BY event_type"
+            .format(sec=_EV_SEC.format(u=86400))),
+        "top_users": (
+            "WITH cents AS (SELECT user_id, CAST(ROUND(value*100) AS BIGINT) AS c "
+            "FROM events) SELECT user_id, SUM(c) AS total_cents, COUNT(*) AS n_events "
+            "FROM cents GROUP BY user_id ORDER BY total_cents DESC, user_id LIMIT 10"),
+        "lineitem_daily": (
+            "WITH sec AS (SELECT l_returnflag, "
+            "(epoch_us(l_shipdate)//1000000//86400)*86400 AS bucket, "
+            "CAST(ROUND(l_extendedprice*100) AS BIGINT) AS cents FROM lineitem) "
+            "SELECT l_returnflag, bucket, COUNT(*) AS count, SUM(cents) AS sum_cents, "
+            "MIN(cents) AS min_cents, MAX(cents) AS max_cents, "
+            "(CAST(SUM(cents) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) / 100.0 AS mean_val "
+            "FROM sec GROUP BY l_returnflag, bucket"),
+        "dedup_exact": (
+            "SELECT md5(text) AS text_md5, MIN(doc_id) AS survivor_id, "
+            "COUNT(*) AS n_copies FROM documents GROUP BY md5(text)"),
+        "token_counts": (
+            "SELECT doc_id, CAST(len(regexp_split_to_array(text, '\\s+')) AS BIGINT) "
+            "AS n_words, CAST(length(text) AS BIGINT) AS n_chars_calc FROM documents"),
+        "ann_topk": (
+            "WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings "
+            "WHERE vec_id < 5), "
+            "sims AS (SELECT q.query_id, e.vec_id, "
+            "list_cosine_similarity(q.embedding, e.embedding) AS sim "
+            "FROM q CROSS JOIN embeddings e), "
+            "ranked AS (SELECT query_id, vec_id, ROW_NUMBER() OVER "
+            "(PARTITION BY query_id ORDER BY sim DESC, vec_id) AS \"rank\" FROM sims) "
+            "SELECT query_id, \"rank\", vec_id FROM ranked WHERE \"rank\" <= 10"),
+    }

@@ -1,0 +1,6 @@
+"""Similarity search over embedding columns."""
+
+from .brute import topk_cosine
+from .lsh import topk_cosine_lsh
+
+__all__ = ["topk_cosine", "topk_cosine_lsh"]

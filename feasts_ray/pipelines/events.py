@@ -1,0 +1,191 @@
+"""Generic continuous-aggregate rollups over real-timestamp tables.
+
+Same dataflow as the flagship token rollup (SURVEY.md §7.1) but for any
+table with a ``timestamp[us]`` column and a float value column (the
+driver's ``events`` / ``lineitem`` tables):
+
+  read_parquet(cols pruned)                     # streaming scan
+    -> MB: ts -> epoch-second, value -> exact integer cents,
+       per-batch combine to one partial row per (key, bucket)
+    -> AGG merge partials (the one wide shuffle, over combined rows)
+    -> [optional cascade to a coarser tier = re-aggregation of partials]
+    -> [optional distributed gap-fill]
+    -> derived float columns (mean) from exact integer sums
+
+Sums/counts are int64 cents, so every aggregate is bit-exact regardless
+of reduction order — the ANSI-SQL oracle in ``__ray_entry__.oracle_sql``
+computes the identical integers, and derived doubles mirror the oracle's
+expression tree exactly (same IEEE ops on identical ints).
+
+Reference semantics mirrored: numeric bucket flooring
+(/root/reference/R/utils.R:134-139 ``(x %/% unit) * unit``); explicit
+gap rows (tsibble::fill_gaps contract, /root/reference/R/dcmp_checks.R:1-5).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+from ray.data.aggregate import Max, Min, Sum
+
+from ..stages.gapfill import gap_fill
+
+
+def _partial_batch(
+    batch: pa.Table, unit_s: int, key_col: str, ts_col: str, value_col: str
+) -> pa.Table:
+    """Combiner: one partial row per (key, bucket) within the batch."""
+    us = batch[ts_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+    sec = us // 1_000_000
+    bucket = (sec // unit_s) * unit_s
+    # exact cents (values carry <=2 decimals; *100 is integer up to fp eps)
+    v = batch[value_col].to_numpy(zero_copy_only=False)
+    cents = np.rint(v * 100.0).astype(np.int64)
+    df = pd.DataFrame({"key": batch[key_col].to_numpy(zero_copy_only=False),
+                       "bucket": bucket, "v": cents})
+    g = df.groupby(["key", "bucket"], sort=False, observed=True)["v"]
+    out = g.agg(count="count", sum="sum", min="min", max="max").reset_index()
+    out = out.rename(columns={"key": key_col})
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def _recast_batch(batch: pa.Table, unit_s: int, key_col: str) -> pa.Table:
+    """Cascade combiner: re-bucket a finer tier's partials to coarser unit."""
+    bucket = (batch["bucket"].to_numpy(zero_copy_only=False) // unit_s) * unit_s
+    df = pd.DataFrame({
+        "key": batch[key_col].to_numpy(zero_copy_only=False),
+        "bucket": bucket,
+        "count": batch["count"].to_numpy(zero_copy_only=False),
+        "sum": batch["sum"].to_numpy(zero_copy_only=False),
+        "min": batch["min"].to_numpy(zero_copy_only=False),
+        "max": batch["max"].to_numpy(zero_copy_only=False),
+    })
+    g = df.groupby(["key", "bucket"], sort=False, observed=True)
+    out = g.agg(count=("count", "sum"), sum=("sum", "sum"),
+                min=("min", "min"), max=("max", "max")).reset_index()
+    out = out.rename(columns={"key": key_col})
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def _merge(ds: "ray.data.Dataset", key_col: str) -> "ray.data.Dataset":
+    return ds.groupby([key_col, "bucket"]).aggregate(
+        Sum("count", alias_name="count"),
+        Sum("sum", alias_name="sum"),
+        Min("min", alias_name="min"),
+        Max("max", alias_name="max"),
+    )
+
+
+def rollup_table(
+    path: str,
+    unit_s: int,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    cascade_from_s: int | None = None,
+    fill_gaps: bool = False,
+    batch_size: int = 32768,
+) -> "ray.data.Dataset":
+    """Continuous aggregate of ``value`` (as cents) per (key, bucket).
+
+    ``cascade_from_s``: first roll up at that finer unit, then derive the
+    requested tier purely by re-aggregating the finer tier's output —
+    exercising the retention-cascade path (tier[k+1] from tier[k]).
+    Output: key_col, bucket:int64, count:int64, sum_cents:int64,
+    min_cents:int64, max_cents:int64, mean_val:float64 (null on gap rows).
+    """
+    ds = ray.data.read_parquet(path, columns=[key_col, ts_col, value_col])
+    first_unit = cascade_from_s or unit_s
+    ds = ds.map_batches(
+        _partial_batch, batch_format="pyarrow", batch_size=batch_size,
+        fn_kwargs={"unit_s": first_unit, "key_col": key_col,
+                   "ts_col": ts_col, "value_col": value_col},
+    )
+    ds = _merge(ds, key_col)
+    if cascade_from_s is not None:
+        ds = ds.map_batches(
+            _recast_batch, batch_format="pyarrow",
+            fn_kwargs={"unit_s": unit_s, "key_col": key_col},
+        )
+        ds = _merge(ds, key_col)
+    if fill_gaps:
+        ds = gap_fill(ds, unit_s, key_col=key_col)
+
+    def _derive(batch: pa.Table) -> pa.Table:
+        cnt = batch["count"].to_numpy(zero_copy_only=False)
+        s = batch["sum"].to_numpy(zero_copy_only=False)
+        cf = cnt.astype(np.float64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            # mirror the oracle expression: (CAST(sum AS DOUBLE)/count)/100.0
+            mean = (s.astype(np.float64) / cf) / 100.0
+        mean_col = pa.array(mean, type=pa.float64(), mask=cnt == 0)
+        t = pa.table({
+            key_col: batch[key_col],
+            "bucket": batch["bucket"].cast(pa.int64()),
+            "count": batch["count"].cast(pa.int64()),
+            "sum_cents": batch["sum"].cast(pa.int64()),
+            "min_cents": batch["min"].cast(pa.int64()),
+            "max_cents": batch["max"].cast(pa.int64()),
+        })
+        return t.append_column("mean_val", mean_col)
+
+    return ds.map_batches(_derive, batch_format="pyarrow")
+
+
+class _ExactACFKernel:
+    """Per-key lag-k ACF from exact integer sums (map_groups kernel).
+
+    r_k = sum_t (x_t - m)(x_{t+k} - m) / sum_t (x_t - m)^2   (R stats::acf,
+    /root/reference/R/acf.R:61-102 semantics: denominator over the full
+    series, lag 0 dropped). Expanded into integer power sums so the final
+    doubles are a fixed expression over exact ints — bit-identical to the
+    SQL oracle evaluating the same expression:
+
+      num_k = (Sxy_k - m*(H_k + T_k)) + ((n-k)*m)*m
+      den   = SS - S*m            with  m = S/n
+    """
+
+    def __init__(self, key_col: str, value_col: str, lag_max: int):
+        self.key_col = key_col
+        self.value_col = value_col
+        self.lag_max = lag_max
+
+    def __call__(self, group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values("bucket", kind="mergesort")
+        x = g[self.value_col].to_numpy(dtype=np.int64)
+        n = len(x)
+        S = int(x.sum())
+        SS = int(np.dot(x, x))
+        m = S / n
+        den = SS - S * m
+        lags, vals = [], []
+        for k in range(1, min(self.lag_max, n - 1) + 1):
+            sxy = int(np.dot(x[:-k], x[k:]))
+            h = int(x[:-k].sum())
+            t = int(x[k:].sum())
+            num = (sxy - m * (h + t)) + ((n - k) * m) * m
+            lags.append(k)
+            vals.append(num / den if den != 0 else float("nan"))
+        return pd.DataFrame({
+            self.key_col: np.repeat(g[self.key_col].iloc[0], len(lags)),
+            "lag": np.array(lags, dtype=np.int64),
+            "acf": np.array(vals, dtype=np.float64),
+        })
+
+
+def acf_of_counts(
+    rolled: "ray.data.Dataset",
+    key_col: str = "event_type",
+    value_col: str = "count",
+    lag_max: int = 24,
+) -> "ray.data.Dataset":
+    """Lag-k ACF table of a rolled-up integer column per key (one shuffle)."""
+    return rolled.groupby(key_col).map_groups(
+        _ExactACFKernel,
+        fn_constructor_args=(key_col, value_col, lag_max),
+        batch_format="pandas",
+        concurrency=(1, 8),
+    )

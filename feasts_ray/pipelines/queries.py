@@ -1,0 +1,334 @@
+"""Driver-contract query pipelines: each callable takes ``sf_dir`` and
+returns a Dataset / pandas DataFrame / pyarrow Table.
+
+Every SQL-expressible query here has a matching ANSI-SQL oracle string in
+``__ray_entry__.oracle_sql`` computing the identical integers and the
+identical IEEE-double expression trees, so the driver's value-hash
+compare is bit-exact (see pipelines/events.py docstring).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+from ray.data.aggregate import Count, Max, Min, Sum
+
+from ..ann import topk_cosine, topk_cosine_lsh
+from ..dedup import (
+    embedding_dup_pairs,
+    exact_groups,
+    minhash_dedup_pairs,
+    simhash_dedup_pairs,
+)
+from ..stages.cf import ACF as ACF_table, PACF as PACF_table
+from ..stages.decompose import classical_decomposition, stl_decomposition
+from ..stages.encode import decode_segments, encode_tier
+from ..stages.features import extract_features
+from ..text.analysis import (
+    BpeishTokenCounter,
+    add_fingerprint,
+    add_langid,
+    add_quality,
+    add_token_counts,
+)
+from .events import acf_of_counts, rollup_table
+
+HOUR = 3600
+MIN = 60
+DAY = 86400
+
+
+def _events(sf_dir: str) -> str:
+    return f"{sf_dir}/events.parquet"
+
+
+def _documents(sf_dir: str):
+    return ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+
+
+# ---------------- rollups / gap-fill / ACF (SQL-checked) ----------------
+
+def q_rollup_1m(sf_dir: str):
+    return rollup_table(_events(sf_dir), MIN)
+
+
+def q_rollup_1h_cascade(sf_dir: str):
+    """1h tier derived purely by re-aggregating the 1m tier (cascade)."""
+    return rollup_table(_events(sf_dir), HOUR, cascade_from_s=MIN)
+
+
+def q_gapfill_1h(sf_dir: str):
+    return rollup_table(_events(sf_dir), HOUR, fill_gaps=True)
+
+
+def q_gap_counts(sf_dir: str):
+    """Per-key bucket-domain accounting (check_gaps as data, not abort)."""
+    rolled = rollup_table(_events(sf_dir), HOUR)
+
+    def _per_key(batch: pa.Table) -> pa.Table:
+        # partial per batch: min/max/count per key
+        df = batch.select(["event_type", "bucket"]).to_pandas()
+        g = df.groupby("event_type", sort=False)["bucket"]
+        out = g.agg(lo="min", hi="max", n_present="count").reset_index()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    merged = rolled.map_batches(_per_key, batch_format="pyarrow").groupby(
+        "event_type").aggregate(
+        Min("lo", alias_name="lo"), Max("hi", alias_name="hi"),
+        Sum("n_present", alias_name="n_present"),
+    )
+
+    def _derive(batch: pa.Table) -> pa.Table:
+        lo = batch["lo"].to_numpy(zero_copy_only=False)
+        hi = batch["hi"].to_numpy(zero_copy_only=False)
+        npres = batch["n_present"].to_numpy(zero_copy_only=False)
+        nb = (hi - lo) // HOUR + 1
+        return pa.table({
+            "event_type": batch["event_type"],
+            "n_buckets": pa.array(nb, type=pa.int64()),
+            "n_present": pa.array(npres, type=pa.int64()),
+            "n_missing": pa.array(nb - npres, type=pa.int64()),
+        })
+
+    return merged.map_batches(_derive, batch_format="pyarrow")
+
+
+def q_acf_1h_counts(sf_dir: str):
+    rolled = rollup_table(_events(sf_dir), HOUR, fill_gaps=True)
+    return acf_of_counts(rolled, key_col="event_type", value_col="count",
+                         lag_max=24)
+
+
+def q_rollup_1h_blobs_roundtrip(sf_dir: str):
+    """rollup -> Gorilla/dod encode -> decode: driver-checked lossless."""
+    rolled = rollup_table(_events(sf_dir), HOUR)
+
+    def _std_cols(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": batch["event_type"],
+            "bucket": batch["bucket"],
+            "count": batch["count"],
+            "sum": batch["sum_cents"],
+            "min": batch["min_cents"],
+            "max": batch["max_cents"],
+            "mean": batch["mean_val"],
+        })
+
+    blobs = encode_tier(rolled.map_batches(_std_cols, batch_format="pyarrow"),
+                        HOUR, "1h", key_col="event_type")
+
+    def _decode(batch: pa.Table) -> pa.Table:
+        pdf = decode_segments(batch, key_col="event_type")
+        return pa.table({
+            "event_type": pa.array(pdf["event_type"]),
+            "bucket": pa.array(pdf["bucket"].to_numpy(np.int64)),
+            "count": pa.array(pdf["count"].to_numpy(np.int64)),
+            "sum_cents": pa.array(pdf["sum"].to_numpy(np.int64)),
+            "min_cents": pa.array(pdf["min"].to_numpy(np.float64).astype(np.int64)),
+            "max_cents": pa.array(pdf["max"].to_numpy(np.float64).astype(np.int64)),
+            "mean_val": pa.array(pdf["mean"].to_numpy(np.float64)),
+        })
+
+    return blobs.map_batches(_decode, batch_format="pyarrow")
+
+
+# ---------------- plain aggregates / top-k (SQL-checked) ----------------
+
+def q_event_type_stats(sf_dir: str):
+    ds = rollup_table(_events(sf_dir), DAY)
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = df.groupby("event_type", sort=False)
+        out = g.agg(n_events=("count", "sum"), sum_cents=("sum_cents", "sum"),
+                    min_cents=("min_cents", "min"),
+                    max_cents=("max_cents", "max")).reset_index()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return ds.map_batches(_partial, batch_format="pyarrow").groupby(
+        "event_type").aggregate(
+        Sum("n_events", alias_name="n_events"),
+        Sum("sum_cents", alias_name="sum_cents"),
+        Min("min_cents", alias_name="min_cents"),
+        Max("max_cents", alias_name="max_cents"),
+    )
+
+
+def q_top_users(sf_dir: str):
+    ds = rollup_table(_events(sf_dir), DAY, key_col="user_id")
+    totals = ds.groupby("user_id").aggregate(
+        Sum("sum_cents", alias_name="total_cents"),
+        Sum("count", alias_name="n_events"),
+    )
+    pdf = totals.to_pandas()  # O(#users) — small after aggregation
+    pdf = pdf.sort_values(["total_cents", "user_id"], ascending=[False, True],
+                          kind="mergesort").head(10).reset_index(drop=True)
+    return pdf[["user_id", "total_cents", "n_events"]]
+
+
+def q_lineitem_daily(sf_dir: str):
+    return rollup_table(f"{sf_dir}/lineitem.parquet", DAY,
+                        key_col="l_returnflag", ts_col="l_shipdate",
+                        value_col="l_extendedprice")
+
+
+# ---------------- dedup / text (SQL-checked where expressible) ----------
+
+def q_dedup_exact(sf_dir: str):
+    return exact_groups(_documents(sf_dir))
+
+
+def q_token_counts(sf_dir: str):
+    return _documents(sf_dir).map_batches(
+        add_token_counts, batch_format="pyarrow"
+    ).select_columns(["doc_id", "n_words", "n_chars_calc"])
+
+
+def q_minhash_pairs(sf_dir: str):
+    return minhash_dedup_pairs(_documents(sf_dir), threshold=0.35)
+
+
+def q_simhash_pairs(sf_dir: str):
+    return simhash_dedup_pairs(_documents(sf_dir), max_hamming=7)
+
+
+def q_embedding_dup_pairs(sf_dir: str):
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    # testdata embeddings have no true near-dups (max pairwise cosine ~0.51)
+    # so probe wide at a low threshold to exercise the verify path
+    return embedding_dup_pairs(ds, threshold=0.4, n_bits=6, n_tables=8)
+
+
+def q_text_quality(sf_dir: str):
+    ds = _documents(sf_dir).map_batches(add_quality, batch_format="pyarrow")
+    return ds.select_columns(
+        ["doc_id", "punct_ratio", "stopword_ratio", "alpha_ratio",
+         "mean_word_len", "quality_score"])
+
+
+def q_langid(sf_dir: str):
+    return _documents(sf_dir).map_batches(
+        add_langid, batch_format="pyarrow").select_columns(["doc_id", "lang_pred"])
+
+
+def q_fingerprint(sf_dir: str):
+    return _documents(sf_dir).map_batches(
+        add_fingerprint, batch_format="pyarrow").select_columns(
+        ["doc_id", "fingerprint"])
+
+
+def q_bpe_token_counts(sf_dir: str):
+    return _documents(sf_dir).map_batches(
+        BpeishTokenCounter, fn_constructor_args=("text",),
+        batch_format="pyarrow", batch_size=256, concurrency=(1, 4),
+    ).select_columns(["doc_id", "n_bpe_tokens"])
+
+
+# ---------------- similarity search ----------------
+
+def _query_vectors(sf_dir: str, n: int = 5) -> np.ndarray:
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    t = t.sort_by("vec_id").slice(0, n)
+    col = t["embedding"].combine_chunks()
+    flat = col.values.to_numpy(zero_copy_only=False).astype(np.float64)
+    return flat.reshape(n, len(flat) // n)
+
+
+def q_ann_topk(sf_dir: str):
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    out = topk_cosine(ds, _query_vectors(sf_dir), k=10)
+    return out[["query_id", "rank", "vec_id"]]
+
+
+def q_ann_topk_lsh(sf_dir: str):
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    out = topk_cosine_lsh(ds, _query_vectors(sf_dir), k=10)
+    return out[["query_id", "rank", "vec_id"]]
+
+
+# ---------------- feasts feature/correlogram/decomposition surface ------
+
+def _hourly_mean_series(sf_dir: str):
+    rolled = rollup_table(_events(sf_dir), HOUR, fill_gaps=True)
+    return rolled.select_columns(["event_type", "bucket", "mean_val"])
+
+
+def q_features_1h(sf_dir: str):
+    return extract_features(
+        _hourly_mean_series(sf_dir), value_col="mean_val",
+        key_cols=["event_type"], period=24, time_col="bucket",
+        tags=["basic", "acf", "stl", "intermittent"],
+    )
+
+
+def q_acf_table_1h(sf_dir: str):
+    return ACF_table(_hourly_mean_series(sf_dir), "mean_val",
+                     ["event_type"], time_col="bucket", lag_max=24)
+
+
+def q_pacf_table_1h(sf_dir: str):
+    return PACF_table(_hourly_mean_series(sf_dir), "mean_val",
+                      ["event_type"], time_col="bucket", lag_max=24)
+
+
+def _hourly_count_series(sf_dir: str):
+    """Gap-filled hourly event-count series (no NaN: gaps are 0 counts —
+    STL requires a complete series, R/stl.R:52-54)."""
+    rolled = rollup_table(_events(sf_dir), HOUR, fill_gaps=True)
+
+    def _f(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": batch["event_type"],
+            "bucket": batch["bucket"],
+            "value": batch["count"].cast(pa.float64()),
+        })
+
+    return rolled.map_batches(_f, batch_format="pyarrow")
+
+
+def q_stl_1h(sf_dir: str):
+    return stl_decomposition(_hourly_count_series(sf_dir), value_col="value",
+                             key_cols=["event_type"], periods=[24],
+                             time_col="bucket").components()
+
+
+def q_classical_1h(sf_dir: str):
+    return classical_decomposition(_hourly_count_series(sf_dir),
+                                   value_col="value",
+                                   key_cols=["event_type"], period=24,
+                                   time_col="bucket").components()
+
+
+ALL_QUERIES = {
+    "rollup_1m": q_rollup_1m,
+    "rollup_1h_cascade": q_rollup_1h_cascade,
+    "gapfill_1h": q_gapfill_1h,
+    "gap_counts": q_gap_counts,
+    "acf_1h_counts": q_acf_1h_counts,
+    "rollup_1h_blobs_roundtrip": q_rollup_1h_blobs_roundtrip,
+    "event_type_stats": q_event_type_stats,
+    "top_users": q_top_users,
+    "lineitem_daily": q_lineitem_daily,
+    "dedup_exact": q_dedup_exact,
+    "token_counts": q_token_counts,
+    "minhash_dup_pairs": q_minhash_pairs,
+    "simhash_dup_pairs": q_simhash_pairs,
+    "embedding_dup_pairs": q_embedding_dup_pairs,
+    "text_quality": q_text_quality,
+    "langid": q_langid,
+    "fingerprint": q_fingerprint,
+    "bpe_token_counts": q_bpe_token_counts,
+    "ann_topk": q_ann_topk,
+    "ann_topk_lsh": q_ann_topk_lsh,
+    "features_1h": q_features_1h,
+    "acf_table_1h": q_acf_table_1h,
+    "pacf_table_1h": q_pacf_table_1h,
+    "stl_1h": q_stl_1h,
+    "classical_1h": q_classical_1h,
+}
