@@ -1,0 +1,151 @@
+"""Benchmark harness: headline pipelines over $GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "num_cpus": N,
+   "rollup_points": P, "rollup_points_per_sec": R}
+
+Modes:
+  python bench.py                      # full bench (owns ray.init)
+  python bench.py --scaling            # flagship at 8 vs 32 CPUs in fresh
+                                       # processes; prints both throughputs
+                                       # + scaling efficiency
+  python bench.py --worker CPUS        # internal: one scaling datapoint
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+# flagship token-table size: ~2M docs at sf0.1 would dominate the bench;
+# 400k docs (~100M tokens) keeps the run minutes-scale while being big
+# enough that per-stage overheads are amortized.
+N_DOCS = int(os.environ.get("GRAFT_BENCH_DOCS", "400000"))
+
+
+def _init_ray(num_cpus: int):
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+                 logging_level="ERROR")
+
+
+def run_flagship(num_cpus: int, tag: str) -> dict:
+    """Token rollup across all retention tiers; returns timing + points."""
+    _init_ray(num_cpus)
+    import shutil
+
+    from feasts_ray.pipelines.rollup_pipeline import run_rollup
+    from feasts_ray.synth import ensure_token_table
+
+    path = ensure_token_table(N_DOCS)
+    out = f"/tmp/feasts_ray_bench/{tag}_c{num_cpus}"
+    shutil.rmtree(out, ignore_errors=True)
+    t0 = time.perf_counter()
+    metrics = run_rollup(path, out)
+    wall = time.perf_counter() - t0
+    points = sum(m["points"] for m in metrics.values())
+    return {"wall_s": wall, "points": points,
+            "points_per_sec": points / wall, "n_docs": N_DOCS}
+
+
+def run_queries() -> dict[str, float]:
+    """Representative operator pipelines over the sf dir."""
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from feasts_ray.pipelines import queries as q
+
+    def _consume(res):
+        import ray.data
+
+        if isinstance(res, ray.data.Dataset):
+            # stream to completion without collecting on the driver
+            n = 0
+            for b in res.iter_batches(batch_size=8192, batch_format="pyarrow"):
+                n += b.num_rows
+            return n
+        return len(res)
+
+    names = ["rollup_1m", "rollup_1h_cascade", "gapfill_1h", "acf_1h_counts",
+             "rollup_1h_blobs_roundtrip", "lineitem_daily", "dedup_exact",
+             "minhash_dup_pairs", "simhash_dup_pairs", "ann_topk",
+             "features_1h", "stl_1h"]
+    out: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        _consume(q.ALL_QUERIES[name](SF_DIR))
+        out[name] = round(time.perf_counter() - t0, 3)
+    return out
+
+
+def main_bench():
+    _init_ray(NUM_CPUS)
+    flag = run_flagship(NUM_CPUS, "bench")
+    qs = run_queries()
+    total = round(flag["wall_s"] + sum(qs.values()), 3)
+    qs = {"flagship_token_rollup": round(flag["wall_s"], 3), **qs}
+    print(json.dumps({
+        "metric": "rolled-up points/sec across all retention tiers + operator suite wall time",
+        "value": total,
+        "unit": "sec",
+        "queries": qs,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "rollup_points": flag["points"],
+        "rollup_points_per_sec": round(flag["points_per_sec"], 1),
+        "rollup_n_docs": flag["n_docs"],
+    }))
+    import ray
+
+    ray.shutdown()
+
+
+def main_worker(num_cpus: int):
+    flag = run_flagship(num_cpus, "scaling")
+    print(json.dumps(flag))
+    import ray
+
+    ray.shutdown()
+
+
+def main_scaling():
+    """Same job, same input, two parallelism levels in fresh processes
+    (sandbox evidence for the N -> 4N cluster-size scaling criterion)."""
+    # pre-generate the input so neither run pays synthesis cost
+    from feasts_ray.synth import ensure_token_table
+
+    ensure_token_table(N_DOCS)
+    results = {}
+    for cpus in (8, 32):
+        env = dict(os.environ)
+        env["GRAFT_BENCH_DOCS"] = str(N_DOCS)
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--worker", str(cpus)],
+            capture_output=True, text=True, env=env, check=True)
+        results[cpus] = json.loads(out.stdout.strip().splitlines()[-1])
+    tp8, tp32 = results[8]["points_per_sec"], results[32]["points_per_sec"]
+    eff = (tp32 / tp8) / (32 / 8)
+    print(json.dumps({
+        "metric": "scaling efficiency (points/sec at 8 vs 32 CPUs, same input)",
+        "num_cpus": [8, 32],
+        "points_per_sec": [round(tp8, 1), round(tp32, 1)],
+        "wall_s": [round(results[8]["wall_s"], 3), round(results[32]["wall_s"], 3)],
+        "speedup": round(tp32 / tp8, 3),
+        "scaling_efficiency": round(eff, 3),
+        "rollup_n_docs": N_DOCS,
+    }))
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        main_scaling()
+    elif "--worker" in sys.argv:
+        main_worker(int(sys.argv[sys.argv.index("--worker") + 1]))
+    else:
+        main_bench()

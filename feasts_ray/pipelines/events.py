@@ -31,8 +31,6 @@ import pyarrow as pa
 import ray.data
 from ray.data.aggregate import Max, Min, Sum
 
-from ..stages.gapfill import gap_fill
-
 
 def _partial_batch(
     batch: pa.Table, unit_s: int, key_col: str, ts_col: str, value_col: str
@@ -88,6 +86,7 @@ def rollup_table(
     cascade_from_s: int | None = None,
     fill_gaps: bool = False,
     batch_size: int = 32768,
+    segment_points: int = 4096,
 ) -> "ray.data.Dataset":
     """Continuous aggregate of ``value`` (as cents) per (key, bucket).
 
@@ -96,7 +95,13 @@ def rollup_table(
     exercising the retention-cascade path (tier[k+1] from tier[k]).
     Output: key_col, bucket:int64, count:int64, sum_cents:int64,
     min_cents:int64, max_cents:int64, mean_val:float64 (null on gap rows).
+
+    Merge/gap-fill run through the fused segment kernel (ONE bounded-group
+    shuffle per tier — see stages/tier_kernel.py); results are integer-
+    exact so the fused path is bit-identical to a naive groupby.
     """
+    from ..stages.tier_kernel import run_tier, spans_from_partials
+
     ds = ray.data.read_parquet(path, columns=[key_col, ts_col, value_col])
     first_unit = cascade_from_s or unit_s
     ds = ds.map_batches(
@@ -104,15 +109,20 @@ def rollup_table(
         fn_kwargs={"unit_s": first_unit, "key_col": key_col,
                    "ts_col": ts_col, "value_col": value_col},
     )
-    ds = _merge(ds, key_col)
     if cascade_from_s is not None:
-        ds = ds.map_batches(
+        fine = run_tier(ds, f"u{first_unit}", first_unit, segment_points,
+                        {}, gap_fill=False, blobs_dir=None, key_col=key_col)
+        ds = fine.select_columns([key_col, "bucket", "count", "sum", "min", "max"]
+                                 ).map_batches(
             _recast_batch, batch_format="pyarrow",
             fn_kwargs={"unit_s": unit_s, "key_col": key_col},
         )
-        ds = _merge(ds, key_col)
+    spans: dict = {}
     if fill_gaps:
-        ds = gap_fill(ds, unit_s, key_col=key_col)
+        ds = ds.materialize()  # partials: tier-sized, enables span reduce
+        spans = spans_from_partials(ds, key_col=key_col)
+    ds = run_tier(ds, f"u{unit_s}", unit_s, segment_points, spans,
+                  gap_fill=fill_gaps, blobs_dir=None, key_col=key_col)
 
     def _derive(batch: pa.Table) -> pa.Table:
         cnt = batch["count"].to_numpy(zero_copy_only=False)

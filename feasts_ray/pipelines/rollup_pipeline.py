@@ -1,24 +1,29 @@
 """Flagship pipeline: token table -> cascading retention tiers -> blobs.
 
-Dataflow (SURVEY.md §7.1, north rule):
+Dataflow (SURVEY.md §7.1, north rule), ONE shuffle per tier:
 
-  read_parquet(doc_id, n_tok, source)            # tokens column pruned at read
+  read_parquet(doc_id, n_tok, source)            # tokens column pruned
     -> MB derive ts (pure fn of doc_id, source)  # zero-copy Arrow
-    -> MB partial rollup per (source, raw bucket) (combiner = implicit salt)
-    -> AGG merge partials (the one wide shuffle over raw-derived rows)
-    -> cascade: tier[k+1] = MB re-bucket partial + AGG over tier[k] output
-    -> gap-fill per tier (dense bucket domain, distributed union+merge)
-    -> mean = sum/count; sort(source, bucket); write points parquet
-    -> groupby(source, segment).map_groups Gorilla/dod encode -> blobs parquet
-    -> _CHECKPOINT.json per tier (lineage + metrics; resume skips done tiers)
+    -> MB partial rollup per (source, bucket)    # map-side combine
+    -> [materialize partials: small, enables span reduce + reuse]
+    -> driver reduce of per-batch span partials -> per-source [lo, hi]
+    -> groupby(source, segment).map_groups fused TierSegmentKernel:
+         merge partials + LOCAL gap-fill + mean + time sort + Gorilla
+         encode (blobs written to partition-addressed files in-kernel)
+    -> write points parquet; _CHECKPOINT.json per tier (lineage+metrics)
+  cascade: tier[k+1] re-aggregates tier[k]'s points (never re-reads raw)
 
-All stages stream; nothing materializes the full dataset on the driver.
+Why fused (vs the modular gap_fill/encode_tier stages kept for the query
+paths): Ray's groupby costs ~0.3 ms/group in Python, so grouping by
+(source, bucket) is quadratic-feeling at scale; grouping by (source,
+segment) bounds group size at SEGMENT_POINTS (also the anti-skew salt)
+and cuts group count 4096x. See stages/tier_kernel.py.
 """
 
 from __future__ import annotations
 
+import shutil
 import time
-from dataclasses import asdict
 from pathlib import Path
 
 import pyarrow.dataset as pads
@@ -27,9 +32,8 @@ import ray.data
 
 from ..config import RollupConfig, TIERS
 from ..stages.bucketize import add_time_columns
-from ..stages.encode import encode_tier
-from ..stages.gapfill import gap_fill
-from ..stages.rollup import add_mean, cascade_batch, merge_partials, partial_rollup_batch
+from ..stages.rollup import cascade_batch, partial_rollup_batch
+from ..stages.tier_kernel import run_tier, spans_from_partials
 from ..state import checkpoint as ckpt
 
 
@@ -76,16 +80,18 @@ def run_rollup(
     lineage = ckpt.lineage_hash(input_path, cfg_dict)
     metrics: dict[str, dict] = {}
     prev_points: Path | None = None
+    spans: dict | None = None
 
     for k, tier in enumerate(cfg.tiers):
         points_dir, blobs_dir = _tier_dirs(out_dir, tier.name)
         if ckpt.is_complete(points_dir.parent, lineage):
-            metrics[tier.name] = ckpt.load_manifest(points_dir.parent)
+            m = ckpt.load_manifest(points_dir.parent)
+            metrics[tier.name] = m
+            if spans is None and "spans" in m:
+                spans = {s: tuple(v) for s, v in m["spans"].items()}
             prev_points = points_dir
             continue
         # stale partial output from a crashed attempt: clear before rerun
-        import shutil
-
         for d in (points_dir, blobs_dir):
             if d.exists():
                 shutil.rmtree(d)
@@ -109,24 +115,20 @@ def run_rollup(
             ds = ds.map_batches(
                 cascade_batch, batch_format="pyarrow", fn_kwargs={"unit_s": tier.unit_s}
             )
-        agg = merge_partials(ds, key_cols=(cfg.series_key, "bucket"))
-        if cfg.gap_fill:
-            agg = gap_fill(agg, tier.unit_s, key_col=cfg.series_key)
-        agg = add_mean(agg)
-        agg = agg.sort([cfg.series_key, "bucket"])
-        agg.write_parquet(str(points_dir))
+        # partials are tier-sized (map-side combined) — materialize once so
+        # the span reduce and the tier shuffle don't re-execute the scan
+        partials = ds.materialize()
+        if spans is None:
+            spans = spans_from_partials(partials, key_col=cfg.series_key)
+        points = run_tier(
+            partials, tier.name, tier.unit_s, cfg.segment_points, spans,
+            gap_fill=cfg.gap_fill,
+            blobs_dir=str(blobs_dir) if encode else None,
+            key_col=cfg.series_key,
+        )
+        points.write_parquet(str(points_dir))
         rows, watermark = _points_stats(points_dir)
-        blob_bytes = 0
-        if encode:
-            blobs = encode_tier(
-                ray.data.read_parquet(str(points_dir)),
-                tier.unit_s,
-                tier.name,
-                key_col=cfg.series_key,
-                segment_points=cfg.segment_points,
-            )
-            blobs.write_parquet(str(blobs_dir))
-            blob_bytes = ckpt.dir_bytes(blobs_dir)
+        blob_bytes = ckpt.dir_bytes(blobs_dir) if encode else 0
         wall = time.perf_counter() - t0
         m = {
             "tier": tier.name,
@@ -137,6 +139,7 @@ def run_rollup(
             "watermark": watermark,
             "wall_s": wall,
             "input": input_path if k == 0 else str(prev_points),
+            "spans": {s: list(v) for s, v in spans.items()},
         }
         ckpt.save_manifest(points_dir.parent, m)
         metrics[tier.name] = ckpt.load_manifest(points_dir.parent)

@@ -1,0 +1,197 @@
+"""Fused tier kernel: merge + gap-fill + mean + sort + Gorilla encode in
+ONE groupby(source, segment) pass.
+
+Why fused: Ray's generic groupby().aggregate() costs ~0.3 ms of Python
+per group — fatal when the grouping key is (source, bucket) with millions
+of groups. Grouping by (source, segment) instead gives bounded-size
+groups (<= SEGMENT_POINTS buckets, the segment is also the anti-skew
+salt) and a group count 4096x smaller, and the per-group work is fully
+vectorized pandas/numpy. One shuffle per tier, total.
+
+Gap-fill becomes LOCAL: the per-source bucket domain [lo, hi] is known
+from a driver-side reduce of per-batch span partials (O(#sources),
+broadcast into the kernel), so each segment densifies its own bucket
+range without a dense-domain union. Segments with no real points are
+seeded by skeleton rows (one per expected (source, segment)) generated
+distributively.
+
+Blobs are written inside the kernel to partition-addressed files
+(<blobs_dir>/<source-hash>/seg-<id>.parquet) — deterministic and
+idempotent, so retries and resumes are safe (north rule: per-partition
+lineage; SURVEY.md §4.2 idempotent sinks).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+import ray.data
+
+from ..codecs import encode_ints, encode_nullable_floats
+
+POINT_COLS = ("count", "sum", "min", "max")
+
+
+def spans_from_partials(ds: "ray.data.Dataset", key_col: str = "source") -> dict[str, tuple[int, int]]:
+    """Per-key (min_bucket, max_bucket) via per-batch partials + driver
+    reduce. O(#batches x #keys) rows reach the driver — tiny at any scale."""
+
+    def _span(batch: pa.Table) -> pa.Table:
+        df = pa.table({key_col: batch[key_col], "bucket": batch["bucket"]}).to_pandas()
+        g = df.groupby(key_col, sort=False)["bucket"]
+        return pa.Table.from_pandas(g.agg(lo="min", hi="max").reset_index(),
+                                    preserve_index=False)
+
+    parts = ds.map_batches(_span, batch_format="pyarrow").to_pandas()
+    agg = parts.groupby(key_col).agg(lo=("lo", "min"), hi=("hi", "max"))
+    return {k: (int(r.lo), int(r.hi)) for k, r in agg.iterrows()}
+
+
+def skeleton_rows(spans: dict[str, tuple[int, int]], unit_s: int,
+                  seg_span: int, key_col: str = "source") -> "ray.data.Dataset":
+    """One seed row per expected (source, segment) so empty segments still
+    form groups. Generated distributively from ray.data.range — no giant
+    driver list even with 10^8 segments."""
+    keys = sorted(spans)
+    lo = np.array([(spans[k][0] // unit_s) * unit_s for k in keys], dtype=np.int64)
+    hi = np.array([spans[k][1] for k in keys], dtype=np.int64)
+    seg_lo = lo // seg_span
+    n_segs = (hi // seg_span) - seg_lo + 1
+    starts = np.concatenate([[0], np.cumsum(n_segs)])
+    total = int(starts[-1])
+    keys_arr = np.array(keys, dtype=object)
+
+    def _emit(batch: dict) -> pa.Table:
+        ids = batch["id"].astype(np.int64)
+        ki = np.searchsorted(starts[1:], ids, side="right")
+        seg = seg_lo[ki] + (ids - starts[ki])
+        bucket = np.maximum(seg * seg_span, lo[ki])
+        n = len(ids)
+        return pa.table({
+            key_col: pa.array(keys_arr[ki]),
+            "bucket": pa.array(bucket, type=pa.int64()),
+            "count": pa.array(np.zeros(n, dtype=np.int64)),
+            "sum": pa.array(np.zeros(n, dtype=np.int64)),
+            "min": pa.nulls(n, type=pa.int64()),
+            "max": pa.nulls(n, type=pa.int64()),
+        })
+
+    return ray.data.range(total).map_batches(_emit, batch_format="numpy",
+                                             batch_size=65536)
+
+
+def add_segment(batch: pa.Table, seg_span: int) -> pa.Table:
+    seg = batch["bucket"].to_numpy(zero_copy_only=False) // seg_span
+    return batch.append_column("segment", pa.array(seg, type=pa.int64()))
+
+
+class TierSegmentKernel:
+    """map_groups kernel for one (source, segment): vectorized merge of
+    partials, local gap-fill, mean, time sort, optional blob write."""
+
+    def __init__(self, tier_name: str, unit_s: int, seg_span: int,
+                 spans: dict[str, tuple[int, int]], gap_fill: bool,
+                 blobs_dir: str | None, key_col: str = "source"):
+        self.tier_name = tier_name
+        self.unit_s = unit_s
+        self.seg_span = seg_span
+        self.spans = spans
+        self.gap_fill = gap_fill
+        self.blobs_dir = blobs_dir
+        self.key_col = key_col
+
+    def __call__(self, group: pd.DataFrame) -> pd.DataFrame:
+        key = group[self.key_col].iloc[0]
+        seg = int(group["segment"].iloc[0]) if "segment" in group else \
+            int(group["bucket"].iloc[0] // self.seg_span)
+        # merge duplicate buckets (partials + skeleton seeds): vectorized
+        g = group.groupby("bucket", sort=True)
+        merged = g.agg(count=("count", "sum"), sum=("sum", "sum"),
+                       min=("min", "min"), max=("max", "max"))
+        if self.gap_fill:
+            lo, hi = self.spans[key]
+            lo = (lo // self.unit_s) * self.unit_s
+            dom_lo = max(seg * self.seg_span, lo)
+            dom_hi = min((seg + 1) * self.seg_span - 1, hi)
+            dense = np.arange(dom_lo, dom_hi + 1, self.unit_s, dtype=np.int64)
+            # clip to tier flooring (dom_lo may not be on-grid relative to lo)
+            dense = dense[(dense - lo) % self.unit_s == 0] if self.unit_s > 1 else dense
+            merged = merged.reindex(dense)
+            merged["count"] = merged["count"].fillna(0).astype(np.int64)
+            merged["sum"] = merged["sum"].fillna(0).astype(np.int64)
+        merged = merged.sort_index()
+        buckets = merged.index.to_numpy(dtype=np.int64)
+        cnt = merged["count"].to_numpy(dtype=np.int64)
+        s = merged["sum"].to_numpy(dtype=np.int64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            mean = np.where(cnt > 0, s / cnt.astype(np.float64), np.nan)
+        mn = merged["min"].to_numpy(dtype=np.float64, na_value=np.nan)
+        mx = merged["max"].to_numpy(dtype=np.float64, na_value=np.nan)
+        if self.blobs_dir is not None:
+            self._write_blob(key, seg, buckets, cnt, s, mn, mx, mean)
+        out = pd.DataFrame({
+            self.key_col: np.repeat(key, len(buckets)),
+            "bucket": buckets, "count": cnt, "sum": s,
+            "min": merged["min"].astype("Int64").to_numpy(na_value=np.nan),
+            "max": merged["max"].astype("Int64").to_numpy(na_value=np.nan),
+            "mean": mean,
+        })
+        return out
+
+    def _write_blob(self, key, seg, buckets, cnt, s, mn, mx, mean):
+        valid_cnt = cnt > 0
+        blob = pa.table({
+            self.key_col: pa.array([key]),
+            "tier": pa.array([self.tier_name]),
+            "segment": pa.array([seg], type=pa.int64()),
+            "n_points": pa.array([len(buckets)], type=pa.int64()),
+            "first_bucket": pa.array([int(buckets[0])], type=pa.int64()),
+            "bucket_blob": pa.array([encode_ints(buckets)]),
+            "count_blob": pa.array([encode_ints(cnt)]),
+            "sum_blob": pa.array([encode_ints(s)]),
+            "min_blob": pa.array([encode_nullable_floats(mn, ~np.isnan(mn))]),
+            "max_blob": pa.array([encode_nullable_floats(mx, ~np.isnan(mx))]),
+            "mean_blob": pa.array([encode_nullable_floats(mean, valid_cnt)]),
+        })
+        import zlib
+
+        shard = zlib.crc32(str(key).encode()) % 64
+        d = Path(self.blobs_dir) / f"shard={shard:02d}"
+        d.mkdir(parents=True, exist_ok=True)
+        tmp = d / f".tmp-{zlib.crc32(f'{key}|{seg}'.encode()):08x}-{seg}.parquet"
+        final = d / f"blob-{zlib.crc32(f'{key}|{seg}'.encode()):08x}-{seg}.parquet"
+        pq.write_table(blob, tmp)
+        tmp.rename(final)  # atomic: retries overwrite with identical bytes
+
+
+def run_tier(
+    partials: "ray.data.Dataset",
+    tier_name: str,
+    unit_s: int,
+    segment_points: int,
+    spans: dict[str, tuple[int, int]],
+    gap_fill: bool,
+    blobs_dir: str | None,
+    key_col: str = "source",
+    concurrency=(1, 16),
+) -> "ray.data.Dataset":
+    """partials (key,bucket,count,sum,min,max) -> final tier points; the
+    ONE shuffle is groupby(key, segment) with bounded groups."""
+    seg_span = segment_points * unit_s
+    seeded = partials
+    if gap_fill:
+        seeded = partials.union(skeleton_rows(spans, unit_s, seg_span, key_col))
+    with_seg = seeded.map_batches(add_segment, batch_format="pyarrow",
+                                  fn_kwargs={"seg_span": seg_span})
+    return with_seg.groupby([key_col, "segment"]).map_groups(
+        TierSegmentKernel,
+        fn_constructor_args=(tier_name, unit_s, seg_span, spans, gap_fill,
+                             blobs_dir, key_col),
+        batch_format="pandas",
+        concurrency=concurrency,
+    )
