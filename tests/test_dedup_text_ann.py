@@ -1,0 +1,197 @@
+"""Tests for dedup / ANN / text-analysis operators (training-data ops)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import ray.data
+
+from feasts_ray.ann import topk_cosine, topk_cosine_lsh
+from feasts_ray.dedup import (
+    dedup_exact,
+    embedding_dup_pairs,
+    exact_groups,
+    minhash_dedup_pairs,
+    simhash_dedup_pairs,
+)
+from feasts_ray.dedup.hashing import (
+    minhash_signature,
+    perm_params,
+    shingle_hashes,
+    tokenize_batch,
+)
+from feasts_ray.text.analysis import (
+    BpeishTokenCounter,
+    add_fingerprint,
+    add_langid,
+    add_quality,
+    add_token_counts,
+)
+
+
+def _doc_ds(texts, ids=None):
+    ids = ids if ids is not None else list(range(len(texts)))
+    return ray.data.from_arrow(pa.table({"doc_id": pa.array(ids, type=pa.int64()),
+                                         "text": pa.array(texts)}))
+
+
+BASE = ("the quick brown fox jumps over the lazy dog and runs far away "
+        "into the deep dark forest tonight").split()
+
+
+def _mutate(words, n_swap, seed):
+    rng = np.random.default_rng(seed)
+    w = list(words)
+    for _ in range(n_swap):
+        i = int(rng.integers(0, len(w)))
+        w[i] = f"tok{int(rng.integers(0, 1000))}"
+    return w
+
+
+class TestExactDedup:
+    def test_groups_and_filter(self, ray_session):
+        texts = ["aa bb cc", "dd ee ff", "aa bb cc", "gg hh", "aa bb cc"]
+        ds = _doc_ds(texts)
+        g = exact_groups(ds).to_pandas().sort_values("survivor_id")
+        assert len(g) == 3
+        row = g[g["n_copies"] == 3].iloc[0]
+        assert row["survivor_id"] == 0
+        kept = dedup_exact(ds).to_pandas()
+        assert sorted(kept["doc_id"]) == [0, 1, 3]
+
+
+class TestMinHash:
+    def test_signature_jaccard_estimate(self):
+        a, b = perm_params(256)
+        w1, o1, _ = tokenize_batch([" ".join(BASE * 3)])
+        w2, o2, _ = tokenize_batch([" ".join(_mutate(BASE * 3, 6, 1))])
+        s1 = shingle_hashes(w1, 3)
+        s2 = shingle_hashes(w2, 3)
+        true_j = len(set(s1.tolist()) & set(s2.tolist())) / len(set(s1.tolist()) | set(s2.tolist()))
+        sig1 = minhash_signature(s1, a, b)
+        sig2 = minhash_signature(s2, a, b)
+        est = float(np.mean(sig1 == sig2))
+        assert abs(est - true_j) < 0.15
+
+    def test_pairs_found(self, ray_session):
+        texts = [" ".join(BASE * 4)]
+        texts.append(" ".join(_mutate(BASE * 4, 3, 2)))   # near-dup of 0
+        texts += [" ".join(f"w{i}x{j}" for j in range(60)) for i in range(8)]
+        pairs = minhash_dedup_pairs(_doc_ds(texts), threshold=0.5)
+        assert {(0, 1)} == set(zip(pairs["id_a"], pairs["id_b"]))
+        assert pairs["jaccard"].iloc[0] > 0.5
+
+    def test_exact_dup_full_jaccard(self, ray_session):
+        texts = [" ".join(BASE * 4)] * 2 + [" ".join(f"q{i}" for i in range(50))]
+        pairs = minhash_dedup_pairs(_doc_ds(texts), threshold=0.9)
+        assert len(pairs) == 1 and pairs["jaccard"].iloc[0] == 1.0
+
+
+class TestSimHash:
+    def test_identical_docs_zero_hamming(self, ray_session):
+        texts = [" ".join(BASE * 3)] * 2 + [" ".join(f"z{i}" for i in range(80))]
+        pairs = simhash_dedup_pairs(_doc_ds(texts), max_hamming=3)
+        assert {(0, 1)} == set(zip(pairs["id_a"], pairs["id_b"]))
+        assert pairs["hamming"].iloc[0] == 0
+
+    def test_near_dup_low_hamming(self, ray_session):
+        texts = [" ".join(BASE * 6), " ".join(_mutate(BASE * 6, 2, 3))]
+        texts += [" ".join(f"r{i}s{j}" for j in range(70)) for i in range(5)]
+        pairs = simhash_dedup_pairs(_doc_ds(texts), max_hamming=10)
+        assert (0, 1) in set(zip(pairs["id_a"], pairs["id_b"]))
+
+
+class TestEmbeddingDedup:
+    def test_planted_near_dupes(self, ray_session):
+        rng = np.random.default_rng(0)
+        base = rng.standard_normal((40, 64))
+        dup = base[:5] + 0.02 * rng.standard_normal((5, 64))  # cosine ~0.999
+        m = np.concatenate([base, dup]).astype(np.float32)
+        tbl = pa.table({
+            "vec_id": pa.array(range(45), type=pa.int64()),
+            "embedding": pa.array([list(map(float, r)) for r in m],
+                                  type=pa.list_(pa.float32())),
+        })
+        pairs = embedding_dup_pairs(ray.data.from_arrow(tbl), threshold=0.98,
+                                    n_bits=8, n_tables=8)
+        got = set(zip(pairs["id_a"], pairs["id_b"]))
+        assert {(i, 40 + i) for i in range(5)} <= got
+        assert (pairs["cosine"] >= 0.98).all()
+
+
+class TestANN:
+    def _emb_ds(self, n=200, d=32, seed=1):
+        rng = np.random.default_rng(seed)
+        m = rng.standard_normal((n, d)).astype(np.float32)
+        tbl = pa.table({
+            "vec_id": pa.array(range(n), type=pa.int64()),
+            "embedding": pa.array([list(map(float, r)) for r in m],
+                                  type=pa.list_(pa.float32())),
+        })
+        return ray.data.from_arrow(tbl), m
+
+    def test_brute_matches_numpy(self, ray_session):
+        ds, m = self._emb_ds()
+        q = m[:3].astype(np.float64)
+        out = topk_cosine(ds, q, k=5, batch_size=64)
+        mn = m.astype(np.float64)
+        mn /= np.linalg.norm(mn, axis=1, keepdims=True)
+        qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+        sims = qn @ mn.T
+        for qi in range(3):
+            expect = np.argsort(-sims[qi], kind="stable")[:5]
+            got = out[out["query_id"] == qi].sort_values("rank")["vec_id"].to_numpy()
+            assert list(got) == list(expect)
+
+    def test_lsh_recall_reasonable(self, ray_session):
+        ds, m = self._emb_ds(400, 32)
+        q = m[:5].astype(np.float64)
+        exact = topk_cosine(ds, q, k=10, batch_size=128)
+        approx = topk_cosine_lsh(ds, q, k=10, dim=32, n_bits=6, n_tables=12,
+                                 batch_size=128)
+        rec = []
+        for qi in range(5):
+            e = set(exact[exact["query_id"] == qi]["vec_id"])
+            a = set(approx[approx["query_id"] == qi]["vec_id"])
+            rec.append(len(e & a) / len(e))
+        assert np.mean(rec) > 0.4  # self-match plus a sane fraction
+
+    def test_lsh_finds_self(self, ray_session):
+        ds, m = self._emb_ds(100, 32)
+        out = topk_cosine_lsh(ds, m[:4].astype(np.float64), k=3, dim=32,
+                              n_bits=8, n_tables=6, batch_size=64)
+        for qi in range(4):
+            top = out[(out["query_id"] == qi) & (out["rank"] == 1)]
+            assert top["vec_id"].iloc[0] == qi
+
+
+class TestTextAnalysis:
+    def test_token_counts(self, ray_session):
+        ds = _doc_ds(["a bb ccc", "one two", "x"])
+        out = ds.map_batches(add_token_counts, batch_format="pyarrow").to_pandas()
+        assert list(out.sort_values("doc_id")["n_words"]) == [3, 2, 1]
+        assert list(out.sort_values("doc_id")["n_chars_calc"]) == [8, 7, 1]
+
+    def test_bpeish_counter(self, ray_session):
+        ds = _doc_ds(["hello world 123", "it's fine"])
+        out = ds.map_batches(BpeishTokenCounter, fn_constructor_args=("text",),
+                             batch_format="pyarrow", concurrency=1).to_pandas()
+        assert (out["n_bpe_tokens"] > 0).all()
+        assert out.sort_values("doc_id")["n_bpe_tokens"].iloc[0] == 3
+
+    def test_quality_and_langid(self, ray_session):
+        en = "the cat is in the hat and it is a good day for the dog"
+        de = "der hund ist nicht in das haus und die katze ist mit den"
+        out = _doc_ds([en, de]).map_batches(add_quality, batch_format="pyarrow")
+        out = out.map_batches(add_langid, batch_format="pyarrow").to_pandas()
+        out = out.sort_values("doc_id")
+        assert out["lang_pred"].tolist() == ["en", "de"]
+        assert 0 <= out["quality_score"].iloc[0] <= 1
+        assert out["stopword_ratio"].iloc[0] > 0.3
+
+    def test_fingerprint_deterministic(self, ray_session):
+        ds = _doc_ds(["alpha beta gamma", "alpha beta gamma", "other text"])
+        out = ds.map_batches(add_fingerprint, batch_format="pyarrow").to_pandas()
+        fp = out.sort_values("doc_id")["fingerprint"].tolist()
+        assert fp[0] == fp[1] != fp[2]
