@@ -497,3 +497,18 @@ def box_pierce(x: np.ndarray, period: int = 1, lag: int = 1, dof: int = 0) -> di
 
 # composite set mirroring portmanteau_tests (tests.R:35)
 PORTMANTEAU_TESTS = (ljung_box, box_pierce)
+
+
+@register_feature("n_flat_spots", ("count", "rle"), uses_period=False)
+def n_flat_spots(x: np.ndarray, period: int = 1) -> dict[str, float]:
+    """Deprecated alias of longest_flat_spot (R/features.R:356-359)."""
+    return {"n_flat_spots": longest_flat_spot(x, period)["longest_flat_spot"]}
+
+
+@register_feature("portmanteau_tests", ("test", "portmanteau"), uses_period=False)
+def portmanteau_tests(x: np.ndarray, period: int = 1, lag: int = 1,
+                      dof: int = 0) -> dict[str, float]:
+    """Composite [ljung_box, box_pierce] feature set (R/tests.R:35)."""
+    out = ljung_box(x, period, lag=lag, dof=dof)
+    out.update(box_pierce(x, period, lag=lag, dof=dof))
+    return out

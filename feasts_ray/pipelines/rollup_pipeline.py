@@ -62,11 +62,36 @@ def _points_stats(points_dir: Path) -> tuple[int, int]:
     return rows, (wm if wm is not None else -1)
 
 
+def run_token_features(input_path: str, out_dir: str, lineage: str) -> dict:
+    """Per-doc token-stream feature stage (north star: each doc's token
+    stream is a regular time series -> ACF / trend / season-strength
+    features). Zero shuffle; compute scales with total tokens."""
+    from ..stages.token_features import token_feature_table
+
+    feat_dir = Path(out_dir) / "features"
+    if ckpt.is_complete(feat_dir, lineage):
+        return ckpt.load_manifest(feat_dir)
+    points_dir = feat_dir / "points"
+    if points_dir.exists():
+        shutil.rmtree(points_dir)
+    t0 = time.perf_counter()
+    ds = ray.data.read_parquet(input_path, columns=["doc_id", "tokens", "source"])
+    feats = token_feature_table(ds)
+    feats.write_parquet(str(points_dir))
+    rows = pads.dataset(str(points_dir)).count_rows()
+    m = {"tier": "features", "lineage": lineage, "rows_out": rows,
+         "points": rows, "wall_s": time.perf_counter() - t0,
+         "input": input_path}
+    ckpt.save_manifest(feat_dir, m)
+    return ckpt.load_manifest(feat_dir)
+
+
 def run_rollup(
     input_path: str,
     out_dir: str,
     cfg: RollupConfig | None = None,
     encode: bool = True,
+    token_features: bool = False,
 ) -> dict[str, dict]:
     """Run (or resume) the full tier cascade. Returns per-tier metrics."""
     cfg = cfg or RollupConfig()
@@ -144,4 +169,6 @@ def run_rollup(
         ckpt.save_manifest(points_dir.parent, m)
         metrics[tier.name] = ckpt.load_manifest(points_dir.parent)
         prev_points = points_dir
+    if token_features:
+        metrics["features"] = run_token_features(input_path, out_dir, lineage)
     return metrics

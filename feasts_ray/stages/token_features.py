@@ -1,0 +1,176 @@
+"""Per-doc token-stream features: each doc's token stream IS a regular
+time series (north star): lag-k ACF features, centered-MA trend strength
+and period-60 seasonal strength (feasts semantics: strength =
+max(0, 1 - var(remainder)/var(deseasonalized)), R/features.R:49-119;
+acf sums-of-squares per R/features.R:616-653).
+
+Implementation: the whole batch is processed as ONE padded (B, PAD_LEN)
+float64 matrix — every reduction is a row-wise vectorized numpy op, no
+per-doc Python in the hot path. Padding is always to the fixed PAD_LEN
+(zeros after per-row demeaning), so each row's pairwise-summation tree is
+independent of batch composition → results are bit-identical between the
+Ray actor-pool kernel and the single-process oracle
+(feasts_ray/oracle/token_features.py), any batch size, any parallelism.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+
+PAD_LEN = 512
+N_LAGS = 10
+SEASON_PERIOD = 60
+TREND_WINDOW = 60
+
+FEATURE_COLS = (
+    "n", "tok_mean", "tok_var",
+    "acf1", "acf10_ss", "diff1_acf1", "diff1_acf10_ss",
+    "season_strength", "trend_strength",
+)
+
+
+def padded_matrix(tokens_col: pa.Array, pad_len: int = PAD_LEN):
+    """list<int32> column -> (B, pad_len) float64 + lengths (zero-copy
+    flat values; one reshape-free scatter)."""
+    if isinstance(tokens_col, pa.ChunkedArray):
+        tokens_col = tokens_col.combine_chunks()
+    offs = tokens_col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = tokens_col.values.to_numpy(zero_copy_only=False).astype(np.float64)
+    n = offs[1:] - offs[:-1]
+    b = len(n)
+    x = np.zeros((b, pad_len), dtype=np.float64)
+    idx = np.arange(pad_len)[None, :]
+    mask = idx < n[:, None]
+    x[mask] = flat  # row-major scatter of the ragged values
+    return x, n, mask
+
+
+def token_feature_block(x: np.ndarray, n: np.ndarray, mask: np.ndarray) -> dict[str, np.ndarray]:
+    """(B, PAD_LEN) padded tokens -> feature arrays (B,). Pure function —
+    the oracle calls this row-by-row (B=1) and gets identical bits."""
+    b, L = x.shape
+    nf = n.astype(np.float64)
+    s = x.sum(axis=1)
+    mean = s / nf
+    a = np.where(mask, x - mean[:, None], 0.0)  # demeaned, zero pad
+    c0 = (a * a).sum(axis=1)
+    var = c0 / np.maximum(nf - 1.0, 1.0)
+
+    # ACF lags 1..N_LAGS (R acf: denominator c0 over full series)
+    acfs = np.empty((N_LAGS, b))
+    for k in range(1, N_LAGS + 1):
+        ck = (a[:, :-k] * a[:, k:]).sum(axis=1)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            acfs[k - 1] = np.where(c0 > 0, ck / c0, np.nan)
+    acf1 = acfs[0]
+    # explicit sequential accumulation: reduction order must not depend on
+    # batch shape (sum(axis=0) uses a SIMD tree that differs B=1 vs B>1)
+    acf10_ss = np.zeros(b)
+    for k in range(N_LAGS):
+        acf10_ss = acf10_ss + acfs[k] * acfs[k]
+
+    # diff1 series: d_t = x_{t+1} - x_t for t < n-1 (zero elsewhere)
+    d = np.where(mask[:, 1:], x[:, 1:] - x[:, :-1], 0.0)
+    dn = np.maximum(n - 1, 1).astype(np.float64)
+    dmean = d.sum(axis=1) / dn
+    dmask = np.arange(L - 1)[None, :] < (n[:, None] - 1)
+    da = np.where(dmask, d - dmean[:, None], 0.0)
+    dc0 = (da * da).sum(axis=1)
+    dacfs = np.empty((N_LAGS, b))
+    for k in range(1, N_LAGS + 1):
+        ck = (da[:, :-k] * da[:, k:]).sum(axis=1)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            dacfs[k - 1] = np.where(dc0 > 0, ck / dc0, np.nan)
+    diff1_acf1 = dacfs[0]
+    diff1_acf10_ss = np.zeros(b)
+    for k in range(N_LAGS):
+        diff1_acf10_ss = diff1_acf10_ss + dacfs[k] * dacfs[k]
+
+    # classical-style decomposition (feasts strength semantics,
+    # R/features.R:113-118): trend = centered MA, seasonal = per-phase
+    # means of the DETRENDED series, remainder = rest;
+    # trend_strength  = max(0, 1 - var(rem)/var(deseasonalized))
+    # season_strength = max(0, 1 - var(rem)/var(detrended))
+    w = TREND_WINDOW
+    h = w // 2
+    cs = np.cumsum(np.where(mask, x, 0.0), axis=1)
+    cs = np.concatenate([np.zeros((b, 1)), cs], axis=1)
+    cnt_cs = np.cumsum(mask.astype(np.float64), axis=1)
+    cnt_cs = np.concatenate([np.zeros((b, 1)), cnt_cs], axis=1)
+    lo = np.maximum(np.arange(L) - h, 0)
+    hi = np.minimum(np.arange(L) + h + 1, L)
+    win_sum = cs[:, hi] - cs[:, lo]
+    win_cnt = cnt_cs[:, hi] - cnt_cs[:, lo]
+    with np.errstate(invalid="ignore", divide="ignore"):
+        trend = np.where(win_cnt > 0, win_sum / win_cnt, 0.0)
+
+    detr = np.where(mask, x - trend, 0.0)
+    detr_mean = detr.sum(axis=1) / nf
+    detr_c = np.where(mask, detr - detr_mean[:, None], 0.0)
+    v_detr = (detr_c * detr_c).sum(axis=1)
+
+    # seasonal component: per-phase means of the detrended series
+    p = SEASON_PERIOD
+    ncyc = L // p
+    dc = detr_c[:, : ncyc * p].reshape(b, ncyc, p)
+    mc = mask[:, : ncyc * p].reshape(b, ncyc, p)
+    cyc_cnt = mc.sum(axis=1).astype(np.float64)            # (b, p)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        phase_mean = np.where(cyc_cnt > 0, (dc * mc).sum(axis=1) / cyc_cnt, 0.0)
+    seas_full = np.zeros((b, L))
+    seas_full[:, : ncyc * p] = np.tile(phase_mean, (1, ncyc))
+    seas_c = np.where(mask, seas_full, 0.0)
+
+    rem = detr_c - seas_c
+    v_rem = (rem * rem).sum(axis=1)
+    deseason = a - seas_c
+    v_deseason = (deseason * deseason).sum(axis=1)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        season_strength = np.where(
+            v_detr > 0, np.maximum(0.0, 1.0 - v_rem / v_detr), np.nan)
+        trend_strength = np.where(
+            v_deseason > 0, np.maximum(0.0, 1.0 - v_rem / v_deseason), np.nan)
+
+    return {
+        "n": nf, "tok_mean": mean, "tok_var": var,
+        "acf1": acf1, "acf10_ss": acf10_ss,
+        "diff1_acf1": diff1_acf1, "diff1_acf10_ss": diff1_acf10_ss,
+        "season_strength": season_strength, "trend_strength": trend_strength,
+    }
+
+
+class TokenFeatureBatchKernel:
+    """map_batches actor kernel: tokens list column -> per-doc feature row."""
+
+    def __init__(self, tokens_col: str = "tokens",
+                 id_cols: tuple[str, ...] = ("doc_id", "source")):
+        self.tokens_col = tokens_col
+        self.id_cols = tuple(id_cols)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        x, n, mask = padded_matrix(batch[self.tokens_col])
+        feats = token_feature_block(x, n, mask)
+        cols = {c: batch[c] for c in self.id_cols}
+        for name in FEATURE_COLS:
+            cols[name] = pa.array(feats[name], type=pa.float64())
+        return pa.table(cols)
+
+
+def token_feature_table(
+    ds: "ray.data.Dataset",
+    tokens_col: str = "tokens",
+    id_cols: tuple[str, ...] = ("doc_id", "source"),
+    batch_size: int = 1024,
+    concurrency=(1, 16),
+) -> "ray.data.Dataset":
+    """Zero-shuffle per-doc feature extraction over the token column."""
+    return ds.map_batches(
+        TokenFeatureBatchKernel,
+        fn_constructor_args=(tokens_col, tuple(id_cols)),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )

@@ -1,0 +1,76 @@
+"""Ray token-feature kernel vs single-process oracle: bit-exact."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data
+
+from feasts_ray.oracle.token_features import oracle_token_features
+from feasts_ray.stages.token_features import (
+    FEATURE_COLS,
+    token_feature_block,
+    token_feature_table,
+    padded_matrix,
+)
+from feasts_ray.synth import ensure_token_table
+
+N_DOCS = 3000
+
+
+@pytest.fixture(scope="module")
+def both(ray_session):
+    path = ensure_token_table(N_DOCS)
+    ds = ray.data.read_parquet(path, columns=["doc_id", "tokens", "source"])
+    got = token_feature_table(ds, batch_size=256).to_pandas()
+    got = got.sort_values("doc_id", ignore_index=True)
+    exp = oracle_token_features(N_DOCS).sort_values("doc_id", ignore_index=True)
+    return got, exp
+
+
+def test_row_count_and_ids(both):
+    got, exp = both
+    assert len(got) == len(exp) == N_DOCS
+    assert got["doc_id"].tolist() == exp["doc_id"].tolist()
+    assert got["source"].tolist() == exp["source"].tolist()
+
+
+@pytest.mark.parametrize("col", FEATURE_COLS)
+def test_feature_bit_exact(both, col):
+    got, exp = both
+    g = got[col].to_numpy(dtype=np.float64)
+    e = exp[col].to_numpy(dtype=np.float64)
+    nan_g, nan_e = np.isnan(g), np.isnan(e)
+    assert (nan_g == nan_e).all()
+    assert (g[~nan_g].view(np.int64) == e[~nan_e].view(np.int64)).all(), \
+        f"{col}: not bit-identical"
+
+
+def test_strengths_in_range(both):
+    got, _ = both
+    for c in ("season_strength", "trend_strength"):
+        v = got[c].dropna()
+        assert ((v >= 0) & (v <= 1 + 1e-12)).all()
+
+
+def test_seasonal_signal_detected(both):
+    """Synth token streams carry a period-60 seasonal wave (synth.py):
+    the seasonal strength must reflect it on full-length docs."""
+    got, _ = both
+    long_docs = got[got["n"] >= 480]
+    assert long_docs["season_strength"].mean() > 0.3
+
+
+def test_batch_invariance(ray_session):
+    """Same bits regardless of batch size (fixed PAD_LEN reduction tree)."""
+    path = ensure_token_table(500)
+    ds = ray.data.read_parquet(path, columns=["doc_id", "tokens", "source"])
+    a = token_feature_table(ds, batch_size=64).to_pandas().sort_values(
+        "doc_id", ignore_index=True)
+    b = token_feature_table(ds, batch_size=499).to_pandas().sort_values(
+        "doc_id", ignore_index=True)
+    for c in FEATURE_COLS:
+        ga = a[c].to_numpy(np.float64)
+        gb = b[c].to_numpy(np.float64)
+        same = (ga.view(np.int64) == gb.view(np.int64)) | (np.isnan(ga) & np.isnan(gb))
+        assert same.all(), c
