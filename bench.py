@@ -116,15 +116,18 @@ def main_worker(num_cpus: int):
 
 def main_scaling():
     """Same job, same input, two parallelism levels in fresh processes
-    (sandbox evidence for the N -> 4N cluster-size scaling criterion)."""
-    # pre-generate the input so neither run pays synthesis cost
+    (sandbox evidence for the N -> 4N cluster-size scaling criterion).
+
+    Uses a larger input than the plain bench: scaling efficiency is only
+    meaningful when per-stage fixed costs are amortized by real work."""
+    n_docs = int(os.environ.get("GRAFT_SCALING_DOCS", "1600000"))
     from feasts_ray.synth import ensure_token_table
 
-    ensure_token_table(N_DOCS)
+    ensure_token_table(n_docs)
     results = {}
     for cpus in (8, 32):
         env = dict(os.environ)
-        env["GRAFT_BENCH_DOCS"] = str(N_DOCS)
+        env["GRAFT_BENCH_DOCS"] = str(n_docs)
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--worker", str(cpus)],
             capture_output=True, text=True, env=env, check=True)
@@ -138,7 +141,7 @@ def main_scaling():
         "wall_s": [round(results[8]["wall_s"], 3), round(results[32]["wall_s"], 3)],
         "speedup": round(tp32 / tp8, 3),
         "scaling_efficiency": round(eff, 3),
-        "rollup_n_docs": N_DOCS,
+        "rollup_n_docs": n_docs,
     }))
 
 

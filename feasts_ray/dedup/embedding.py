@@ -62,30 +62,6 @@ class HyperplaneSketch:
         })
 
 
-class _CosinePairs:
-    """map_groups verify kernel: exact cosine within one LSH bucket."""
-
-    def __init__(self, id_col: str, threshold: float, lookup: dict, max_bucket: int):
-        self.id_col = id_col
-        self.threshold = threshold
-        self.lookup = lookup  # id -> normalized vector (broadcast small side)
-        self.max_bucket = max_bucket
-
-    def __call__(self, group: pd.DataFrame) -> pd.DataFrame:
-        ids = np.unique(group[self.id_col].to_numpy())
-        if len(ids) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
-        if len(ids) > self.max_bucket:
-            ids = ids[: self.max_bucket]
-        vecs = np.stack([self.lookup[int(i)] for i in ids])
-        sims = vecs @ vecs.T
-        ia, ib = np.triu_indices(len(ids), k=1)
-        s = sims[ia, ib]
-        keep = s >= self.threshold
-        return pd.DataFrame({"id_a": ids[ia][keep], "id_b": ids[ib][keep],
-                             "cosine": s[keep]})
-
-
 def embedding_dup_pairs(
     ds: "ray.data.Dataset",
     emb_col: str = "embedding",
@@ -112,6 +88,8 @@ def embedding_dup_pairs(
         m = _normalize_rows(_emb_matrix(batch, emb_col))
         for i, vid in enumerate(batch[id_col].to_numpy(zero_copy_only=False)):
             lookup[int(vid)] = m[i]
+    from .pairs import emit_candidate_pairs
+
     sketch = ds.map_batches(
         HyperplaneSketch,
         fn_constructor_args=(emb_col, id_col, dim, n_bits, n_tables, seed),
@@ -119,16 +97,16 @@ def embedding_dup_pairs(
         batch_size=batch_size,
         concurrency=(1, 8),
     )
-    pairs = sketch.groupby(["table", "bucket"]).map_groups(
-        _CosinePairs,
-        fn_constructor_args=(id_col, threshold, lookup, max_bucket),
-        batch_format="pandas",
-        concurrency=(1, 4),
-    )
-    pdf = pairs.to_pandas()
+    pdf = emit_candidate_pairs(sketch, ["table", "bucket"], id_col,
+                               max_bucket=max_bucket)
     if len(pdf) == 0:
         return pd.DataFrame({"id_a": pd.Series(dtype="int64"),
                              "id_b": pd.Series(dtype="int64"),
                              "cosine": pd.Series(dtype="float64")})
-    return (pdf.drop_duplicates(subset=["id_a", "id_b"])
-               .sort_values(["id_a", "id_b"], ignore_index=True))
+    # verify: exact cosine on the candidate set (vectorized gather + rowwise dot)
+    va = np.stack([lookup[int(i)] for i in pdf["id_a"]])
+    vb = np.stack([lookup[int(i)] for i in pdf["id_b"]])
+    cos = np.einsum("ij,ij->i", va, vb)
+    out = pd.DataFrame({"id_a": pdf["id_a"], "id_b": pdf["id_b"], "cosine": cos})
+    out = out[out["cosine"] >= threshold]
+    return out.sort_values(["id_a", "id_b"], ignore_index=True)

@@ -68,23 +68,6 @@ class BandEmitter:
         })
 
 
-class _PairEmitter:
-    """map_groups kernel: one LSH bucket -> candidate pairs (a < b)."""
-
-    def __init__(self, id_col: str, max_bucket: int):
-        self.id_col = id_col
-        self.max_bucket = max_bucket
-
-    def __call__(self, group: pd.DataFrame) -> pd.DataFrame:
-        ids = np.unique(group[self.id_col].to_numpy())
-        if len(ids) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": []}).astype(np.int64, errors="ignore")
-        if len(ids) > self.max_bucket:  # giant-bucket cap (documented)
-            ids = ids[: self.max_bucket]
-        ia, ib = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame({"id_a": ids[ia], "id_b": ids[ib]})
-
-
 def _shingle_sets(ds, text_col, id_col, k, wanted: set) -> dict:
     """doc_id -> shingle set for candidate docs only (small side)."""
     sets: dict = {}
@@ -121,6 +104,8 @@ def minhash_dedup_pairs(
 
     Returns a pandas DataFrame (pair sets are small relative to input).
     """
+    from .pairs import emit_candidate_pairs
+
     bands = ds.map_batches(
         BandEmitter,
         fn_constructor_args=(text_col, id_col, k, num_perm, n_bands, seed),
@@ -128,18 +113,12 @@ def minhash_dedup_pairs(
         batch_size=batch_size,
         concurrency=concurrency,
     )
-    pairs = bands.groupby(["band", "band_hash"]).map_groups(
-        _PairEmitter,
-        fn_constructor_args=(id_col, max_bucket),
-        batch_format="pandas",
-        concurrency=(1, 4),
-    )
-    pdf = pairs.to_pandas()
+    pdf = emit_candidate_pairs(bands, ["band", "band_hash"], id_col,
+                               max_bucket=max_bucket)
     if len(pdf) == 0:
         return pd.DataFrame({"id_a": pd.Series(dtype="int64"),
                              "id_b": pd.Series(dtype="int64"),
                              "jaccard": pd.Series(dtype="float64")})
-    pdf = pdf.drop_duplicates(ignore_index=True)
     wanted = set(pdf["id_a"]).union(pdf["id_b"])
     sets = _shingle_sets(ds, text_col, id_col, k, wanted)
     jac = np.empty(len(pdf))

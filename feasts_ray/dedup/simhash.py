@@ -59,28 +59,6 @@ class SimHashEmitter:
         })
 
 
-class _HammingPairs:
-    def __init__(self, id_col: str, max_hamming: int, max_bucket: int):
-        self.id_col = id_col
-        self.max_hamming = max_hamming
-        self.max_bucket = max_bucket
-
-    def __call__(self, group: pd.DataFrame) -> pd.DataFrame:
-        g = group.drop_duplicates(subset=[self.id_col]).sort_values(self.id_col)
-        if len(g) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "hamming": []})
-        if len(g) > self.max_bucket:
-            g = g.iloc[: self.max_bucket]
-        ids = g[self.id_col].to_numpy()
-        hs = g["simhash"].to_numpy().astype(np.uint64)
-        ia, ib = np.triu_indices(len(ids), k=1)
-        x = hs[ia] ^ hs[ib]
-        ham = np.unpackbits(x.view(np.uint8).reshape(len(x), 8), axis=1).sum(axis=1)
-        keep = ham <= self.max_hamming
-        return pd.DataFrame({"id_a": ids[ia][keep], "id_b": ids[ib][keep],
-                             "hamming": ham[keep].astype(np.int64)})
-
-
 def simhash_dedup_pairs(
     ds: "ray.data.Dataset",
     text_col: str = "text",
@@ -95,6 +73,8 @@ def simhash_dedup_pairs(
     n_chunks = max_hamming + 1
     while 64 % n_chunks:
         n_chunks += 1
+    from .pairs import emit_candidate_pairs
+
     emitted = ds.map_batches(
         SimHashEmitter,
         fn_constructor_args=(text_col, id_col, n_chunks),
@@ -102,16 +82,18 @@ def simhash_dedup_pairs(
         batch_size=batch_size,
         concurrency=concurrency,
     )
-    pairs = emitted.groupby(["chunk", "chunk_val"]).map_groups(
-        _HammingPairs,
-        fn_constructor_args=(id_col, max_hamming, max_bucket),
-        batch_format="pandas",
-        concurrency=(1, 4),
-    )
-    pdf = pairs.to_pandas()
+    pdf = emit_candidate_pairs(emitted, ["chunk", "chunk_val"], id_col,
+                               carry_cols=["simhash"], max_bucket=max_bucket)
     if len(pdf) == 0:
         return pd.DataFrame({"id_a": pd.Series(dtype="int64"),
                              "id_b": pd.Series(dtype="int64"),
                              "hamming": pd.Series(dtype="int64")})
-    return (pdf.drop_duplicates(subset=["id_a", "id_b"])
-               .sort_values(["id_a", "id_b"], ignore_index=True))
+    # verify: XOR popcount on the carried simhashes (vectorized, driver-side
+    # over the small candidate set)
+    x = pdf["simhash_a"].to_numpy().astype(np.int64).view(np.uint64) ^ \
+        pdf["simhash_b"].to_numpy().astype(np.int64).view(np.uint64)
+    ham = np.unpackbits(x.view(np.uint8).reshape(len(x), 8), axis=1).sum(axis=1)
+    out = pd.DataFrame({"id_a": pdf["id_a"], "id_b": pdf["id_b"],
+                        "hamming": ham.astype(np.int64)})
+    out = out[out["hamming"] <= max_hamming]
+    return out.sort_values(["id_a", "id_b"], ignore_index=True)

@@ -140,11 +140,14 @@ def run_rollup(
             ds = ds.map_batches(
                 cascade_batch, batch_format="pyarrow", fn_kwargs={"unit_s": tier.unit_s}
             )
-        # partials are tier-sized (map-side combined) — materialize once so
-        # the span reduce and the tier shuffle don't re-execute the scan
-        partials = ds.materialize()
+        # materialize partials ONLY when the span reduce needs a second
+        # consumer (first uncheckpointed tier); cascade tiers reuse spans
+        # and stream straight into the tier shuffle
         if spans is None:
+            partials = ds.materialize()
             spans = spans_from_partials(partials, key_col=cfg.series_key)
+        else:
+            partials = ds
         points = run_tier(
             partials, tier.name, tier.unit_s, cfg.segment_points, spans,
             gap_fill=cfg.gap_fill,

@@ -188,10 +188,11 @@ def run_tier(
         seeded = partials.union(skeleton_rows(spans, unit_s, seg_span, key_col))
     with_seg = seeded.map_batches(add_segment, batch_format="pyarrow",
                                   fn_kwargs={"seg_span": seg_span})
+    # task-based map_groups (function, not actor pool): the kernel carries
+    # only a tiny spans dict, and tasks scale elastically with CPUs rather
+    # than being capped by a pool size
+    kernel = TierSegmentKernel(tier_name, unit_s, seg_span, spans, gap_fill,
+                               blobs_dir, key_col)
     return with_seg.groupby([key_col, "segment"]).map_groups(
-        TierSegmentKernel,
-        fn_constructor_args=(tier_name, unit_s, seg_span, spans, gap_fill,
-                             blobs_dir, key_col),
-        batch_format="pandas",
-        concurrency=concurrency,
+        kernel.__call__, batch_format="pandas",
     )

@@ -142,21 +142,19 @@ def token_feature_block(x: np.ndarray, n: np.ndarray, mask: np.ndarray) -> dict[
     }
 
 
-class TokenFeatureBatchKernel:
-    """map_batches actor kernel: tokens list column -> per-doc feature row."""
+def token_feature_batch(batch: pa.Table, tokens_col: str = "tokens",
+                        id_cols: tuple[str, ...] = ("doc_id", "source")) -> pa.Table:
+    """map_batches kernel: tokens list column -> per-doc feature rows.
 
-    def __init__(self, tokens_col: str = "tokens",
-                 id_cols: tuple[str, ...] = ("doc_id", "source")):
-        self.tokens_col = tokens_col
-        self.id_cols = tuple(id_cols)
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        x, n, mask = padded_matrix(batch[self.tokens_col])
-        feats = token_feature_block(x, n, mask)
-        cols = {c: batch[c] for c in self.id_cols}
-        for name in FEATURE_COLS:
-            cols[name] = pa.array(feats[name], type=pa.float64())
-        return pa.table(cols)
+    A plain function (task pool), not an actor class: there is no per-actor
+    state to set up, and tasks scale elastically with available CPUs
+    instead of being capped by an actor-pool size."""
+    x, n, mask = padded_matrix(batch[tokens_col])
+    feats = token_feature_block(x, n, mask)
+    cols = {c: batch[c] for c in id_cols}
+    for name in FEATURE_COLS:
+        cols[name] = pa.array(feats[name], type=pa.float64())
+    return pa.table(cols)
 
 
 def token_feature_table(
@@ -164,13 +162,11 @@ def token_feature_table(
     tokens_col: str = "tokens",
     id_cols: tuple[str, ...] = ("doc_id", "source"),
     batch_size: int = 1024,
-    concurrency=(1, 16),
 ) -> "ray.data.Dataset":
     """Zero-shuffle per-doc feature extraction over the token column."""
     return ds.map_batches(
-        TokenFeatureBatchKernel,
-        fn_constructor_args=(tokens_col, tuple(id_cols)),
+        token_feature_batch,
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency,
+        fn_kwargs={"tokens_col": tokens_col, "id_cols": tuple(id_cols)},
     )

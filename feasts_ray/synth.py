@@ -108,7 +108,10 @@ def ensure_token_table(
     nfiles = max(1, (n_docs + docs_per_file - 1) // docs_per_file)
     for f in range(nfiles):
         lo, hi = f * docs_per_file, min((f + 1) * docs_per_file, n_docs)
-        pq.write_table(token_chunk(lo, hi, max_len), tmp / f"part-{f:05d}.parquet")
+        # small row groups so Ray's parquet reader can parallelize within
+        # a file (single-row-group files cap read parallelism at #files)
+        pq.write_table(token_chunk(lo, hi, max_len), tmp / f"part-{f:05d}.parquet",
+                       row_group_size=8192)
     (tmp / "_MANIFEST.json").write_text(
         json.dumps({"n_docs": n_docs, "max_len": max_len, "files": nfiles})
     )
