@@ -120,26 +120,28 @@ def main_scaling():
 
     Uses a larger input than the plain bench: scaling efficiency is only
     meaningful when per-stage fixed costs are amortized by real work."""
-    n_docs = int(os.environ.get("GRAFT_SCALING_DOCS", "1600000"))
+    n_docs = int(os.environ.get("GRAFT_SCALING_DOCS", "6000000"))
+    c_lo, c_hi = (int(c) for c in
+                  os.environ.get("GRAFT_SCALING_CPUS", "8,32").split(","))
     from feasts_ray.synth import ensure_token_table
 
     ensure_token_table(n_docs)
     results = {}
-    for cpus in (8, 32):
+    for cpus in (c_lo, c_hi):
         env = dict(os.environ)
         env["GRAFT_BENCH_DOCS"] = str(n_docs)
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--worker", str(cpus)],
             capture_output=True, text=True, env=env, check=True)
         results[cpus] = json.loads(out.stdout.strip().splitlines()[-1])
-    tp8, tp32 = results[8]["points_per_sec"], results[32]["points_per_sec"]
-    eff = (tp32 / tp8) / (32 / 8)
+    tp_lo, tp_hi = results[c_lo]["points_per_sec"], results[c_hi]["points_per_sec"]
+    eff = (tp_hi / tp_lo) / (c_hi / c_lo)
     print(json.dumps({
-        "metric": "scaling efficiency (points/sec at 8 vs 32 CPUs, same input)",
-        "num_cpus": [8, 32],
-        "points_per_sec": [round(tp8, 1), round(tp32, 1)],
-        "wall_s": [round(results[8]["wall_s"], 3), round(results[32]["wall_s"], 3)],
-        "speedup": round(tp32 / tp8, 3),
+        "metric": f"scaling efficiency (points/sec at {c_lo} vs {c_hi} CPUs, same input)",
+        "num_cpus": [c_lo, c_hi],
+        "points_per_sec": [round(tp_lo, 1), round(tp_hi, 1)],
+        "wall_s": [round(results[c_lo]["wall_s"], 3), round(results[c_hi]["wall_s"], 3)],
+        "speedup": round(tp_hi / tp_lo, 3),
         "scaling_efficiency": round(eff, 3),
         "rollup_n_docs": n_docs,
     }))

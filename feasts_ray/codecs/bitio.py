@@ -1,16 +1,57 @@
-"""Minimal big-endian bit stream writer/reader.
+"""Big-endian bit stream: vectorized variable-length packer + readers.
 
-Packing runs as a plain Python loop over 64-bit words (the control-code
-decisions in Gorilla are inherently sequential); all per-value analysis
-(XOR, clz, ctz, bucket classification) is vectorized in numpy by the
-callers so the loop body stays tiny. Segments are bounded
-(config.SEGMENT_POINTS) and encoded in parallel across (source, segment)
-groups, so the sequential inner loop is never the scale bottleneck.
+``pack_codes`` packs an array of (value, nbits<=64) codes into one
+big-endian bitstream with NO per-code Python: byte positions come from a
+cumsum of code widths, and each of the <=9 bytes a code can span is
+filled in one vectorized pass (scatter-OR for shared boundary bytes).
+The scalar BitWriter remains for tiny/irregular streams; BitReader is
+the (test/verification-path) decoder.
 """
 
 from __future__ import annotations
 
+import numpy as np
+
 _MASK64 = (1 << 64) - 1
+
+
+def pack_codes(vals: "np.ndarray", nbits: "np.ndarray") -> bytes:
+    """Pack codes big-endian: code i occupies bits [sum(nbits[:i]),
+    sum(nbits[:i+1])). ``vals`` must carry each code in its LOW nbits
+    (higher bits may be dirty — they are masked)."""
+    nbits = np.asarray(nbits, dtype=np.int64)
+    if len(nbits) == 0:
+        return b""
+    v = np.asarray(vals, dtype=np.uint64)
+    full = nbits == 64
+    keep = (np.uint64(1) << nbits.clip(0, 63).astype(np.uint64)) - np.uint64(1)
+    v = np.where(full, v, v & keep)
+    end = np.cumsum(nbits)
+    start = end - nbits
+    total = int(end[-1])
+    out = np.zeros((total + 7) // 8, dtype=np.uint8)
+    first_byte = start >> 3
+    last_byte = (end - 1) >> 3
+    for k in range(9):
+        b = first_byte + k
+        active = b <= last_byte
+        if not active.any():
+            break
+        ba = b[active]
+        sh = end[active] - (ba + 1) * 8
+        va = v[active]
+        pos = sh >= 0
+        byte = np.where(
+            pos,
+            va >> sh.clip(0, 63).astype(np.uint64),
+            va << (-sh).clip(0, 63).astype(np.uint64),
+        ) & np.uint64(0xFF)
+        np.bitwise_or.at(out, ba, byte.astype(np.uint8))
+    # pad to whole 64-bit words (BitReader-compatible with BitWriter output)
+    pad = (-len(out)) % 8
+    if pad:
+        out = np.concatenate([out, np.zeros(pad, dtype=np.uint8)])
+    return out.tobytes()
 
 
 class BitWriter:

@@ -37,6 +37,11 @@ def _unzigzag(u: int) -> int:
 
 
 def encode_ints(values: np.ndarray) -> bytes:
+    """Fully vectorized: classify dods, build one (value, nbits) code per
+    dod (class-5 spills into a second payload code), pack_codes packs the
+    whole stream with no per-value Python."""
+    from .bitio import pack_codes
+
     v = np.asarray(values, dtype=np.int64)
     n = len(v)
     bw = BitWriter()
@@ -48,33 +53,41 @@ def encode_ints(values: np.ndarray) -> bytes:
         return bw.getvalue()
     d = np.diff(v)
     bw.write(_zigzag(int(d[0])), 64)
+    header = bw.getvalue()
     if n == 2:
-        return bw.getvalue()
+        return header
     dod = np.diff(d)
-    # vectorized range classification: smallest class wins
     a = np.abs(dod)
     cls = np.where(dod == 0, 0,
           np.where((dod >= -63) & (dod <= 64), 1,
           np.where((dod >= -255) & (dod <= 256), 2,
           np.where((dod >= -2047) & (dod <= 2048), 3,
           np.where(a < (1 << 31), 4, 5)))))
-    dodl = dod.tolist()
-    for c, x in zip(cls.tolist(), dodl):
-        if c == 0:
-            bw.write(0, 1)
-        elif c == 1:
-            bw.write((0b10 << 7) | (x + 63), 9)
-        elif c == 2:
-            bw.write((0b110 << 9) | (x + 255), 12)
-        elif c == 3:
-            bw.write((0b1110 << 12) | (x + 2047), 16)
-        elif c == 4:
-            bw.write(0b11110, 5)
-            bw.write(_zigzag(x), 32)
-        else:
-            bw.write(0b11111, 5)
-            bw.write(_zigzag(x), 64)
-    return bw.getvalue()
+    du = dod.view(np.uint64)
+    zz = (du << np.uint64(1)) ^ (dod >> np.int64(63)).view(np.uint64)  # zigzag
+    m = len(dod)
+    vals = np.empty(m, dtype=np.uint64)
+    bits = np.empty(m, dtype=np.int64)
+    vals[cls == 0] = 0;                             bits[cls == 0] = 1
+    s = cls == 1
+    vals[s] = ((0b10 << 7) | (dod[s] + 63)).astype(np.uint64);   bits[s] = 9
+    s = cls == 2
+    vals[s] = ((0b110 << 9) | (dod[s] + 255)).astype(np.uint64); bits[s] = 12
+    s = cls == 3
+    vals[s] = ((0b1110 << 12) | (dod[s] + 2047)).astype(np.uint64); bits[s] = 16
+    s = cls == 4
+    vals[s] = (np.uint64(0b11110) << np.uint64(32)) | zz[s];     bits[s] = 37
+    s5 = cls == 5
+    if s5.any():
+        vals[s5] = np.uint64(0b11111)
+        bits[s5] = 5
+        # spill 64-bit payloads as extra codes interleaved in order
+        order = np.arange(m)
+        extra_pos = np.flatnonzero(s5)
+        all_vals = np.insert(vals, extra_pos + 1, zz[s5])
+        all_bits = np.insert(bits, extra_pos + 1, np.full(len(extra_pos), 64))
+        return header + pack_codes(all_vals, all_bits)
+    return header + pack_codes(vals, bits)
 
 
 def _wrap64(x: int) -> int:

@@ -10,7 +10,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from ..stages.token_features import FEATURE_COLS, PAD_LEN, token_feature_block
+from ..stages.token_features import FEATURE_COLS, pad_bucket, token_feature_block
 from ..synth import token_chunk
 
 
@@ -29,10 +29,11 @@ def oracle_token_features(n_docs: int, max_len: int = 512,
         sources = t["source"].to_pylist()
         for i in range(len(t)):
             v = flat[offs[i]:offs[i + 1]]
-            x = np.zeros((1, PAD_LEN))
+            L = pad_bucket(len(v))
+            x = np.zeros((1, L))
             x[0, : len(v)] = v
             n = np.array([len(v)], dtype=np.int64)
-            mask = np.arange(PAD_LEN)[None, :] < n[:, None]
+            mask = np.arange(L)[None, :] < n[:, None]
             f = token_feature_block(x, n, mask)
             row = {"doc_id": doc_ids[i], "source": sources[i]}
             row.update({c: f[c][0] for c in FEATURE_COLS})
