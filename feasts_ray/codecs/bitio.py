@@ -29,9 +29,10 @@ def pack_codes(vals: "np.ndarray", nbits: "np.ndarray") -> bytes:
     end = np.cumsum(nbits)
     start = end - nbits
     total = int(end[-1])
-    out = np.zeros((total + 7) // 8, dtype=np.uint8)
+    nbytes = (total + 7) // 8
     first_byte = start >> 3
     last_byte = (end - 1) >> 3
+    idx_parts, val_parts = [], []
     for k in range(9):
         b = first_byte + k
         active = b <= last_byte
@@ -46,7 +47,14 @@ def pack_codes(vals: "np.ndarray", nbits: "np.ndarray") -> bytes:
             va >> sh.clip(0, 63).astype(np.uint64),
             va << (-sh).clip(0, 63).astype(np.uint64),
         ) & np.uint64(0xFF)
-        np.bitwise_or.at(out, ba, byte.astype(np.uint8))
+        idx_parts.append(ba)
+        val_parts.append(byte)
+    # distinct codes own disjoint bit ranges of a shared byte, so OR == ADD:
+    # one C-speed bincount replaces a slow scatter-OR
+    acc = np.bincount(np.concatenate(idx_parts),
+                      weights=np.concatenate(val_parts).astype(np.float64),
+                      minlength=nbytes)
+    out = acc.astype(np.uint8)
     # pad to whole 64-bit words (BitReader-compatible with BitWriter output)
     pad = (-len(out)) % 8
     if pad:
