@@ -120,9 +120,9 @@ def main_scaling():
 
     Uses a larger input than the plain bench: scaling efficiency is only
     meaningful when per-stage fixed costs are amortized by real work."""
-    n_docs = int(os.environ.get("GRAFT_SCALING_DOCS", "6000000"))
+    n_docs = int(os.environ.get("GRAFT_SCALING_DOCS", "12000000"))
     c_lo, c_hi = (int(c) for c in
-                  os.environ.get("GRAFT_SCALING_CPUS", "8,32").split(","))
+                  os.environ.get("GRAFT_SCALING_CPUS", "4,16").split(","))
     from feasts_ray.synth import ensure_token_table
 
     ensure_token_table(n_docs)

@@ -15,7 +15,12 @@ bitmap (``nullable`` helpers).
 
 from .gorilla import decode_floats, encode_floats
 from .intcodec import decode_ints, encode_ints
-from .nullable import decode_nullable_floats, encode_nullable_floats
+from .nullable import (
+    decode_nullable_floats,
+    decode_nullable_ints,
+    encode_nullable_floats,
+    encode_nullable_ints,
+)
 
 __all__ = [
     "encode_floats",
@@ -24,4 +29,6 @@ __all__ = [
     "decode_ints",
     "encode_nullable_floats",
     "decode_nullable_floats",
+    "encode_nullable_ints",
+    "decode_nullable_ints",
 ]

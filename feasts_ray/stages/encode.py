@@ -25,8 +25,10 @@ import ray.data
 from ..codecs import (
     decode_ints,
     decode_nullable_floats,
+    decode_nullable_ints,
     encode_ints,
     encode_nullable_floats,
+    encode_nullable_ints,
 )
 from ..config import SEGMENT_POINTS
 
@@ -59,7 +61,10 @@ class SegmentEncoder:
             col = g[c]
             valid = col.notna().to_numpy()
             vals = col.to_numpy(dtype=np.float64, na_value=np.nan)
-            row[f"{c}_blob"] = [encode_nullable_floats(vals, valid)]
+            if c in ("min", "max"):  # integer measures: dod-int path
+                row[f"{c}_blob"] = [encode_nullable_ints(vals, valid)]
+            else:
+                row[f"{c}_blob"] = [encode_nullable_floats(vals, valid)]
         return pd.DataFrame(row)
 
 
@@ -97,7 +102,10 @@ def decode_segments(blob_rows: pa.Table | pd.DataFrame, key_col: str = "source")
         for c in _INT_COLS:
             d[c] = decode_ints(r[f"{c}_blob"])
         for c in _FLOAT_COLS:
-            vals, _ = decode_nullable_floats(r[f"{c}_blob"])
+            if c in ("min", "max"):
+                vals, _ = decode_nullable_ints(r[f"{c}_blob"])
+            else:
+                vals, _ = decode_nullable_floats(r[f"{c}_blob"])
             d[c] = vals
         parts.append(pd.DataFrame(d))
     if not parts:

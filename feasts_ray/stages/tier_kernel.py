@@ -32,7 +32,7 @@ import pyarrow.parquet as pq
 
 import ray.data
 
-from ..codecs import encode_ints, encode_nullable_floats
+from ..codecs import encode_ints, encode_nullable_floats, encode_nullable_ints
 
 POINT_COLS = ("count", "sum", "min", "max")
 
@@ -154,8 +154,10 @@ class TierSegmentKernel:
             "bucket_blob": pa.array([encode_ints(buckets)]),
             "count_blob": pa.array([encode_ints(cnt)]),
             "sum_blob": pa.array([encode_ints(s)]),
-            "min_blob": pa.array([encode_nullable_floats(mn, ~np.isnan(mn))]),
-            "max_blob": pa.array([encode_nullable_floats(mx, ~np.isnan(mx))]),
+            # min/max are integer measures (cents / token counts): the
+            # dod-int path is ~8x faster and tighter than Gorilla
+            "min_blob": pa.array([encode_nullable_ints(mn, ~np.isnan(mn))]),
+            "max_blob": pa.array([encode_nullable_ints(mx, ~np.isnan(mx))]),
             "mean_blob": pa.array([encode_nullable_floats(mean, valid_cnt)]),
         })
         import zlib
