@@ -23,10 +23,11 @@ import time
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-# flagship token-table size: ~2M docs at sf0.1 would dominate the bench;
-# 400k docs (~100M tokens) keeps the run minutes-scale while being big
-# enough that per-stage overheads are amortized.
-N_DOCS = int(os.environ.get("GRAFT_BENCH_DOCS", "400000"))
+# flagship token-table size: 1.6M docs (~230M tokens, ~230MB parquet).
+# Large enough that per-stage fixed costs are amortized (points/sec is
+# the headline metric); the deterministic table is generated once and
+# cached under /tmp/feasts_ray_synth.
+N_DOCS = int(os.environ.get("GRAFT_BENCH_DOCS", "1600000"))
 
 
 def _init_ray(num_cpus: int):

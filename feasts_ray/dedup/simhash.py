@@ -29,6 +29,37 @@ def simhash64(word_hashes: np.ndarray) -> np.uint64:
     return np.packbits(out_bits, bitorder="little").view(np.uint64)[0]
 
 
+def simhash64_batch(word_hashes: np.ndarray, doc_of: np.ndarray, n_docs: int) -> np.ndarray:
+    """SimHash for every doc in one vectorized pass: one unpackbits over
+    the whole batch's word hashes, per-(doc, bit) votes via bincount."""
+    if len(word_hashes) == 0:
+        return np.zeros(n_docs, dtype=np.uint64)
+    # unique (doc, word) pairs with multiplicity = term frequency
+    order = np.lexsort((word_hashes, doc_of))
+    wh = word_hashes[order]
+    dc = doc_of[order]
+    new = np.empty(len(wh), dtype=bool)
+    new[0] = True
+    new[1:] = (wh[1:] != wh[:-1]) | (dc[1:] != dc[:-1])
+    starts = np.flatnonzero(new)
+    counts = np.diff(np.append(starts, len(wh))).astype(np.int64)
+    uw = wh[starts]
+    ud = dc[starts]
+    bits = np.unpackbits(uw.view(np.uint8).reshape(-1, 8), axis=1,
+                         bitorder="little").astype(np.int64)  # (U, 64)
+    signed = 2 * bits - 1
+    weighted = signed * counts[:, None]                        # (U, 64)
+    # ud is sorted (lexsort by doc): segment-sum via reduceat, no scatter
+    doc_change = np.empty(len(ud), dtype=bool)
+    doc_change[0] = True
+    doc_change[1:] = ud[1:] != ud[:-1]
+    seg_starts = np.flatnonzero(doc_change)
+    votes = np.zeros((n_docs, 64), dtype=np.int64)
+    votes[ud[seg_starts]] = np.add.reduceat(weighted, seg_starts, axis=0)
+    out_bits = (votes > 0).astype(np.uint8)
+    return np.packbits(out_bits, axis=1, bitorder="little").view(np.uint64).reshape(-1)
+
+
 class SimHashEmitter:
     """map_batches kernel: text -> (doc_id, chunk, chunk_val, simhash)."""
 
@@ -40,11 +71,10 @@ class SimHashEmitter:
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch[self.text_col].to_pylist()
         ids = batch[self.id_col].to_numpy(zero_copy_only=False)
-        whash, offsets, _ = tokenize_batch(texts)
+        whash, offsets, counts = tokenize_batch(texts)
         n = len(texts)
-        sh = np.empty(n, dtype=np.uint64)
-        for i in range(n):
-            sh[i] = simhash64(whash[offsets[i]:offsets[i + 1]])
+        doc_of = np.repeat(np.arange(n, dtype=np.int64), counts)
+        sh = simhash64_batch(whash, doc_of, n)
         width = 64 // self.n_chunks
         mask = np.uint64((1 << width) - 1)
         chunks = np.empty((n, self.n_chunks), dtype=np.uint64)
