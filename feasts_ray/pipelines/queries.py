@@ -305,6 +305,52 @@ def q_classical_1h(sf_dir: str):
                                    time_col="bucket").components()
 
 
+def _pivot_1h_counts(sf_dir: str) -> pd.DataFrame:
+    """Gap-filled hourly counts pivoted to one column per event_type.
+
+    The rolled-up table is tiny (#types x #buckets) — collecting it after
+    the distributed rollup is the same post-aggregation pattern as top-k."""
+    rolled = rollup_table(_events(sf_dir), HOUR, fill_gaps=True)
+    pdf = rolled.select_columns(["event_type", "bucket", "count"]).to_pandas()
+    return pdf.pivot(index="bucket", columns="event_type", values="count").fillna(0)
+
+
+def q_ccf_1h(sf_dir: str):
+    """Cross-correlation between the 'click' and 'view' hourly count
+    series (CCF stage over a keyed Dataset; reference R/acf.R:184-221)."""
+    from ..stages.cf import CCF
+
+    wide = _pivot_1h_counts(sf_dir).reset_index()
+    cols = [c for c in wide.columns if c != "bucket"]
+    a, b = cols[0], cols[1]
+    df = pd.DataFrame({"series": "pair", "bucket": wide["bucket"],
+                       "y": wide[a].astype(float), "x": wide[b].astype(float)})
+    ds = ray.data.from_pandas(df)
+    return CCF(ds, "y", "x", ["series"], time_col="bucket", lag_max=12)
+
+
+def q_cointegration_1h(sf_dir: str):
+    """Phillips-Ouliaris + Johansen over every pair of hourly event-count
+    series (reference's urca-backed multivariate features,
+    R/features.R:249-261, 330-335)."""
+    from itertools import combinations
+
+    from ..functions.cointegration import (
+        cointegration_johansen,
+        cointegration_phillips_ouliaris,
+    )
+
+    wide = _pivot_1h_counts(sf_dir)
+    rows = []
+    for a, b in combinations(sorted(wide.columns), 2):
+        xm = wide[[a, b]].to_numpy(dtype=np.float64)
+        row = {"pair": f"{a}|{b}"}
+        row.update(cointegration_phillips_ouliaris(xm))
+        row.update(cointegration_johansen(xm))
+        rows.append(row)
+    return pd.DataFrame(rows)
+
+
 ALL_QUERIES = {
     "rollup_1m": q_rollup_1m,
     "rollup_1h_cascade": q_rollup_1h_cascade,
@@ -331,4 +377,6 @@ ALL_QUERIES = {
     "pacf_table_1h": q_pacf_table_1h,
     "stl_1h": q_stl_1h,
     "classical_1h": q_classical_1h,
+    "ccf_1h": q_ccf_1h,
+    "cointegration_1h": q_cointegration_1h,
 }
