@@ -193,7 +193,7 @@ def q_minhash_pairs(sf_dir: str):
 
 
 def q_simhash_pairs(sf_dir: str):
-    return simhash_dedup_pairs(_documents(sf_dir), max_hamming=7)
+    return simhash_dedup_pairs(_documents(sf_dir), max_hamming=4)
 
 
 def q_embedding_dup_pairs(sf_dir: str):
