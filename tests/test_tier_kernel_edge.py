@@ -1,0 +1,124 @@
+"""Tier kernel edge cases: pathological skew, single-point sources,
+all-gap segments, segment-boundary buckets — vs a pandas oracle."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import ray.data
+
+from feasts_ray.stages.tier_kernel import run_tier, spans_from_partials
+
+
+def _partials_ds(df: pd.DataFrame, nblocks: int = 4):
+    return ray.data.from_arrow(pa.Table.from_pandas(df, preserve_index=False)
+                               ).repartition(nblocks)
+
+
+def _oracle(df: pd.DataFrame, unit_s: int, gap_fill: bool) -> pd.DataFrame:
+    g = df.groupby(["source", "bucket"], sort=True).agg(
+        count=("count", "sum"), sum=("sum", "sum"),
+        min=("min", "min"), max=("max", "max")).reset_index()
+    if gap_fill:
+        out = []
+        for src, sub in g.groupby("source"):
+            lo = (sub["bucket"].min() // unit_s) * unit_s
+            dense = np.arange(lo, sub["bucket"].max() + 1, unit_s)
+            sub = sub.set_index("bucket").reindex(dense)
+            sub["source"] = src
+            sub["count"] = sub["count"].fillna(0).astype(np.int64)
+            sub["sum"] = sub["sum"].fillna(0).astype(np.int64)
+            out.append(sub.reset_index(names="bucket"))
+        g = pd.concat(out, ignore_index=True)[["source", "bucket", "count",
+                                               "sum", "min", "max"]]
+    cnt = g["count"].to_numpy(np.int64)
+    s = g["sum"].to_numpy(np.int64)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        g["mean"] = np.where(cnt > 0, s / cnt.astype(np.float64), np.nan)
+    return g.sort_values(["source", "bucket"], ignore_index=True)
+
+
+def _run(df, unit_s, gap_fill, segment_points=64):
+    ds = _partials_ds(df)
+    spans = spans_from_partials(ds, key_col="source") if gap_fill else {}
+    got = run_tier(ds, "t", unit_s, segment_points, spans, gap_fill=gap_fill,
+                   blobs_dir=None, key_col="source").to_pandas()
+    return got.sort_values(["source", "bucket"], ignore_index=True)
+
+
+def _compare(got, exp):
+    assert len(got) == len(exp)
+    for c in ("source", "bucket", "count", "sum"):
+        np.testing.assert_array_equal(got[c].to_numpy(), exp[c].to_numpy())
+    for c in ("min", "max", "mean"):
+        a = got[c].to_numpy(dtype=np.float64, na_value=np.nan)
+        b = exp[c].to_numpy(dtype=np.float64, na_value=np.nan)
+        np.testing.assert_array_equal(np.isnan(a), np.isnan(b))
+        np.testing.assert_array_equal(a[~np.isnan(a)], b[~np.isnan(b)])
+
+
+def test_zipf_skew_bounded_groups(ray_session):
+    """One source holds ~95% of rows; segment grouping bounds the hot key."""
+    rng = np.random.default_rng(0)
+    n_hot, n_cold = 20000, 500
+    df = pd.DataFrame({
+        "source": ["hot"] * n_hot + ["cold"] * n_cold,
+        "bucket": np.concatenate([rng.integers(0, 5000, n_hot),
+                                  rng.integers(0, 300, n_cold)]),
+        "count": 1,
+        "sum": np.concatenate([rng.integers(1, 100, n_hot),
+                               rng.integers(1, 100, n_cold)]),
+    })
+    df["min"] = df["sum"]
+    df["max"] = df["sum"]
+    _compare(_run(df, 1, gap_fill=True), _oracle(df, 1, gap_fill=True))
+
+
+def test_single_point_source(ray_session):
+    df = pd.DataFrame({"source": ["a", "b", "b"], "bucket": [7, 0, 120],
+                       "count": [1, 1, 1], "sum": [10, 5, 6],
+                       "min": [10, 5, 6], "max": [10, 5, 6]})
+    got = _run(df, 60, gap_fill=True)
+    exp = _oracle(df, 60, gap_fill=True)
+    _compare(got, exp)
+    # source b spans [0,120] at 1m -> buckets 0,60,120 with a gap at 60
+    b = got[got["source"] == "b"]
+    assert list(b["bucket"]) == [0, 60, 120]
+    assert list(b["count"]) == [1, 0, 1]
+
+
+def test_all_gap_middle_segment(ray_session):
+    """A fully-empty segment inside the span must still emit gap rows
+    (skeleton seeding)."""
+    seg_pts = 16
+    df = pd.DataFrame({"source": ["s", "s"], "bucket": [0, 100],
+                       "count": [1, 1], "sum": [2, 3],
+                       "min": [2, 3], "max": [2, 3]})
+    got = _run(df, 1, gap_fill=True, segment_points=seg_pts)
+    assert list(got["bucket"]) == list(range(101))
+    assert got["count"].sum() == 2
+    assert (got["count"] == 0).sum() == 99
+
+
+def test_boundary_buckets_not_duplicated(ray_session):
+    """Buckets exactly on segment boundaries land in exactly one group."""
+    seg_pts = 8
+    buckets = np.array([0, 7, 8, 15, 16, 16, 24])
+    df = pd.DataFrame({"source": "s", "bucket": buckets, "count": 1,
+                       "sum": buckets, "min": buckets, "max": buckets})
+    got = _run(df, 1, gap_fill=False, segment_points=seg_pts)
+    exp = _oracle(df, 1, gap_fill=False)
+    _compare(got, exp)
+
+
+def test_no_gap_fill_passthrough(ray_session):
+    rng = np.random.default_rng(1)
+    df = pd.DataFrame({
+        "source": rng.choice(["x", "y"], 5000),
+        "bucket": rng.integers(0, 1000, 5000) * 60,
+        "count": 1, "sum": rng.integers(1, 50, 5000),
+    })
+    df["min"] = df["sum"]
+    df["max"] = df["sum"]
+    _compare(_run(df, 60, gap_fill=False), _oracle(df, 60, gap_fill=False))
