@@ -50,7 +50,7 @@ def run_flagship(num_cpus: int, tag: str) -> dict:
     out = f"/tmp/feasts_ray_bench/{tag}_c{num_cpus}"
     shutil.rmtree(out, ignore_errors=True)
     t0 = time.perf_counter()
-    metrics = run_rollup(path, out, token_features=True)
+    metrics = run_rollup(path, out, token_features=True, token_archive=True)
     wall = time.perf_counter() - t0
     points = sum(m["points"] for m in metrics.values())
     return {"wall_s": wall, "points": points,

@@ -86,12 +86,37 @@ def run_token_features(input_path: str, out_dir: str, lineage: str) -> dict:
     return ckpt.load_manifest(feat_dir)
 
 
+def run_token_archive(input_path: str, out_dir: str, lineage: str) -> dict:
+    """Verified per-doc token-array compression (north-rule invariant:
+    a completed archive proves decode(encode(tokens)) == tokens for every
+    row — verify-on-write inside the kernel)."""
+    from ..stages.token_archive import archive_tokens
+
+    arch_dir = Path(out_dir) / "tokens_archive"
+    if ckpt.is_complete(arch_dir, lineage):
+        return ckpt.load_manifest(arch_dir)
+    blobs_dir = arch_dir / "blobs"
+    if blobs_dir.exists():
+        shutil.rmtree(blobs_dir)
+    t0 = time.perf_counter()
+    ds = ray.data.read_parquet(input_path, columns=["doc_id", "tokens",
+                                                    "n_tok", "source"])
+    archive_tokens(ds).write_parquet(str(blobs_dir))
+    rows = pads.dataset(str(blobs_dir)).count_rows()
+    m = {"tier": "tokens_archive", "lineage": lineage, "rows_out": rows,
+         "points": rows, "bytes_blobs": ckpt.dir_bytes(blobs_dir),
+         "wall_s": time.perf_counter() - t0, "input": input_path}
+    ckpt.save_manifest(arch_dir, m)
+    return ckpt.load_manifest(arch_dir)
+
+
 def run_rollup(
     input_path: str,
     out_dir: str,
     cfg: RollupConfig | None = None,
     encode: bool = True,
     token_features: bool = False,
+    token_archive: bool = False,
 ) -> dict[str, dict]:
     """Run (or resume) the full tier cascade. Returns per-tier metrics."""
     cfg = cfg or RollupConfig()
@@ -174,4 +199,6 @@ def run_rollup(
         prev_points = points_dir
     if token_features:
         metrics["features"] = run_token_features(input_path, out_dir, lineage)
+    if token_archive:
+        metrics["tokens_archive"] = run_token_archive(input_path, out_dir, lineage)
     return metrics

@@ -1,0 +1,75 @@
+"""Token-stream archival: per-doc delta-of-delta compression of the raw
+token arrays into binary blobs (north-rule input_hint invariant:
+decompressed token arrays == input tokens, enforced PER ROW at write
+time, not just sampled in tests).
+
+Stage shape: stateless map_batches over zero-copy Arrow list columns.
+Each doc's int32 token array goes through the dod-int codec; with
+``verify=True`` (default) the kernel immediately decodes the blob and
+asserts bitwise equality against the source array before the blob is
+allowed downstream — a failed roundtrip fails the task (and the job),
+so an archive that completes IS the proof of the invariant.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+
+from ..codecs import decode_ints, encode_ints
+
+
+def archive_tokens_batch(batch: pa.Table, tokens_col: str = "tokens",
+                         verify: bool = True) -> pa.Table:
+    toks = batch[tokens_col]
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    offs = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = toks.values.to_numpy(zero_copy_only=False).astype(np.int64)
+    blobs = []
+    raw_bytes = 0
+    for i in range(len(batch)):
+        arr = flat[offs[i]:offs[i + 1]]
+        blob = encode_ints(arr)
+        if verify and not np.array_equal(decode_ints(blob), arr):
+            raise AssertionError(
+                f"token-array roundtrip mismatch for row {i} of batch")
+        blobs.append(blob)
+        raw_bytes += 4 * len(arr)
+    keep = [c for c in batch.column_names if c != tokens_col]
+    out = batch.select(keep)
+    out = out.append_column("tokens_blob", pa.array(blobs, type=pa.binary()))
+    blob_bytes = sum(len(b) for b in blobs)
+    n = len(batch)
+    out = out.append_column("blob_bytes",
+                            pa.array([blob_bytes] * n if n else [], type=pa.int64()))
+    return out.append_column("raw_bytes",
+                             pa.array([raw_bytes] * n if n else [], type=pa.int64()))
+
+
+def restore_tokens_batch(batch: pa.Table, blob_col: str = "tokens_blob") -> pa.Table:
+    blobs = batch[blob_col].to_pylist()
+    arrs = [decode_ints(b).astype(np.int32) for b in blobs]
+    flat = np.concatenate(arrs) if arrs else np.array([], dtype=np.int32)
+    offs = np.concatenate([[0], np.cumsum([len(a) for a in arrs])]).astype(np.int32)
+    tokens = pa.ListArray.from_arrays(pa.array(offs, type=pa.int32()),
+                                      pa.array(flat, type=pa.int32()))
+    keep = [c for c in batch.column_names
+            if c not in (blob_col, "blob_bytes", "raw_bytes")]
+    return batch.select(keep).append_column("tokens", tokens)
+
+
+def archive_tokens(ds: "ray.data.Dataset", tokens_col: str = "tokens",
+                   verify: bool = True, batch_size: int = 1024) -> "ray.data.Dataset":
+    """tokens list column -> verified per-doc compressed blobs."""
+    return ds.map_batches(archive_tokens_batch, batch_format="pyarrow",
+                          batch_size=batch_size,
+                          fn_kwargs={"tokens_col": tokens_col, "verify": verify})
+
+
+def restore_tokens(ds: "ray.data.Dataset",
+                   blob_col: str = "tokens_blob") -> "ray.data.Dataset":
+    return ds.map_batches(restore_tokens_batch, batch_format="pyarrow",
+                          fn_kwargs={"blob_col": blob_col})
