@@ -47,7 +47,7 @@ def _partial_batch(
     g = df.groupby(["key", "bucket"], sort=False, observed=True)["v"]
     out = g.agg(count="count", sum="sum", min="min", max="max").reset_index()
     out = out.rename(columns={"key": key_col})
-    return pa.Table.from_pandas(out, preserve_index=False)
+    return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(None)
 
 
 def _recast_batch(batch: pa.Table, unit_s: int, key_col: str) -> pa.Table:
@@ -65,7 +65,7 @@ def _recast_batch(batch: pa.Table, unit_s: int, key_col: str) -> pa.Table:
     out = g.agg(count=("count", "sum"), sum=("sum", "sum"),
                 min=("min", "min"), max=("max", "max")).reset_index()
     out = out.rename(columns={"key": key_col})
-    return pa.Table.from_pandas(out, preserve_index=False)
+    return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(None)
 
 
 def _merge(ds: "ray.data.Dataset", key_col: str) -> "ray.data.Dataset":

@@ -74,7 +74,7 @@ def q_gap_counts(sf_dir: str):
         df = batch.select(["event_type", "bucket"]).to_pandas()
         g = df.groupby("event_type", sort=False)["bucket"]
         out = g.agg(lo="min", hi="max", n_present="count").reset_index()
-        return pa.Table.from_pandas(out, preserve_index=False)
+        return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(None)
 
     merged = rolled.map_batches(_per_key, batch_format="pyarrow").groupby(
         "event_type").aggregate(
@@ -147,7 +147,7 @@ def q_event_type_stats(sf_dir: str):
         out = g.agg(n_events=("count", "sum"), sum_cents=("sum_cents", "sum"),
                     min_cents=("min_cents", "min"),
                     max_cents=("max_cents", "max")).reset_index()
-        return pa.Table.from_pandas(out, preserve_index=False)
+        return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(None)
 
     return ds.map_batches(_partial, batch_format="pyarrow").groupby(
         "event_type").aggregate(

@@ -39,7 +39,7 @@ def partial_rollup_batch(
     df = pd.DataFrame({"source": src, "bucket": bucket, "v": v})
     g = df.groupby(["source", "bucket"], sort=False, observed=True)["v"]
     out = g.agg(count="count", sum="sum", min="min", max="max").reset_index()
-    return pa.Table.from_pandas(out, preserve_index=False)
+    return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(None)
 
 
 def merge_partials(ds: "ray.data.Dataset", key_cols=("source", "bucket")) -> "ray.data.Dataset":
@@ -77,7 +77,7 @@ def cascade_batch(batch: pa.Table, unit_s: int) -> pa.Table:
         min=("min", "min"),
         max=("max", "max"),
     ).reset_index()
-    return pa.Table.from_pandas(out, preserve_index=False)
+    return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(None)
 
 
 def add_mean(ds: "ray.data.Dataset") -> "ray.data.Dataset":

@@ -1,0 +1,50 @@
+"""Rollup job entry point — the script you hand to `ray job submit`:
+
+    ray job submit -- python scripts/run_rollup_job.py \
+        --input /data/tokens --out /data/rollups --features --archive
+
+Resumable: re-submitting after a failure skips completed tiers via the
+per-tier `_CHECKPOINT.json` lineage manifests. On a cluster, ray.init()
+connects to the running cluster (RAY_ADDRESS); standalone it starts a
+local session.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True, help="token-table parquet dir")
+    ap.add_argument("--out", required=True, help="output root for tiers")
+    ap.add_argument("--features", action="store_true",
+                    help="also run the per-doc token-stream feature stage")
+    ap.add_argument("--archive", action="store_true",
+                    help="also run the verified token-archive stage")
+    ap.add_argument("--no-encode", action="store_true",
+                    help="skip Gorilla/dod blob encoding")
+    args = ap.parse_args()
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(include_dashboard=False)
+
+    from feasts_ray.pipelines.rollup_pipeline import run_rollup
+
+    metrics = run_rollup(args.input, args.out, encode=not args.no_encode,
+                         token_features=args.features,
+                         token_archive=args.archive)
+    print(json.dumps(metrics, default=str))
+    ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
