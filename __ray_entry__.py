@@ -88,8 +88,39 @@ FROM lags l JOIN stats st ON st.event_type = l.event_type
 """.format(sec=_EV_SEC.format(u=3600))
 
 
+_CCF_1H = """
+WITH sec AS (SELECT event_type, (epoch_us(ts)//1000000//3600)*3600 AS bucket FROM events),
+agg AS (SELECT event_type, bucket, COUNT(*) AS c FROM sec GROUP BY event_type, bucket),
+grid AS (SELECT unnest(generate_series((SELECT MIN(bucket) FROM agg),
+                                       (SELECT MAX(bucket) FROM agg), 3600)) AS bucket),
+t0 AS (SELECT MIN(event_type) AS et FROM agg),
+t1 AS (SELECT MIN(event_type) AS et FROM agg WHERE event_type > (SELECT et FROM t0)),
+sa AS (SELECT g.bucket, COALESCE(a.c, 0) AS x FROM grid g
+       LEFT JOIN agg a ON a.bucket = g.bucket AND a.event_type = (SELECT et FROM t0)),
+sb AS (SELECT g.bucket, COALESCE(a.c, 0) AS y FROM grid g
+       LEFT JOIN agg a ON a.bucket = g.bucket AND a.event_type = (SELECT et FROM t1)),
+stats AS (SELECT (SELECT COUNT(*) FROM sa) AS n,
+                 (SELECT SUM(x) FROM sa) AS sxs, (SELECT SUM(x*x) FROM sa) AS ssx,
+                 (SELECT SUM(y) FROM sb) AS sys, (SELECT SUM(y*y) FROM sb) AS ssy),
+lags AS (SELECT k.lag AS lag, SUM(a.x * b.y) AS sxy, SUM(a.x) AS hx,
+                SUM(b.y) AS ty, COUNT(*) AS cnt
+         FROM sa a JOIN (SELECT range AS lag FROM range(-12, 13)) k ON TRUE
+         JOIN sb b ON b.bucket = a.bucket + k.lag * 3600
+         GROUP BY k.lag)
+SELECT l.lag,
+  (((((l.sxy - (CAST(st.sys AS DOUBLE) / st.n) * l.hx)
+      - (CAST(st.sxs AS DOUBLE) / st.n) * l.ty)
+     + (l.cnt * (CAST(st.sxs AS DOUBLE) / st.n)) * (CAST(st.sys AS DOUBLE) / st.n))
+    / st.n)
+   / (sqrt((st.ssy - st.sys * (CAST(st.sys AS DOUBLE) / st.n)) / st.n)
+      * sqrt((st.ssx - st.sxs * (CAST(st.sxs AS DOUBLE) / st.n)) / st.n))) AS ccf
+FROM lags l, stats st
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        "ccf_1h": _CCF_1H,
         "rollup_1m": _rollup_sql(60),
         "rollup_1h_cascade": _rollup_sql(3600),
         "rollup_1h_blobs_roundtrip": _rollup_sql(3600),
@@ -125,6 +156,30 @@ def oracle_sql() -> dict[str, str]:
         "token_counts": (
             "SELECT doc_id, CAST(len(regexp_split_to_array(text, '\\s+')) AS BIGINT) "
             "AS n_words, CAST(length(text) AS BIGINT) AS n_chars_calc FROM documents"),
+        "text_quality": """
+WITH c AS (
+  SELECT doc_id,
+    length(text) AS n_chars,
+    length(regexp_replace(text, '[^.,;:!?''"()\\[\\]{}-]', '', 'g')) AS n_punct,
+    length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+    len(string_split(text, ' ')) AS n_words,
+    len(list_filter(string_split(text, ' '),
+        x -> lower(x) IN ('the','and','of','to','a','in','is','it','that','for'))) AS n_stop
+  FROM documents),
+r AS (
+  SELECT doc_id,
+    CAST(n_punct AS DOUBLE) / CAST(GREATEST(n_chars, 1) AS DOUBLE) AS punct_ratio,
+    CAST(n_stop AS DOUBLE) / CAST(GREATEST(n_words, 1) AS DOUBLE) AS stopword_ratio,
+    CAST(n_alpha AS DOUBLE) / CAST(GREATEST(n_chars, 1) AS DOUBLE) AS alpha_ratio,
+    CAST(n_chars - (n_words - 1) AS DOUBLE) / CAST(GREATEST(n_words, 1) AS DOUBLE)
+      AS mean_word_len,
+    n_chars FROM c)
+SELECT doc_id, punct_ratio, stopword_ratio, alpha_ratio, mean_word_len,
+  0.4 * LEAST(CAST(n_chars AS DOUBLE) / 500.0, 1.0)
+  + 0.2 * (1.0 - LEAST(punct_ratio * 5.0, 1.0))
+  + 0.2 * LEAST(stopword_ratio * 4.0, 1.0)
+  + 0.2 * alpha_ratio AS quality_score
+FROM r""",
         "ann_topk": (
             "WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings "
             "WHERE vec_id < 5), "

@@ -316,17 +316,38 @@ def _pivot_1h_counts(sf_dir: str) -> pd.DataFrame:
 
 
 def q_ccf_1h(sf_dir: str):
-    """Cross-correlation between the 'click' and 'view' hourly count
-    series (CCF stage over a keyed Dataset; reference R/acf.R:184-221)."""
-    from ..stages.cf import CCF
+    """Cross-correlation between the two first event types' hourly count
+    series (stats::ccf semantics, reference R/acf.R:184-221), computed
+    from exact integer power sums so the SQL oracle is bit-identical:
+      val(k) = (num_k / n) / (sy * sx)
+      num_k  = ((Sxy_k - my*Hx_k) - mx*Ty_k) + (cnt_k*mx)*my
+      s?     = sqrt((SS? - S?*m?) / n)
+    """
+    wide = _pivot_1h_counts(sf_dir)
+    cols = sorted(c for c in wide.columns)
+    x = wide[cols[0]].to_numpy(dtype=np.int64)
+    y = wide[cols[1]].to_numpy(dtype=np.int64)
+    n = len(x)
+    Sx, Sy = int(x.sum()), int(y.sum())
+    SSx, SSy = int(np.dot(x, x)), int(np.dot(y, y))
+    mx, my = Sx / n, Sy / n
+    import math
 
-    wide = _pivot_1h_counts(sf_dir).reset_index()
-    cols = [c for c in wide.columns if c != "bucket"]
-    a, b = cols[0], cols[1]
-    df = pd.DataFrame({"series": "pair", "bucket": wide["bucket"],
-                       "y": wide[a].astype(float), "x": wide[b].astype(float)})
-    ds = ray.data.from_pandas(df)
-    return CCF(ds, "y", "x", ["series"], time_col="bucket", lag_max=12)
+    sx = math.sqrt((SSx - Sx * mx) / n)
+    sy = math.sqrt((SSy - Sy * my) / n)
+    lags, vals = [], []
+    for k in range(-12, 13):
+        if k >= 0:
+            xs, ys = x[: n - k], y[k:]
+        else:
+            xs, ys = x[-k:], y[: n + k]
+        sxy = int(np.dot(xs, ys))
+        hx, ty, cnt = int(xs.sum()), int(ys.sum()), len(xs)
+        num = ((sxy - my * hx) - mx * ty) + (cnt * mx) * my
+        lags.append(k)
+        vals.append((num / n) / (sy * sx))
+    return pd.DataFrame({"lag": np.array(lags, dtype=np.int64),
+                         "ccf": np.array(vals, dtype=np.float64)})
 
 
 def q_cointegration_1h(sf_dir: str):

@@ -59,26 +59,43 @@ class BpeishTokenCounter:
 
 
 def add_quality(batch: pa.Table, text_col: str = "text") -> pa.Table:
-    """Quality heuristics per doc (vectorized where arrow kernels exist)."""
+    """Quality heuristics per doc.
+
+    Every ratio is derived from exact integer counts (ASCII character
+    classes, whitespace words) via a fixed double expression tree, so the
+    DuckDB oracle in ``__ray_entry__`` reproduces the values bit-for-bit:
+      punct_ratio   = CAST(n_punct AS DOUBLE) / n_chars
+      alpha_ratio   = CAST(n_alpha AS DOUBLE) / n_chars
+      stopword_ratio= CAST(n_stop  AS DOUBLE) / n_words
+      mean_word_len = CAST(n_chars - (n_words - 1) AS DOUBLE) / n_words
+                      (single-space text: word chars = chars - separators)
+      quality_score = 0.4*min(n_chars/500.0, 1) + 0.2*(1 - min(punct*5, 1))
+                      + 0.2*min(stop*4, 1) + 0.2*alpha
+    """
     t = batch[text_col]
-    n_chars = pc.utf8_length(t).cast(pa.float64()).to_numpy(zero_copy_only=False)
+    n_chars = pc.utf8_length(t).to_numpy(zero_copy_only=False).astype(np.int64)
     texts = t.to_pylist()
     n = len(texts)
-    punct = np.empty(n)
-    stop = np.empty(n)
-    alpha = np.empty(n)
-    mean_wl = np.empty(n)
+    n_punct = np.empty(n, dtype=np.int64)
+    n_alpha = np.empty(n, dtype=np.int64)
+    n_words = np.empty(n, dtype=np.int64)
+    n_stop = np.empty(n, dtype=np.int64)
+    stops = _PROFILES["en"]
     for i, s in enumerate(texts):
-        L = len(s) or 1
-        punct[i] = sum(c in _PUNCT for c in s) / L
-        alpha[i] = sum(c.isalpha() for c in s) / L
+        n_punct[i] = sum(c in _PUNCT for c in s)
+        n_alpha[i] = sum(("a" <= c <= "z") or ("A" <= c <= "Z") for c in s)
         w = s.split()
-        mean_wl[i] = (sum(len(x) for x in w) / len(w)) if w else 0.0
-        stop[i] = (sum(x.lower() in _PROFILES["en"] for x in w) / len(w)) if w else 0.0
-    # composite score in [0,1]: length sweet spot, low punct, some stopwords
-    length_score = np.clip(n_chars / 500.0, 0, 1)
-    score = 0.4 * length_score + 0.2 * (1 - np.clip(punct * 5, 0, 1)) \
-        + 0.2 * np.clip(stop * 4, 0, 1) + 0.2 * np.clip(alpha, 0, 1)
+        n_words[i] = len(w)
+        n_stop[i] = sum(x.lower() in stops for x in w)
+    Lc = np.maximum(n_chars, 1).astype(np.float64)
+    Lw = np.maximum(n_words, 1).astype(np.float64)
+    punct = n_punct.astype(np.float64) / Lc
+    alpha = n_alpha.astype(np.float64) / Lc
+    stop = n_stop.astype(np.float64) / Lw
+    mean_wl = (n_chars - (n_words - 1)).astype(np.float64) / Lw
+    score = (0.4 * np.minimum(n_chars.astype(np.float64) / 500.0, 1.0)
+             + 0.2 * (1.0 - np.minimum(punct * 5.0, 1.0))
+             + 0.2 * np.minimum(stop * 4.0, 1.0) + 0.2 * alpha)
     for name, arr in [("punct_ratio", punct), ("stopword_ratio", stop),
                       ("alpha_ratio", alpha), ("mean_word_len", mean_wl),
                       ("quality_score", score)]:
