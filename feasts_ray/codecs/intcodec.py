@@ -97,32 +97,65 @@ def _wrap64(x: int) -> int:
 
 
 def decode_ints(data: bytes) -> np.ndarray:
-    br = BitReader(data)
-    n = br.read(64)
+    """Sequential bit-stream decode with an inline rolling bit buffer —
+    one buffer refill per ~8 bytes instead of a BitReader call (and its
+    slicing/allocation) per field. Same stream format as encode_ints."""
+    n = int.from_bytes(data[:8], "big")
     out = np.empty(n, dtype=np.int64)
     if n == 0:
         return out
-    v = _unzigzag(br.read(64))
+    v = _unzigzag(int.from_bytes(data[8:16], "big"))
     out[0] = v
     if n == 1:
         return out
-    d = _unzigzag(br.read(64))
+    d = _unzigzag(int.from_bytes(data[16:24], "big"))
     v = _wrap64(v + d)
     out[1] = v
+    buf = 0          # bit buffer, top-aligned semantics: low `avail` bits valid
+    avail = 0
+    pos = 24         # next byte to consume
+    data_len = len(data)
+    vals = out  # local alias
     for i in range(2, n):
-        if br.read(1) == 0:
+        # ensure enough bits for the longest code (69)
+        while avail < 69 and pos < data_len:
+            take = min(8, data_len - pos)
+            buf = (buf << (take * 8)) | int.from_bytes(data[pos:pos + take], "big")
+            pos += take
+            avail += take * 8
+        # peek control bits from the top of the buffer
+        if avail == 0:
+            break
+        top = buf >> (avail - 1)
+        if (top & 1) == 0:
+            avail -= 1
             dod = 0
-        elif br.read(1) == 0:
-            dod = br.read(7) - 63
-        elif br.read(1) == 0:
-            dod = br.read(9) - 255
-        elif br.read(1) == 0:
-            dod = br.read(12) - 2047
-        elif br.read(1) == 0:
-            dod = _unzigzag(br.read(32))
         else:
-            dod = _unzigzag(br.read(64))
+            c2 = (buf >> (avail - 2)) & 1
+            if c2 == 0:  # '10' + 7
+                dod = ((buf >> (avail - 9)) & 0x7F) - 63
+                avail -= 9
+            else:
+                c3 = (buf >> (avail - 3)) & 1
+                if c3 == 0:  # '110' + 9
+                    dod = ((buf >> (avail - 12)) & 0x1FF) - 255
+                    avail -= 12
+                else:
+                    c4 = (buf >> (avail - 4)) & 1
+                    if c4 == 0:  # '1110' + 12
+                        dod = ((buf >> (avail - 16)) & 0xFFF) - 2047
+                        avail -= 16
+                    else:
+                        c5 = (buf >> (avail - 5)) & 1
+                        if c5 == 0:  # '11110' + 32 zigzag
+                            u = (buf >> (avail - 37)) & 0xFFFFFFFF
+                            avail -= 37
+                        else:        # '11111' + 64 zigzag
+                            u = (buf >> (avail - 69)) & 0xFFFFFFFFFFFFFFFF
+                            avail -= 69
+                        dod = (u >> 1) ^ -(u & 1)
+        buf &= (1 << avail) - 1
         d = _wrap64(d + dod)
         v = _wrap64(v + d)
-        out[i] = v
+        vals[i] = v
     return out
