@@ -118,9 +118,38 @@ FROM lags l, stats st
 """
 
 
+_LANG_SETS = {
+    "en": "'the','and','of','to','a','in','is','it','that','for'",
+    "de": "'der','die','und','das','ist','nicht','ein','zu','mit','den'",
+    "fr": "'le','la','et','les','des','un','une','est','pour','que'",
+    "es": "'el','la','de','que','y','los','un','es','en','por'",
+}
+
+_LANGID = """
+WITH w AS (
+  SELECT doc_id,
+    list_distinct(list_transform(string_split(text, ' '), x -> lower(x))) AS ws
+  FROM documents),
+c AS (
+  SELECT doc_id,
+    len(list_filter(ws, x -> x IN ({en}))) AS n_en,
+    len(list_filter(ws, x -> x IN ({de}))) AS n_de,
+    len(list_filter(ws, x -> x IN ({fr}))) AS n_fr,
+    len(list_filter(ws, x -> x IN ({es}))) AS n_es
+  FROM w)
+SELECT doc_id,
+  CASE WHEN n_en = 0 AND n_de = 0 AND n_fr = 0 AND n_es = 0 THEN 'und'
+       WHEN n_en >= n_de AND n_en >= n_fr AND n_en >= n_es THEN 'en'
+       WHEN n_de >= n_fr AND n_de >= n_es THEN 'de'
+       WHEN n_fr >= n_es THEN 'fr'
+       ELSE 'es' END AS lang_pred
+FROM c""".format(**_LANG_SETS)
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "ccf_1h": _CCF_1H,
+        "langid": _LANGID,
         "rollup_1m": _rollup_sql(60),
         "rollup_1h_cascade": _rollup_sql(3600),
         "rollup_1h_blobs_roundtrip": _rollup_sql(3600),
