@@ -150,6 +150,30 @@ def oracle_sql() -> dict[str, str]:
     return {
         "ccf_1h": _CCF_1H,
         "langid": _LANGID,
+        "seasonal_subseries_1h": (
+            "WITH sec AS ({sec}), "
+            "agg AS (SELECT event_type, bucket, COUNT(*) AS c FROM sec "
+            "GROUP BY event_type, bucket), "
+            "ph AS (SELECT event_type, (bucket % 86400) // 3600 AS phase, c FROM agg) "
+            "SELECT event_type, phase, COUNT(*) AS n, "
+            "CAST(SUM(c) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_value, "
+            "CAST(MIN(c) AS DOUBLE) AS min_value, CAST(MAX(c) AS DOUBLE) AS max_value "
+            "FROM ph GROUP BY event_type, phase"
+            .format(sec=_EV_SEC.format(u=3600))),
+        "lag_pairs_1h": """
+WITH sec AS ({sec}),
+agg AS (SELECT event_type, bucket, COUNT(*) AS x FROM sec GROUP BY event_type, bucket),
+span AS (SELECT event_type, MIN(bucket) AS lo, MAX(bucket) AS hi FROM agg GROUP BY event_type),
+dense AS (SELECT event_type, unnest(generate_series(lo, hi, 3600)) AS bucket FROM span),
+series AS (
+  SELECT d.event_type, d.bucket, COALESCE(a.x, 0) AS x
+  FROM dense d LEFT JOIN agg a ON a.event_type = d.event_type AND a.bucket = d.bucket)
+SELECT s.event_type, k.lag AS lag, s.bucket,
+       CAST(s.x AS DOUBLE) AS y, CAST(p.x AS DOUBLE) AS y_lagged
+FROM series s
+JOIN (SELECT range AS lag FROM range(1, 4)) k ON TRUE
+JOIN series p ON p.event_type = s.event_type AND p.bucket = s.bucket - k.lag * 3600
+""".format(sec=_EV_SEC.format(u=3600)),
         "rollup_1m": _rollup_sql(60),
         "rollup_1h_cascade": _rollup_sql(3600),
         "rollup_1h_blobs_roundtrip": _rollup_sql(3600),

@@ -372,6 +372,26 @@ def q_cointegration_1h(sf_dir: str):
     return pd.DataFrame(rows)
 
 
+def q_seasonal_subseries_1h(sf_dir: str):
+    """Per (event_type, hour-of-day) profile of hourly event counts
+    (gg_subseries panel data; the reference re-exports the display from
+    ggtime, R/graphics.R:1-34 — the engine supplies the data)."""
+    from ..stages.seasonal import seasonal_subseries
+
+    rolled = rollup_table(_events(sf_dir), HOUR)
+    return seasonal_subseries(rolled, value_col="count", key_col="event_type",
+                              interval_s=HOUR, period="day")
+
+
+def q_lag_pairs_1h(sf_dir: str):
+    """(key, lag, t, y, y_lagged) pairs over gap-filled hourly counts
+    (gg_lag scatter data)."""
+    from ..stages.seasonal import lag_pairs
+
+    return lag_pairs(_hourly_count_series(sf_dir), value_col="value",
+                     key_col="event_type", time_col="bucket", lags=(1, 2, 3))
+
+
 ALL_QUERIES = {
     "rollup_1m": q_rollup_1m,
     "rollup_1h_cascade": q_rollup_1h_cascade,
@@ -400,4 +420,6 @@ ALL_QUERIES = {
     "classical_1h": q_classical_1h,
     "ccf_1h": q_ccf_1h,
     "cointegration_1h": q_cointegration_1h,
+    "seasonal_subseries_1h": q_seasonal_subseries_1h,
+    "lag_pairs_1h": q_lag_pairs_1h,
 }

@@ -1,0 +1,113 @@
+"""Seasonal-display data operators.
+
+The reference re-exports gg_season / gg_subseries / gg_lag from the
+external ggtime package (/root/reference/R/graphics.R:1-34 — a
+deprecation shim, no implementation in-repo). A data-processing engine
+supplies the DATA those displays consume:
+
+- ``seasonal_subseries``: per (key, phase-within-period) aggregate of the
+  measured value (the gg_subseries panel data) — distributed, one
+  bounded groupby.
+- ``lag_pairs``: per key, the (lag, y_t, y_{t-lag}) pair table
+  (gg_lag scatter data) — one groupby(key) shuffle, vectorized shifts
+  inside the kernel.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+from ray.data.aggregate import Count, Max, Min, Sum
+
+from ..functions.timeutils import PERIODS_S, phase_of
+
+
+def seasonal_subseries(
+    ds: "ray.data.Dataset",
+    value_col: str,
+    key_col: str,
+    bucket_col: str = "bucket",
+    interval_s: int = 3600,
+    period: str = "day",
+) -> "ray.data.Dataset":
+    """(key, phase, n, mean_value): per-phase profile of a rolled series.
+
+    Sums are computed on exact value representations when the column is
+    integral; mean = sum/n derived after the merge."""
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        phase = phase_of(batch[bucket_col].to_numpy(zero_copy_only=False),
+                         interval_s, period)
+        v = batch[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        df = pd.DataFrame({key_col: batch[key_col].to_numpy(zero_copy_only=False),
+                           "phase": phase, "v": v})
+        df = df[~np.isnan(df["v"])]
+        g = df.groupby([key_col, "phase"], sort=False, observed=True)["v"]
+        out = g.agg(n="count", v_sum="sum", v_min="min", v_max="max").reset_index()
+        return pa.Table.from_pandas(out, preserve_index=False
+                                    ).replace_schema_metadata(None)
+
+    merged = ds.map_batches(_partial, batch_format="pyarrow").groupby(
+        [key_col, "phase"]).aggregate(
+        Sum("n", alias_name="n"), Sum("v_sum", alias_name="v_sum"),
+        Min("v_min", alias_name="v_min"), Max("v_max", alias_name="v_max"),
+    )
+
+    def _derive(batch: pa.Table) -> pa.Table:
+        n = batch["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        s = batch["v_sum"].to_numpy(zero_copy_only=False)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            mean = s / n
+        return pa.table({
+            key_col: batch[key_col],
+            "phase": batch["phase"].cast(pa.int64()),
+            "n": batch["n"].cast(pa.int64()),
+            "mean_value": pa.array(mean, type=pa.float64()),
+            "min_value": batch["v_min"],
+            "max_value": batch["v_max"],
+        })
+
+    return merged.map_batches(_derive, batch_format="pyarrow")
+
+
+class _LagPairKernel:
+    def __init__(self, value_col, key_col, time_col, lags):
+        self.value_col = value_col
+        self.key_col = key_col
+        self.time_col = time_col
+        self.lags = tuple(lags)
+
+    def __call__(self, group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(self.time_col, kind="mergesort")
+        y = g[self.value_col].to_numpy(dtype=np.float64, na_value=np.nan)
+        t = g[self.time_col].to_numpy()
+        outs = []
+        for k in self.lags:
+            if k >= len(y):
+                continue
+            outs.append(pd.DataFrame({
+                self.key_col: g[self.key_col].iloc[0],
+                "lag": np.int64(k),
+                self.time_col: t[k:],
+                "y": y[k:],
+                "y_lagged": y[:-k],
+            }))
+        if not outs:
+            return pd.DataFrame({self.key_col: [], "lag": [], self.time_col: [],
+                                 "y": [], "y_lagged": []})
+        return pd.concat(outs, ignore_index=True)
+
+
+def lag_pairs(
+    ds: "ray.data.Dataset",
+    value_col: str,
+    key_col: str,
+    time_col: str = "bucket",
+    lags=(1, 2, 3, 4, 5, 6, 7, 8, 9),
+) -> "ray.data.Dataset":
+    """Long (key, lag, t, y, y_lagged) table for lag scatter displays."""
+    kernel = _LagPairKernel(value_col, key_col, time_col, lags)
+    return ds.groupby(key_col).map_groups(kernel.__call__, batch_format="pandas")

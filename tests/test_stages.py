@@ -166,3 +166,27 @@ def test_checks(keyed_ds):
     ok = ray.data.from_pandas(pd.DataFrame({"key": ["k"] * 4, "bucket": [0, 60, 120, 180]}))
     assert not check_gaps(ok, "key", "bucket", 60)["has_gaps"].any()
     assert check_regular(ok, "key", "bucket")["regular"].all()
+
+
+def test_seasonal_subseries_and_lag_pairs(keyed_ds, keyed_df):
+    from feasts_ray.stages.seasonal import lag_pairs, seasonal_subseries
+
+    sub = seasonal_subseries(keyed_ds, value_col="value", key_col="key",
+                             bucket_col="t", interval_s=1, period="minute"
+                             ).to_pandas()
+    # phases 0..59, every key present
+    assert set(sub["key"]) == set(keyed_df["key"])
+    assert sub["phase"].between(0, 59).all()
+    for (k, p), grp in keyed_df.assign(phase=keyed_df["t"] % 60).groupby(["key", "phase"]):
+        row = sub[(sub["key"] == k) & (sub["phase"] == p)].iloc[0]
+        assert row["n"] == len(grp)
+        np.testing.assert_allclose(row["mean_value"], grp["value"].mean())
+
+    lp = lag_pairs(keyed_ds, value_col="value", key_col="key", time_col="t",
+                   lags=(1, 3)).to_pandas()
+    for k, grp in keyed_df.groupby("key"):
+        g = grp.sort_values("t")
+        y = g["value"].to_numpy()
+        one = lp[(lp["key"] == k) & (lp["lag"] == 1)].sort_values("t")
+        np.testing.assert_allclose(one["y"].to_numpy(), y[1:])
+        np.testing.assert_allclose(one["y_lagged"].to_numpy(), y[:-1])
