@@ -260,10 +260,11 @@ def _hourly_mean_series(sf_dir: str):
 
 
 def q_features_1h(sf_dir: str):
+    """features() over every registered extractor (the full 23-feature
+    registry fused into one map_groups pass per series)."""
     return extract_features(
         _hourly_mean_series(sf_dir), value_col="mean_val",
         key_cols=["event_type"], period=24, time_col="bucket",
-        tags=["basic", "acf", "stl", "intermittent"],
     )
 
 
