@@ -39,7 +39,10 @@ BUCKET_COL = "bucket"
 # Encode stage: points per compressed segment blob. Segments are addressed
 # by bucket id (segment = bucket // (SEGMENT_POINTS * unit_s)) so encoding is
 # deterministic, parallel and resumable regardless of block boundaries.
-SEGMENT_POINTS = 4096
+# 16384 balances per-segment file overhead against group parallelism: the
+# bounded (key, segment) group is also the anti-skew salt, and the kernel's
+# per-group work is vectorized so bigger segments amortize fixed costs.
+SEGMENT_POINTS = 16384
 
 # Salting for skewed sources: number of salt partitions for the hot-key
 # pre-aggregation pass (SURVEY.md §4.2). Partial aggregation inside
