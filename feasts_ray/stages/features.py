@@ -40,6 +40,17 @@ def _fused_row(x: np.ndarray, period: int, specs) -> dict[str, float]:
     return out
 
 
+def _probe_columns(specs, period: int) -> list[str]:
+    """Full output column set, learned from a well-behaved probe series so
+    groups where a feature raises still emit the same (NaN-filled) schema
+    — map_groups blocks must agree across groups."""
+    n = max(4 * max(period, 1), 64)
+    t = np.arange(n, dtype=np.float64)
+    probe = (np.sin(2 * np.pi * t / max(period, 2)) + 0.01 * t
+             + np.cos(0.7 * t))  # seasonal + trend + aperiodic, no NaN
+    return list(_fused_row(probe, period, specs).keys())
+
+
 class SeriesFeatureKernel:
     """map_groups kernel: one keyed series -> one feature row."""
 
@@ -57,6 +68,7 @@ class SeriesFeatureKernel:
         self.period = period
         self.specs = feature_set(tags=tags, names=names)
         self.time_col = time_col
+        self.columns = _probe_columns(self.specs, period)
 
     def __call__(self, group: pd.DataFrame) -> pd.DataFrame:
         if self.time_col is not None:
@@ -64,7 +76,7 @@ class SeriesFeatureKernel:
         x = group[self.value_col].to_numpy(dtype=np.float64, na_value=np.nan)
         row = _fused_row(x, self.period, self.specs)
         out = {k: [group[k].iloc[0]] for k in self.key_cols}
-        out.update({k: [v] for k, v in row.items()})
+        out.update({k: [row.get(k, np.nan)] for k in self.columns})
         return pd.DataFrame(out)
 
 
@@ -97,6 +109,7 @@ class TokenFeatureKernel:
         self.id_cols = tuple(id_cols)
         self.period = period
         self.specs = feature_set(tags=tags, names=names)
+        self.columns = _probe_columns(self.specs, period)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         toks = batch[self.tokens_col]
@@ -107,7 +120,8 @@ class TokenFeatureKernel:
         rows = []
         for i in range(len(batch)):
             x = flat[offsets[i] : offsets[i + 1]]
-            rows.append(_fused_row(x, self.period, self.specs))
+            r = _fused_row(x, self.period, self.specs)
+            rows.append({k: r.get(k, np.nan) for k in self.columns})
         out = pd.DataFrame(rows)
         res = {c: batch[c] for c in self.id_cols}
         tbl = pa.table(res)
