@@ -15,13 +15,18 @@ from dataclasses import dataclass, field
 class Tier:
     name: str
     unit_s: int  # bucket width in seconds
+    # explicit gap rows for this tier's bucket domain. The raw 1s tier
+    # skips it: dense per-second zero rows would be ~60% of its volume at
+    # realistic densities; every rolled-up tier (1m/1h/1d) densifies, so
+    # the gap-fill contract holds at all retention tiers.
+    gap_fill: bool = True
 
 
 # Cascading retention ladder. Buckets are int64 epoch-seconds floored to the
 # tier unit (numeric flooring semantics of R/utils.R:134-139:
 # (x - origin) // unit * unit + origin, with origin = 0 epoch).
 TIERS: tuple[Tier, ...] = (
-    Tier("raw", 1),
+    Tier("raw", 1, gap_fill=False),
     Tier("1m", 60),
     Tier("1h", 3600),
     Tier("1d", 86400),

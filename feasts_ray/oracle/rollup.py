@@ -63,4 +63,5 @@ def rollup_all_tiers(
     n_docs: int, max_len: int = 512, tiers: tuple[Tier, ...] = TIERS, gap_fill: bool = True
 ) -> dict[str, pd.DataFrame]:
     df = doc_frame(n_docs, max_len)
-    return {t.name: rollup_tier(df, t.unit_s, gap_fill) for t in tiers}
+    return {t.name: rollup_tier(df, t.unit_s, gap_fill and t.gap_fill)
+            for t in tiers}

@@ -175,7 +175,7 @@ def run_rollup(
             partials = ds
         points = run_tier(
             partials, tier.name, tier.unit_s, cfg.segment_points, spans,
-            gap_fill=cfg.gap_fill,
+            gap_fill=cfg.gap_fill and tier.gap_fill,
             blobs_dir=str(blobs_dir) if encode else None,
             key_col=cfg.series_key,
         )
