@@ -19,6 +19,7 @@ import pyarrow as pa
 import ray.data
 
 from ..codecs import decode_ints, encode_ints
+from ..codecs.intcodec import decode_ints_batch
 
 
 def archive_tokens_batch(batch: pa.Table, tokens_col: str = "tokens",
@@ -28,16 +29,14 @@ def archive_tokens_batch(batch: pa.Table, tokens_col: str = "tokens",
         toks = toks.combine_chunks()
     offs = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
     flat = toks.values.to_numpy(zero_copy_only=False).astype(np.int64)
-    blobs = []
-    raw_bytes = 0
-    for i in range(len(batch)):
-        arr = flat[offs[i]:offs[i + 1]]
-        blob = encode_ints(arr)
-        if verify and not np.array_equal(decode_ints(blob), arr):
-            raise AssertionError(
-                f"token-array roundtrip mismatch for row {i} of batch")
-        blobs.append(blob)
-        raw_bytes += 4 * len(arr)
+    blobs = [encode_ints(flat[offs[i]:offs[i + 1]]) for i in range(len(batch))]
+    raw_bytes = 4 * (int(offs[-1]) - int(offs[0])) if len(batch) else 0
+    if verify and len(batch):
+        # lockstep vectorized decode of the whole batch, one flat compare
+        dec_flat, dec_offs = decode_ints_batch(blobs)
+        src = flat[offs[0]:offs[-1]]
+        if len(dec_flat) != len(src) or not np.array_equal(dec_flat, src):
+            raise AssertionError("token-array roundtrip mismatch in batch")
     keep = [c for c in batch.column_names if c != tokens_col]
     out = batch.select(keep)
     out = out.append_column("tokens_blob", pa.array(blobs, type=pa.binary()))
@@ -51,9 +50,9 @@ def archive_tokens_batch(batch: pa.Table, tokens_col: str = "tokens",
 
 def restore_tokens_batch(batch: pa.Table, blob_col: str = "tokens_blob") -> pa.Table:
     blobs = batch[blob_col].to_pylist()
-    arrs = [decode_ints(b).astype(np.int32) for b in blobs]
-    flat = np.concatenate(arrs) if arrs else np.array([], dtype=np.int32)
-    offs = np.concatenate([[0], np.cumsum([len(a) for a in arrs])]).astype(np.int32)
+    flat64, offs64 = decode_ints_batch(blobs)
+    flat = flat64.astype(np.int32)
+    offs = offs64.astype(np.int32)
     tokens = pa.ListArray.from_arrays(pa.array(offs, type=pa.int32()),
                                       pa.array(flat, type=pa.int32()))
     keep = [c for c in batch.column_names
