@@ -92,3 +92,22 @@ def test_int_roundtrip_property(v):
 )
 def test_float_roundtrip_property(v):
     _roundtrip_floats(v)
+
+
+def test_decode_ints_batch_matches_scalar():
+    import numpy as np
+    from feasts_ray.codecs.intcodec import decode_ints, decode_ints_batch, encode_ints
+
+    rng = np.random.default_rng(3)
+    arrs = [rng.integers(-10**12, 10**12, int(rng.integers(0, 60))).astype(np.int64)
+            for _ in range(80)]
+    arrs += [np.arange(0, 900, 3, dtype=np.int64)[:int(rng.integers(0, 250))]
+             for _ in range(80)]
+    arrs += [np.array([], dtype=np.int64), np.array([5]), np.array([5, -7]),
+             rng.integers(-2**62, 2**62, 40).astype(np.int64)]
+    blobs = [encode_ints(a) for a in arrs]
+    flat, offs = decode_ints_batch(blobs)
+    assert offs[-1] == sum(len(a) for a in arrs)
+    for i, (a, b) in enumerate(zip(arrs, blobs)):
+        np.testing.assert_array_equal(flat[offs[i]:offs[i + 1]], a)
+        np.testing.assert_array_equal(decode_ints(b), a)
