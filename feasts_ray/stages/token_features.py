@@ -25,11 +25,37 @@ N_LAGS = 10
 SEASON_PERIOD = 60
 TREND_WINDOW = 60
 
+N_PACF = 5
+
 FEATURE_COLS = (
     "n", "tok_mean", "tok_var",
     "acf1", "acf10_ss", "diff1_acf1", "diff1_acf10_ss",
+    "pacf5_ss",
     "season_strength", "trend_strength",
 )
+
+
+def _pacf_ss_from_acfs(acfs: np.ndarray, b: int) -> np.ndarray:
+    """Durbin-Levinson over the batch: sum of squares of the first N_PACF
+    partial autocorrelations from acf lags 1..N_PACF (feasts feat_pacf
+    semantics, R/features.R:669-695). All ops elementwise over (B,) so
+    results are independent of batch composition."""
+    with np.errstate(invalid="ignore", divide="ignore"):
+        phi_prev = {1: acfs[0].copy()}
+        ss = acfs[0] * acfs[0]
+        for k in range(2, N_PACF + 1):
+            num = acfs[k - 1].copy()
+            den = np.ones(b)
+            for j in range(1, k):
+                num = num - phi_prev[j] * acfs[k - j - 1]
+                den = den - phi_prev[j] * acfs[j - 1]
+            phi_kk = np.where(den != 0, num / den, np.nan)
+            phi_new = {k: phi_kk}
+            for j in range(1, k):
+                phi_new[j] = phi_prev[j] - phi_kk * phi_prev[k - j]
+            phi_prev = phi_new
+            ss = ss + phi_kk * phi_kk
+    return ss
 
 
 def pad_bucket(n: int, pad_len: int = PAD_LEN) -> int:
@@ -81,6 +107,7 @@ def token_feature_block(x: np.ndarray, n: np.ndarray, mask: np.ndarray) -> dict[
     acf10_ss = np.zeros(b)
     for k in range(N_LAGS):
         acf10_ss = acf10_ss + acfs[k] * acfs[k]
+    pacf5_ss = _pacf_ss_from_acfs(acfs, b)
 
     # diff1 series: d_t = x_{t+1} - x_t for t < n-1 (zero elsewhere)
     d = np.where(mask[:, 1:], x[:, 1:] - x[:, :-1], 0.0)
@@ -148,6 +175,7 @@ def token_feature_block(x: np.ndarray, n: np.ndarray, mask: np.ndarray) -> dict[
         "n": nf, "tok_mean": mean, "tok_var": var,
         "acf1": acf1, "acf10_ss": acf10_ss,
         "diff1_acf1": diff1_acf1, "diff1_acf10_ss": diff1_acf10_ss,
+        "pacf5_ss": pacf5_ss,
         "season_strength": season_strength, "trend_strength": trend_strength,
     }
 
