@@ -16,7 +16,7 @@ import pyarrow as pa
 import ray.data
 from ray.data.aggregate import Count, Max, Min, Sum
 
-from ..ann import topk_cosine, topk_cosine_lsh
+from ..ann import topk_cosine, topk_cosine_ivf, topk_cosine_lsh
 from ..dedup import (
     embedding_dup_pairs,
     exact_groups,
@@ -252,6 +252,15 @@ def q_ann_topk_lsh(sf_dir: str):
     return out[["query_id", "rank", "vec_id"]]
 
 
+def q_ann_topk_ivf(sf_dir: str):
+    """IVF coarse-quantizer ANN (sampled spherical k-means + n_probe
+    cell search) — the classic at-scale inverted-file path."""
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    out = topk_cosine_ivf(ds, _query_vectors(sf_dir), k=10,
+                          n_centroids=32, n_probe=8)
+    return out[["query_id", "rank", "vec_id"]]
+
+
 # ---------------- feasts feature/correlogram/decomposition surface ------
 
 def _hourly_mean_series(sf_dir: str):
@@ -414,6 +423,7 @@ ALL_QUERIES = {
     "bpe_token_counts": q_bpe_token_counts,
     "ann_topk": q_ann_topk,
     "ann_topk_lsh": q_ann_topk_lsh,
+    "ann_topk_ivf": q_ann_topk_ivf,
     "features_1h": q_features_1h,
     "acf_table_1h": q_acf_table_1h,
     "pacf_table_1h": q_pacf_table_1h,

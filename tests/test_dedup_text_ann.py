@@ -195,3 +195,32 @@ class TestTextAnalysis:
         out = ds.map_batches(add_fingerprint, batch_format="pyarrow").to_pandas()
         fp = out.sort_values("doc_id")["fingerprint"].tolist()
         assert fp[0] == fp[1] != fp[2]
+
+
+class TestIVF:
+    def test_ivf_recall_on_clusters(self, ray_session):
+        """Clustered embeddings: IVF with enough probes finds the exact
+        neighbors (cluster-mates live in probed cells)."""
+        from feasts_ray.ann import topk_cosine_ivf
+
+        rng = np.random.default_rng(5)
+        centers = rng.standard_normal((8, 32)) * 4
+        m = np.concatenate([c + 0.3 * rng.standard_normal((50, 32))
+                            for c in centers]).astype(np.float32)
+        tbl = pa.table({
+            "vec_id": pa.array(range(len(m)), type=pa.int64()),
+            "embedding": pa.array([list(map(float, r)) for r in m],
+                                  type=pa.list_(pa.float32())),
+        })
+        ds = ray.data.from_arrow(tbl)
+        q = m[[0, 50, 100]].astype(np.float64)
+        exact = topk_cosine(ds, q, k=10, batch_size=128)
+        approx = topk_cosine_ivf(ds, q, k=10, n_centroids=16, n_probe=4,
+                                 batch_size=128)
+        for qi in range(3):
+            e = set(exact[exact["query_id"] == qi]["vec_id"])
+            a = set(approx[approx["query_id"] == qi]["vec_id"])
+            assert len(e & a) / len(e) >= 0.8
+        for qi in range(3):
+            top = approx[(approx["query_id"] == qi) & (approx["rank"] == 1)]
+            assert top["vec_id"].iloc[0] == [0, 50, 100][qi]
