@@ -30,11 +30,13 @@ def _mix_cols(batch: pa.Table, cols: list[str]) -> np.ndarray:
 
 
 class _RunPairKernel:
-    def __init__(self, bucket_cols, id_col, carry_cols, max_bucket):
+    def __init__(self, bucket_cols, id_col, carry_cols, max_bucket,
+                 post_filter=None):
         self.bucket_cols = list(bucket_cols)
         self.id_col = id_col
         self.carry_cols = list(carry_cols)
         self.max_bucket = max_bucket
+        self.post_filter = post_filter
 
     def __call__(self, group: pd.DataFrame) -> pd.DataFrame:
         df = group.drop_duplicates(subset=[*self.bucket_cols, self.id_col])
@@ -74,7 +76,13 @@ class _RunPairKernel:
         for c in self.carry_cols:
             out[f"{c}_a"] = carries[c][ia]
             out[f"{c}_b"] = carries[c][ib]
-        return pd.DataFrame(out)
+        df = pd.DataFrame(out)
+        if self.post_filter is not None:
+            # verify INSIDE the kernel: clustered data can explode the
+            # candidate set, so cheap vectorized filters must run before
+            # anything is collected
+            df = self.post_filter(df)
+        return df
 
 
 def emit_candidate_pairs(
@@ -84,15 +92,18 @@ def emit_candidate_pairs(
     carry_cols: list[str] = (),
     num_groups: int = 128,
     max_bucket: int = 500,
+    post_filter=None,
 ) -> pd.DataFrame:
     """(bucket..., id[, carry...]) rows -> deduped candidate pairs
-    (id_a < id_b) as a small pandas DataFrame."""
+    (id_a < id_b) as a small pandas DataFrame. ``post_filter`` (df -> df,
+    vectorized) runs inside the pair kernels before collection."""
 
     def _add_group(batch: pa.Table) -> pa.Table:
         g = (_mix_cols(batch, list(bucket_cols)) % np.uint64(num_groups)).astype(np.int64)
         return batch.append_column("pgroup", pa.array(g, type=pa.int64()))
 
-    kernel = _RunPairKernel(bucket_cols, id_col, carry_cols, max_bucket)
+    kernel = _RunPairKernel(bucket_cols, id_col, carry_cols, max_bucket,
+                            post_filter)
     pairs = ds.map_batches(_add_group, batch_format="pyarrow").groupby(
         "pgroup").map_groups(kernel.__call__, batch_format="pandas")
     pdf = pairs.to_pandas()

@@ -112,18 +112,22 @@ def simhash_dedup_pairs(
         batch_size=batch_size,
         concurrency=concurrency,
     )
+    def _hamming_filter(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            df["hamming"] = pd.Series(dtype="int64")
+            return df.drop(columns=["simhash_a", "simhash_b"])
+        x = df["simhash_a"].to_numpy().astype(np.int64).view(np.uint64) ^ \
+            df["simhash_b"].to_numpy().astype(np.int64).view(np.uint64)
+        ham = np.unpackbits(x.view(np.uint8).reshape(len(x), 8), axis=1).sum(axis=1)
+        df = df.drop(columns=["simhash_a", "simhash_b"])
+        df["hamming"] = ham.astype(np.int64)
+        return df[df["hamming"] <= max_hamming]
+
     pdf = emit_candidate_pairs(emitted, ["chunk", "chunk_val"], id_col,
-                               carry_cols=["simhash"], max_bucket=max_bucket)
+                               carry_cols=["simhash"], max_bucket=max_bucket,
+                               post_filter=_hamming_filter)
     if len(pdf) == 0:
         return pd.DataFrame({"id_a": pd.Series(dtype="int64"),
                              "id_b": pd.Series(dtype="int64"),
                              "hamming": pd.Series(dtype="int64")})
-    # verify: XOR popcount on the carried simhashes (vectorized, driver-side
-    # over the small candidate set)
-    x = pdf["simhash_a"].to_numpy().astype(np.int64).view(np.uint64) ^ \
-        pdf["simhash_b"].to_numpy().astype(np.int64).view(np.uint64)
-    ham = np.unpackbits(x.view(np.uint8).reshape(len(x), 8), axis=1).sum(axis=1)
-    out = pd.DataFrame({"id_a": pdf["id_a"], "id_b": pdf["id_b"],
-                        "hamming": ham.astype(np.int64)})
-    out = out[out["hamming"] <= max_hamming]
-    return out.sort_values(["id_a", "id_b"], ignore_index=True)
+    return pdf.sort_values(["id_a", "id_b"], ignore_index=True)
