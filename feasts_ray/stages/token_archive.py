@@ -32,10 +32,12 @@ def archive_tokens_batch(batch: pa.Table, tokens_col: str = "tokens",
     blobs = [encode_ints(flat[offs[i]:offs[i + 1]]) for i in range(len(batch))]
     raw_bytes = 4 * (int(offs[-1]) - int(offs[0])) if len(batch) else 0
     if verify and len(batch):
-        # lockstep vectorized decode of the whole batch, one flat compare
+        # lockstep vectorized decode of the whole batch: flat values AND
+        # per-doc boundaries must both match the source exactly
         dec_flat, dec_offs = decode_ints_batch(blobs)
         src = flat[offs[0]:offs[-1]]
-        if len(dec_flat) != len(src) or not np.array_equal(dec_flat, src):
+        if (not np.array_equal(dec_offs, offs - offs[0])
+                or not np.array_equal(dec_flat, src)):
             raise AssertionError("token-array roundtrip mismatch in batch")
     keep = [c for c in batch.column_names if c != tokens_col]
     out = batch.select(keep)
