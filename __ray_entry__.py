@@ -160,6 +160,21 @@ def oracle_sql() -> dict[str, str]:
             "CAST(MIN(c) AS DOUBLE) AS min_value, CAST(MAX(c) AS DOUBLE) AS max_value "
             "FROM ph GROUP BY event_type, phase"
             .format(sec=_EV_SEC.format(u=3600))),
+        "rolling_24h": """
+WITH sec AS ({sec2}),
+agg AS (SELECT event_type, bucket, COUNT(*) AS x FROM sec GROUP BY event_type, bucket),
+span AS (SELECT event_type, MIN(bucket) AS lo, MAX(bucket) AS hi FROM agg GROUP BY event_type),
+dense AS (SELECT event_type, unnest(generate_series(lo, hi, 3600)) AS bucket FROM span),
+series AS (
+  SELECT d.event_type, d.bucket, COALESCE(a.x, 0) AS x
+  FROM dense d LEFT JOIN agg a ON a.event_type = d.event_type AND a.bucket = d.bucket)
+SELECT event_type, bucket, CAST(x AS DOUBLE) AS value,
+  CAST(SUM(x) OVER w AS DOUBLE) / CAST(COUNT(x) OVER w AS DOUBLE) AS roll_mean,
+  CAST(COUNT(x) OVER w AS DOUBLE) AS roll_count
+FROM series
+WINDOW w AS (PARTITION BY event_type ORDER BY bucket
+             ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
+""".format(sec2=_EV_SEC.format(u=3600)),
         "lag_pairs_1h": """
 WITH sec AS ({sec}),
 agg AS (SELECT event_type, bucket, COUNT(*) AS x FROM sec GROUP BY event_type, bucket),

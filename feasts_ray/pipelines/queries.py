@@ -382,6 +382,28 @@ def q_cointegration_1h(sf_dir: str):
     return pd.DataFrame(rows)
 
 
+def q_rolling_24h(sf_dir: str):
+    """Trailing 24h rolling mean/count of hourly event counts per type
+    (slider-style windows as a distributed stage; exact integer window
+    sums -> mirrored double division for the SQL oracle)."""
+    from ..stages.rolling import rolling
+
+    series = _hourly_count_series(sf_dir)
+    out = rolling(series, value_col="value", key_col="event_type",
+                  time_col="bucket", size=24, stats=("mean", "count"))
+
+    def _cast(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": batch["event_type"],
+            "bucket": batch["bucket"].cast(pa.int64()),
+            "value": batch["value"].cast(pa.float64()),
+            "roll_mean": batch["roll_mean"].cast(pa.float64()),
+            "roll_count": batch["roll_count"].cast(pa.float64()),
+        })
+
+    return out.map_batches(_cast, batch_format="pyarrow")
+
+
 def q_seasonal_subseries_1h(sf_dir: str):
     """Per (event_type, hour-of-day) profile of hourly event counts
     (gg_subseries panel data; the reference re-exports the display from
@@ -431,6 +453,7 @@ ALL_QUERIES = {
     "classical_1h": q_classical_1h,
     "ccf_1h": q_ccf_1h,
     "cointegration_1h": q_cointegration_1h,
+    "rolling_24h": q_rolling_24h,
     "seasonal_subseries_1h": q_seasonal_subseries_1h,
     "lag_pairs_1h": q_lag_pairs_1h,
 }

@@ -1,0 +1,77 @@
+"""Rolling-window aggregates over keyed series (the reference consumes
+slider::slide_dbl for trailing windows, e.g. shift_level_max
+/root/reference/R/features.R:395-417; this exposes the same trailing
+windows as a first-class distributed stage).
+
+One groupby(key) shuffle; inside the kernel every statistic is O(n) via
+prefix sums (mean/sum/var) — no per-window loops.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+import ray.data
+
+
+def _trailing_windows(x: np.ndarray, size: int):
+    """(sums, counts, sumsq) of the trailing window ending at each t
+    (window = last `size` values, partial at the head)."""
+    n = len(x)
+    v = np.nan_to_num(x, nan=0.0)
+    ok = (~np.isnan(x)).astype(np.float64)
+    cs = np.concatenate([[0.0], np.cumsum(v)])
+    cc = np.concatenate([[0.0], np.cumsum(ok)])
+    cq = np.concatenate([[0.0], np.cumsum(v * v)])
+    lo = np.maximum(np.arange(n) + 1 - size, 0)
+    hi = np.arange(n) + 1
+    return cs[hi] - cs[lo], cc[hi] - cc[lo], cq[hi] - cq[lo]
+
+
+class _RollingKernel:
+    def __init__(self, value_col, key_col, time_col, size, stats, min_periods):
+        self.value_col = value_col
+        self.key_col = key_col
+        self.time_col = time_col
+        self.size = size
+        self.stats = tuple(stats)
+        self.min_periods = min_periods
+
+    def __call__(self, group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(self.time_col, kind="mergesort")
+        x = g[self.value_col].to_numpy(dtype=np.float64, na_value=np.nan)
+        s, c, q = _trailing_windows(x, self.size)
+        enough = c >= self.min_periods
+        out = pd.DataFrame({
+            self.key_col: g[self.key_col].to_numpy(),
+            self.time_col: g[self.time_col].to_numpy(),
+            self.value_col: x,
+        })
+        with np.errstate(invalid="ignore", divide="ignore"):
+            if "mean" in self.stats:
+                out["roll_mean"] = np.where(enough, s / c, np.nan)
+            if "sum" in self.stats:
+                out["roll_sum"] = np.where(enough, s, np.nan)
+            if "var" in self.stats:
+                mu = s / c
+                var = np.where(c > 1, (q - c * mu * mu) / (c - 1), np.nan)
+                out["roll_var"] = np.where(enough, var, np.nan)
+            if "count" in self.stats:
+                out["roll_count"] = c
+        return out
+
+
+def rolling(
+    ds: "ray.data.Dataset",
+    value_col: str,
+    key_col: str,
+    time_col: str = "bucket",
+    size: int = 10,
+    stats=("mean", "var", "count"),
+    min_periods: int = 1,
+) -> "ray.data.Dataset":
+    """Trailing rolling stats per key, O(n) prefix-sum kernels."""
+    kernel = _RollingKernel(value_col, key_col, time_col, size, stats,
+                            min_periods)
+    return ds.groupby(key_col).map_groups(kernel.__call__, batch_format="pandas")

@@ -190,3 +190,20 @@ def test_seasonal_subseries_and_lag_pairs(keyed_ds, keyed_df):
         one = lp[(lp["key"] == k) & (lp["lag"] == 1)].sort_values("t")
         np.testing.assert_allclose(one["y"].to_numpy(), y[1:])
         np.testing.assert_allclose(one["y_lagged"].to_numpy(), y[:-1])
+
+
+def test_rolling_matches_pandas(keyed_ds, keyed_df):
+    from feasts_ray.stages.rolling import rolling
+
+    out = rolling(keyed_ds, value_col="value", key_col="key", time_col="t",
+                  size=7, stats=("mean", "var", "count")).to_pandas()
+    for k, grp in keyed_df.groupby("key"):
+        g = grp.sort_values("t")
+        r = g["value"].rolling(7, min_periods=1)
+        got = out[out["key"] == k].sort_values("t")
+        np.testing.assert_allclose(got["roll_mean"].to_numpy(),
+                                   r.mean().to_numpy())
+        np.testing.assert_allclose(got["roll_var"].to_numpy(),
+                                   r.var().to_numpy(), equal_nan=True)
+        np.testing.assert_array_equal(got["roll_count"].to_numpy(),
+                                      r.count().to_numpy())
