@@ -7,7 +7,7 @@ shuffle keyed by the (band/bucket) hash.
 """
 
 from .exact import dedup_exact, exact_groups
-from .minhash import minhash_dedup_pairs
+from .minhash import minhash_dedup_pairs, ngram_jaccard_pairs
 from .simhash import simhash_dedup_pairs
 from .embedding import embedding_dup_pairs
 
@@ -15,6 +15,7 @@ __all__ = [
     "dedup_exact",
     "exact_groups",
     "minhash_dedup_pairs",
+    "ngram_jaccard_pairs",
     "simhash_dedup_pairs",
     "embedding_dup_pairs",
 ]

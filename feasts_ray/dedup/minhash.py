@@ -129,3 +129,19 @@ def minhash_dedup_pairs(
     pdf["jaccard"] = jac
     out = pdf[pdf["jaccard"] >= threshold].reset_index(drop=True)
     return out.sort_values(["id_a", "id_b"], ignore_index=True)
+
+
+def ngram_jaccard_pairs(
+    ds: "ray.data.Dataset",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.5,
+    **kwargs,
+) -> pd.DataFrame:
+    """Exact word-n-gram Jaccard near-dup pairs. Candidate generation is
+    MinHash+LSH (recall tuned by num_perm/n_bands kwargs); every candidate
+    is verified with the EXACT shingle-set Jaccard, so precision is exact
+    and the returned `jaccard` column is the true similarity."""
+    return minhash_dedup_pairs(ds, text_col=text_col, id_col=id_col, k=k,
+                               threshold=threshold, **kwargs)
