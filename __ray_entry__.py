@@ -210,6 +210,18 @@ JOIN series p ON p.event_type = s.event_type AND p.bucket = s.bucket - k.lag * 3
             "WITH cents AS (SELECT user_id, CAST(ROUND(value*100) AS BIGINT) AS c "
             "FROM events) SELECT user_id, SUM(c) AS total_cents, COUNT(*) AS n_events "
             "FROM cents GROUP BY user_id ORDER BY total_cents DESC, user_id LIMIT 10"),
+        "pricing_summary": (
+            "WITH t AS (SELECT l_returnflag, l_linestatus, "
+            "CAST(ROUND(l_quantity) AS BIGINT) AS qty, "
+            "CAST(ROUND(l_extendedprice * 100.0) AS BIGINT) AS base_cents, "
+            "CAST(ROUND((l_extendedprice * (1.0 - l_discount)) * 10000.0) AS BIGINT) "
+            "AS disc_t FROM lineitem) "
+            "SELECT l_returnflag, l_linestatus, SUM(qty) AS sum_qty, "
+            "SUM(base_cents) AS sum_base_cents, SUM(disc_t) AS sum_disc_t, "
+            "COUNT(*) AS count_order, "
+            "CAST(SUM(qty) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_qty, "
+            "(CAST(SUM(base_cents) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) / 100.0 "
+            "AS avg_price FROM t GROUP BY l_returnflag, l_linestatus"),
         "lineitem_daily": (
             "WITH sec AS (SELECT l_returnflag, "
             "(epoch_us(l_shipdate)//1000000//86400)*86400 AS bucket, "

@@ -170,6 +170,62 @@ def q_top_users(sf_dir: str):
     return pdf[["user_id", "total_cents", "n_events"]]
 
 
+def q_pricing_summary(sf_dir: str):
+    """TPC-H Q1-style pricing summary: grouped multi-aggregate over
+    lineitem with exact integer cents / ten-thousandths so every derived
+    double mirrors the SQL oracle bit-for-bit."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity",
+                 "l_extendedprice", "l_discount"])
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        qty = batch["l_quantity"].to_numpy(zero_copy_only=False)
+        price = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = batch["l_discount"].to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({
+            "l_returnflag": batch["l_returnflag"].to_numpy(zero_copy_only=False),
+            "l_linestatus": batch["l_linestatus"].to_numpy(zero_copy_only=False),
+            "qty": np.rint(qty).astype(np.int64),
+            "base_cents": np.rint(price * 100.0).astype(np.int64),
+            "disc_t": np.rint((price * (1.0 - disc)) * 10000.0).astype(np.int64),
+            "one": np.ones(len(qty), dtype=np.int64),
+        })
+        g = df.groupby(["l_returnflag", "l_linestatus"], sort=False, observed=True)
+        out = g.agg(sum_qty=("qty", "sum"), sum_base_cents=("base_cents", "sum"),
+                    sum_disc_t=("disc_t", "sum"),
+                    count_order=("one", "sum")).reset_index()
+        return pa.Table.from_pandas(out, preserve_index=False
+                                    ).replace_schema_metadata(None)
+
+    merged = ds.map_batches(_partial, batch_format="pyarrow").groupby(
+        ["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("sum_qty", alias_name="sum_qty"),
+        Sum("sum_base_cents", alias_name="sum_base_cents"),
+        Sum("sum_disc_t", alias_name="sum_disc_t"),
+        Sum("count_order", alias_name="count_order"),
+    )
+
+    def _derive(batch: pa.Table) -> pa.Table:
+        sq = batch["sum_qty"].to_numpy(zero_copy_only=False)
+        sb = batch["sum_base_cents"].to_numpy(zero_copy_only=False)
+        co = batch["count_order"].to_numpy(zero_copy_only=False)
+        avg_qty = sq.astype(np.float64) / co.astype(np.float64)
+        avg_price = (sb.astype(np.float64) / co.astype(np.float64)) / 100.0
+        t = pa.table({
+            "l_returnflag": batch["l_returnflag"],
+            "l_linestatus": batch["l_linestatus"],
+            "sum_qty": batch["sum_qty"].cast(pa.int64()),
+            "sum_base_cents": batch["sum_base_cents"].cast(pa.int64()),
+            "sum_disc_t": batch["sum_disc_t"].cast(pa.int64()),
+            "count_order": batch["count_order"].cast(pa.int64()),
+        })
+        t = t.append_column("avg_qty", pa.array(avg_qty, type=pa.float64()))
+        return t.append_column("avg_price", pa.array(avg_price, type=pa.float64()))
+
+    return merged.map_batches(_derive, batch_format="pyarrow")
+
+
 def q_lineitem_daily(sf_dir: str):
     return rollup_table(f"{sf_dir}/lineitem.parquet", DAY,
                         key_col="l_returnflag", ts_col="l_shipdate",
@@ -434,6 +490,7 @@ ALL_QUERIES = {
     "event_type_stats": q_event_type_stats,
     "top_users": q_top_users,
     "lineitem_daily": q_lineitem_daily,
+    "pricing_summary": q_pricing_summary,
     "dedup_exact": q_dedup_exact,
     "token_counts": q_token_counts,
     "minhash_dup_pairs": q_minhash_pairs,
