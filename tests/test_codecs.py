@@ -111,3 +111,30 @@ def test_decode_ints_batch_matches_scalar():
     for i, (a, b) in enumerate(zip(arrs, blobs)):
         np.testing.assert_array_equal(flat[offs[i]:offs[i + 1]], a)
         np.testing.assert_array_equal(decode_ints(b), a)
+
+
+try:
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.lists(st.integers(min_value=-(2**62), max_value=2**62), max_size=300))
+    def test_int_roundtrip_property(xs):
+        import numpy as np
+        from feasts_ray.codecs import decode_ints, encode_ints
+
+        a = np.array(xs, dtype=np.int64)
+        np.testing.assert_array_equal(decode_ints(encode_ints(a)), a)
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.lists(st.floats(allow_nan=True, allow_infinity=True,
+                              width=64), max_size=200))
+    def test_float_roundtrip_property(xs):
+        import numpy as np
+        from feasts_ray.codecs.gorilla import decode_floats, encode_floats
+
+        a = np.array(xs, dtype=np.float64)
+        out = a.view(np.uint64)
+        got = decode_floats(encode_floats(a)).view(np.uint64)
+        np.testing.assert_array_equal(got, out)  # bitwise, incl NaN payloads
+except ImportError:  # pragma: no cover
+    pass
