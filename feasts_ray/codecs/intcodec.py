@@ -23,7 +23,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from .bitio import BitReader, BitWriter
+from .bitio import BitWriter
 
 _U64 = np.uint64
 

@@ -18,7 +18,7 @@ import pyarrow as pa
 
 import ray.data
 
-from ..codecs import decode_ints, encode_ints
+from ..codecs import encode_ints
 from ..codecs.intcodec import decode_ints_batch
 
 
