@@ -160,6 +160,29 @@ def oracle_sql() -> dict[str, str]:
             "CAST(MIN(c) AS DOUBLE) AS min_value, CAST(MAX(c) AS DOUBLE) AS max_value "
             "FROM ph GROUP BY event_type, phase"
             .format(sec=_EV_SEC.format(u=3600))),
+        "anomalies_1h": """
+WITH sec AS ({sec3}),
+agg AS (SELECT event_type, bucket, COUNT(*) AS x FROM sec GROUP BY event_type, bucket),
+span AS (SELECT event_type, MIN(bucket) AS lo, MAX(bucket) AS hi FROM agg GROUP BY event_type),
+dense AS (SELECT event_type, unnest(generate_series(lo, hi, 3600)) AS bucket FROM span),
+series AS (
+  SELECT d.event_type, d.bucket, COALESCE(a.x, 0) AS x
+  FROM dense d LEFT JOIN agg a ON a.event_type = d.event_type AND a.bucket = d.bucket),
+w AS (
+  SELECT event_type, bucket, x,
+    SUM(x) OVER win AS s, COUNT(x) OVER win AS c, SUM(x*x) OVER win AS q
+  FROM series
+  WINDOW win AS (PARTITION BY event_type ORDER BY bucket
+                 ROWS BETWEEN 23 PRECEDING AND CURRENT ROW))
+SELECT event_type, bucket, CAST(x AS DOUBLE) AS value,
+  CASE WHEN c > 1 THEN
+    abs(CAST(x AS DOUBLE) - CAST(s AS DOUBLE) / CAST(c AS DOUBLE))
+    - 3.0 * sqrt((CAST(q AS DOUBLE) - CAST(c AS DOUBLE)
+        * (CAST(s AS DOUBLE) / CAST(c AS DOUBLE))
+        * (CAST(s AS DOUBLE) / CAST(c AS DOUBLE))) / (CAST(c AS DOUBLE) - 1.0)) > 0.0
+  ELSE FALSE END AS is_anomaly
+FROM w
+""".format(sec3=_EV_SEC.format(u=3600)),
         "rolling_24h": """
 WITH sec AS ({sec2}),
 agg AS (SELECT event_type, bucket, COUNT(*) AS x FROM sec GROUP BY event_type, bucket),

@@ -460,6 +460,34 @@ def q_rolling_24h(sf_dir: str):
     return out.map_batches(_cast, batch_format="pyarrow")
 
 
+def q_anomalies_1h(sf_dir: str):
+    """Rolling z-score anomaly flags over hourly event counts: |x - mu|
+    > 3*sd against the trailing-24h window (composition of the rollup and
+    rolling stages; exact integer window sums -> mirrored doubles, so
+    even the boolean flags match the SQL oracle exactly)."""
+    from ..stages.rolling import rolling
+
+    series = _hourly_count_series(sf_dir)
+    out = rolling(series, value_col="value", key_col="event_type",
+                  time_col="bucket", size=24, stats=("mean", "var", "count"))
+
+    def _flag(batch: pa.Table) -> pa.Table:
+        x = batch["value"].to_numpy(zero_copy_only=False)
+        mu = batch["roll_mean"].to_numpy(zero_copy_only=False)
+        var = batch["roll_var"].to_numpy(zero_copy_only=False)
+        with np.errstate(invalid="ignore"):
+            z = np.abs(x - mu) - 3.0 * np.sqrt(var)
+            flag = np.where(np.isnan(z), False, z > 0.0)
+        return pa.table({
+            "event_type": batch["event_type"],
+            "bucket": batch["bucket"].cast(pa.int64()),
+            "value": batch["value"].cast(pa.float64()),
+            "is_anomaly": pa.array(flag, type=pa.bool_()),
+        })
+
+    return out.map_batches(_flag, batch_format="pyarrow")
+
+
 def q_seasonal_subseries_1h(sf_dir: str):
     """Per (event_type, hour-of-day) profile of hourly event counts
     (gg_subseries panel data; the reference re-exports the display from
@@ -511,6 +539,7 @@ ALL_QUERIES = {
     "ccf_1h": q_ccf_1h,
     "cointegration_1h": q_cointegration_1h,
     "rolling_24h": q_rolling_24h,
+    "anomalies_1h": q_anomalies_1h,
     "seasonal_subseries_1h": q_seasonal_subseries_1h,
     "lag_pairs_1h": q_lag_pairs_1h,
 }
