@@ -17,7 +17,7 @@ FAST_ORACLE_QUERIES = [
     "rollup_1m", "rollup_1h_cascade", "gapfill_1h", "gap_counts",
     "acf_1h_counts", "event_type_stats", "dedup_exact", "token_counts",
     "text_quality", "langid", "ccf_1h", "seasonal_subseries_1h",
-    "rolling_24h",
+    "rolling_24h", "anomalies_1h", "pricing_summary", "lag_pairs_1h",
 ]
 
 
