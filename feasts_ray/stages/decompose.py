@@ -178,3 +178,40 @@ def generate_mbb(
         return pd.concat(reps, ignore_index=True)
 
     return dcmp_ds.groupby(list(key_cols)).map_groups(_gen, batch_format="pandas")
+
+
+class _X11Kernel:
+    def __init__(self, value_col, key_cols, period, time_col):
+        self.value_col = value_col
+        self.key_cols = tuple(key_cols)
+        self.period = period
+        self.time_col = time_col
+
+    def __call__(self, group: pd.DataFrame) -> pd.DataFrame:
+        from ..functions.x11 import x11_additive
+
+        if self.time_col is not None:
+            group = group.sort_values(self.time_col, kind="mergesort")
+        y = group[self.value_col].to_numpy(dtype=np.float64, na_value=np.nan)
+        dcmp = x11_additive(y, self.period)
+        out = group.copy()
+        for k, v in dcmp.items():
+            out[k] = v
+        return out
+
+
+def x11_decomposition(
+    ds: "ray.data.Dataset",
+    value_col: str,
+    key_cols: list[str],
+    period: int,
+    time_col: str | None = None,
+) -> Decomposition:
+    """X11-style additive seasonal adjustment (Henderson trend + 3x3/3x5
+    seasonal MAs; see functions/x11.py — the reference's X-11 surface is
+    an external Census binary, R/x11.R:19-84, reimplemented from the
+    published method as a documented deviation)."""
+    kernel = _X11Kernel(value_col, tuple(key_cols), period, time_col)
+    out = ds.groupby(list(key_cols)).map_groups(kernel.__call__,
+                                                batch_format="pandas")
+    return Decomposition(out, value_col, "X11", ["seasonal"])

@@ -207,3 +207,28 @@ def test_rolling_matches_pandas(keyed_ds, keyed_df):
                                    r.var().to_numpy(), equal_nan=True)
         np.testing.assert_array_equal(got["roll_count"].to_numpy(),
                                       r.count().to_numpy())
+
+
+def test_x11_decomposition_stage(ray_session):
+    """X11-style additive adjustment recovers a planted seasonal pattern
+    and satisfies the reconstruction identity."""
+    from feasts_ray.stages.decompose import x11_decomposition
+
+    n, p = 240, 12
+    t = np.arange(n, dtype=float)
+    seasonal = np.tile(np.sin(2 * np.pi * np.arange(p) / p) * 5, n // p)
+    rng = np.random.default_rng(1)
+    rows = []
+    for key in ("a", "b"):
+        y = 0.1 * t + seasonal + rng.normal(0, 0.3, n)
+        rows.append(pd.DataFrame({"key": key, "t": t, "value": y}))
+    ds = ray.data.from_pandas(pd.concat(rows, ignore_index=True))
+    out = x11_decomposition(ds, "value", ["key"], period=p,
+                            time_col="t").components().to_pandas()
+    assert len(out) == 2 * n
+    for key, g in out.groupby("key"):
+        g = g.sort_values("t")
+        np.testing.assert_allclose(
+            g["trend"] + g["seasonal"] + g["remainder"], g["value"], atol=1e-9)
+        sl = slice(3 * p, n - 3 * p)
+        assert np.abs(g["seasonal"].to_numpy()[sl] - seasonal[sl]).mean() < 0.4
