@@ -29,15 +29,20 @@ _H13 = _H13 / _H13.sum()
 
 
 def _sym_filter(x: np.ndarray, w: np.ndarray) -> np.ndarray:
-    """Symmetric weighted MA with truncated re-normalized edges."""
+    """Symmetric weighted MA with truncated re-normalized edges
+    (vectorized convolution interior; Python only at the 2h edge points)."""
     n = len(x)
     h = len(w) // 2
-    out = np.empty(n)
-    for t in range(n):
-        lo = max(0, t - h)
-        hi = min(n, t + h + 1)
-        ww = w[h - (t - lo): h + (hi - t)]
-        out[t] = float(np.dot(x[lo:hi], ww) / ww.sum())
+    out = np.convolve(x, w[::-1], mode="same")  # symmetric w: reversal moot
+    for t in range(min(h, n)):
+        ww = w[h - t:]
+        out[t] = float(np.dot(x[: t + h + 1], ww[: t + h + 1]) / ww[: t + h + 1].sum())
+        u = n - 1 - t
+        if u < 0 or u <= t:
+            continue
+        lo = max(0, u - h)
+        ww2 = w[h - (u - lo): h + (n - u)]
+        out[u] = float(np.dot(x[lo:], ww2) / ww2.sum())
     return out
 
 
