@@ -34,15 +34,12 @@ def _sym_filter(x: np.ndarray, w: np.ndarray) -> np.ndarray:
     n = len(x)
     h = len(w) // 2
     out = np.convolve(x, w[::-1], mode="same")  # symmetric w: reversal moot
-    for t in range(min(h, n)):
-        ww = w[h - t:]
-        out[t] = float(np.dot(x[: t + h + 1], ww[: t + h + 1]) / ww[: t + h + 1].sum())
-        u = n - 1 - t
-        if u < 0 or u <= t:
-            continue
-        lo = max(0, u - h)
-        ww2 = w[h - (u - lo): h + (n - u)]
-        out[u] = float(np.dot(x[lo:], ww2) / ww2.sum())
+    for t in range(n):
+        if h <= t < n - h:
+            continue  # interior handled by the convolution
+        lo, hi = max(0, t - h), min(n, t + h + 1)
+        ww = w[h - (t - lo): h + (hi - t)]
+        out[t] = float(np.dot(x[lo:hi], ww) / ww.sum())
     return out
 
 
