@@ -33,7 +33,10 @@ def _sym_filter(x: np.ndarray, w: np.ndarray) -> np.ndarray:
     (vectorized convolution interior; Python only at the 2h edge points)."""
     n = len(x)
     h = len(w) // 2
-    out = np.convolve(x, w[::-1], mode="same")  # symmetric w: reversal moot
+    if n >= len(w):
+        out = np.convolve(x, w[::-1], mode="same")  # symmetric w
+    else:
+        out = np.empty(n)  # every point is an edge; loop computes all
     for t in range(n):
         if h <= t < n - h:
             continue  # interior handled by the convolution
