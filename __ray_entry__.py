@@ -38,7 +38,7 @@ _EV_SEC = ("SELECT event_type, (epoch_us(ts)//1000000//{u})*{u} AS bucket, "
 
 _ROLLUP = ("WITH sec AS ({sec}) "
            "SELECT event_type, bucket, COUNT(*) AS count, "
-           "SUM(cents) AS sum_cents, MIN(cents) AS min_cents, "
+           "CAST(SUM(cents) AS BIGINT) AS sum_cents, MIN(cents) AS min_cents, "
            "MAX(cents) AS max_cents, "
            "(CAST(SUM(cents) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) / 100.0 "
            "AS mean_val FROM sec GROUP BY event_type, bucket")
@@ -57,7 +57,8 @@ agg AS (
 span AS (SELECT event_type, MIN(bucket) AS lo, MAX(bucket) AS hi FROM agg GROUP BY event_type),
 dense AS (SELECT event_type, unnest(generate_series(lo, hi, 3600)) AS bucket FROM span)
 SELECT d.event_type, d.bucket,
-       COALESCE(a.count, 0) AS count, COALESCE(a.sum_cents, 0) AS sum_cents,
+       COALESCE(a.count, 0) AS count,
+       CAST(COALESCE(a.sum_cents, 0) AS BIGINT) AS sum_cents,
        a.min_cents AS min_cents, a.max_cents AS max_cents,
        CASE WHEN a.count IS NOT NULL THEN
          (CAST(a.sum_cents AS DOUBLE) / CAST(a.count AS DOUBLE)) / 100.0 END AS mean_val
@@ -226,12 +227,13 @@ JOIN series p ON p.event_type = s.event_type AND p.bucket = s.bucket - k.lag * 3
         "acf_1h_counts": _ACF_1H,
         "event_type_stats": (
             "WITH sec AS ({sec}) SELECT event_type, COUNT(*) AS n_events, "
-            "SUM(cents) AS sum_cents, MIN(cents) AS min_cents, "
+            "CAST(SUM(cents) AS BIGINT) AS sum_cents, MIN(cents) AS min_cents, "
             "MAX(cents) AS max_cents FROM sec GROUP BY event_type"
             .format(sec=_EV_SEC.format(u=86400))),
         "top_users": (
             "WITH cents AS (SELECT user_id, CAST(ROUND(value*100) AS BIGINT) AS c "
-            "FROM events) SELECT user_id, SUM(c) AS total_cents, COUNT(*) AS n_events "
+            "FROM events) SELECT user_id, CAST(SUM(c) AS BIGINT) AS total_cents, "
+            "COUNT(*) AS n_events "
             "FROM cents GROUP BY user_id ORDER BY total_cents DESC, user_id LIMIT 10"),
         "pricing_summary": (
             "WITH t AS (SELECT l_returnflag, l_linestatus, "
@@ -239,8 +241,9 @@ JOIN series p ON p.event_type = s.event_type AND p.bucket = s.bucket - k.lag * 3
             "CAST(ROUND(l_extendedprice * 100.0) AS BIGINT) AS base_cents, "
             "CAST(ROUND((l_extendedprice * (1.0 - l_discount)) * 10000.0) AS BIGINT) "
             "AS disc_t FROM lineitem) "
-            "SELECT l_returnflag, l_linestatus, SUM(qty) AS sum_qty, "
-            "SUM(base_cents) AS sum_base_cents, SUM(disc_t) AS sum_disc_t, "
+            "SELECT l_returnflag, l_linestatus, CAST(SUM(qty) AS BIGINT) AS sum_qty, "
+            "CAST(SUM(base_cents) AS BIGINT) AS sum_base_cents, "
+            "CAST(SUM(disc_t) AS BIGINT) AS sum_disc_t, "
             "COUNT(*) AS count_order, "
             "CAST(SUM(qty) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_qty, "
             "(CAST(SUM(base_cents) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) / 100.0 "
@@ -249,7 +252,8 @@ JOIN series p ON p.event_type = s.event_type AND p.bucket = s.bucket - k.lag * 3
             "WITH sec AS (SELECT l_returnflag, "
             "(epoch_us(l_shipdate)//1000000//86400)*86400 AS bucket, "
             "CAST(ROUND(l_extendedprice*100) AS BIGINT) AS cents FROM lineitem) "
-            "SELECT l_returnflag, bucket, COUNT(*) AS count, SUM(cents) AS sum_cents, "
+            "SELECT l_returnflag, bucket, COUNT(*) AS count, "
+            "CAST(SUM(cents) AS BIGINT) AS sum_cents, "
             "MIN(cents) AS min_cents, MAX(cents) AS max_cents, "
             "(CAST(SUM(cents) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) / 100.0 AS mean_val "
             "FROM sec GROUP BY l_returnflag, bucket"),

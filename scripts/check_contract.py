@@ -48,6 +48,12 @@ def compare(name: str, ours: pd.DataFrame, theirs: pd.DataFrame) -> list[str]:
     a, b = canon(ours), canon(theirs)
     for c in a.columns:
         av, bv = a[c].to_numpy(), b[c].to_numpy()
+        # The driver's value-hash is dtype-sensitive: DuckDB HUGEINT (from a
+        # bare SUM(BIGINT)) arrives as float64/object while the engine emits
+        # int64, and that alone fails the hash even when values are equal.
+        if av.dtype != bv.dtype:
+            problems.append(f"col {c}: dtype {av.dtype} vs {bv.dtype} "
+                            "(driver hash is dtype-sensitive)")
         if np.issubdtype(av.dtype, np.floating) or np.issubdtype(bv.dtype, np.floating):
             av = pd.to_numeric(a[c]).to_numpy(dtype=np.float64)
             bv = pd.to_numeric(b[c]).to_numpy(dtype=np.float64)
