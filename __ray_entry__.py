@@ -89,6 +89,131 @@ FROM lags l JOIN stats st ON st.event_type = l.event_type
 """.format(sec=_EV_SEC.format(u=3600))
 
 
+# gap-filled hourly integer-count series per event_type (shared CTE body)
+_SERIES_1H = """
+sec AS ({sec}),
+agg AS (SELECT event_type, bucket, COUNT(*) AS x FROM sec GROUP BY event_type, bucket),
+span AS (SELECT event_type, MIN(bucket) AS lo, MAX(bucket) AS hi FROM agg GROUP BY event_type),
+dense AS (SELECT event_type, unnest(generate_series(lo, hi, 3600)) AS bucket FROM span),
+series AS (
+  SELECT d.event_type, d.bucket, COALESCE(a.x, 0) AS x
+  FROM dense d LEFT JOIN agg a ON a.event_type = d.event_type AND a.bucket = d.bucket)
+""".format(sec=_EV_SEC.format(u=3600))
+
+# ACF table (cf stage): same exact-power-sum expression as _ACF_1H plus
+# the stage's num_obs column.
+_ACF_TABLE_1H = """
+WITH {series},
+stats AS (SELECT event_type, COUNT(*) AS n, SUM(x) AS s, SUM(x*x) AS ss FROM series GROUP BY event_type),
+lags AS (
+  SELECT a.event_type, k.lag AS lag, SUM(a.x * b.x) AS sxy,
+         SUM(a.x) AS h, SUM(b.x) AS t, COUNT(*) AS cnt
+  FROM series a
+  JOIN (SELECT range AS lag FROM range(1, 25)) k ON TRUE
+  JOIN series b ON b.event_type = a.event_type AND b.bucket = a.bucket + k.lag * 3600
+  GROUP BY a.event_type, k.lag)
+SELECT l.event_type, l.lag,
+  ((l.sxy - (CAST(st.s AS DOUBLE) / st.n) * (l.h + l.t))
+    + (l.cnt * (CAST(st.s AS DOUBLE) / st.n)) * (CAST(st.s AS DOUBLE) / st.n))
+  / (st.ss - st.s * (CAST(st.s AS DOUBLE) / st.n)) AS acf,
+  CAST(st.n AS BIGINT) AS num_obs
+FROM lags l JOIN stats st ON st.event_type = l.event_type
+""".format(series=_SERIES_1H)
+
+# PACF table: Durbin-Levinson recursion over the exact-power-sum ACF as
+# a recursive CTE on DOUBLE[] state. DuckDB's list_sum accumulates
+# sequentially left-to-right, mirrored by pacf_from_acf_seq's explicit
+# sequential loops (feasts_ray/functions/acf.py) — bit-identical.
+_PACF_TABLE_1H = """
+WITH RECURSIVE {series},
+stats AS (SELECT event_type, COUNT(*) AS n, SUM(x) AS s, SUM(x*x) AS ss FROM series GROUP BY event_type),
+lagsums AS (
+  SELECT a.event_type, k.lag AS lag, SUM(a.x * b.x) AS sxy,
+         SUM(a.x) AS h, SUM(b.x) AS t, COUNT(*) AS cnt
+  FROM series a
+  JOIN (SELECT range AS lag FROM range(1, 25)) k ON TRUE
+  JOIN series b ON b.event_type = a.event_type AND b.bucket = a.bucket + k.lag * 3600
+  GROUP BY a.event_type, k.lag),
+rhotab AS (
+  SELECT l.event_type, l.lag,
+    ((l.sxy - (CAST(st.s AS DOUBLE) / st.n) * (l.h + l.t))
+      + (l.cnt * (CAST(st.s AS DOUBLE) / st.n)) * (CAST(st.s AS DOUBLE) / st.n))
+    / (st.ss - st.s * (CAST(st.s AS DOUBLE) / st.n)) AS rho
+  FROM lagsums l JOIN stats st ON st.event_type = l.event_type),
+rl AS (SELECT event_type, [1.0::DOUBLE] || list(rho ORDER BY lag) AS rho
+       FROM rhotab GROUP BY event_type),
+rec AS (
+  SELECT event_type, 1 AS k, [rho[2]] AS phi, [rho[2]] AS pcf FROM rl
+  UNION ALL
+  SELECT r.event_type, r.k + 1,
+    list_append(
+      list_transform(range(1, r.k + 1),
+                     j -> r.phi[j] - ((rl.rho[r.k + 2]
+                         - list_sum(list_transform(range(1, r.k + 1),
+                                    i -> r.phi[i] * rl.rho[r.k + 2 - i])))
+                        / (1.0 - list_sum(list_transform(range(1, r.k + 1),
+                                    i -> r.phi[i] * rl.rho[i + 1]))))
+                       * r.phi[r.k + 1 - j]),
+      (rl.rho[r.k + 2]
+         - list_sum(list_transform(range(1, r.k + 1),
+                    i -> r.phi[i] * rl.rho[r.k + 2 - i])))
+        / (1.0 - list_sum(list_transform(range(1, r.k + 1),
+                    i -> r.phi[i] * rl.rho[i + 1])))),
+    list_append(r.pcf,
+      (rl.rho[r.k + 2]
+         - list_sum(list_transform(range(1, r.k + 1),
+                    i -> r.phi[i] * rl.rho[r.k + 2 - i])))
+        / (1.0 - list_sum(list_transform(range(1, r.k + 1),
+                    i -> r.phi[i] * rl.rho[i + 1]))))
+  FROM rec r JOIN rl ON rl.event_type = r.event_type
+  WHERE r.k < 24)
+SELECT f.event_type, j.lag AS lag, f.pcf[j.lag] AS pacf,
+       CAST(st.n AS BIGINT) AS num_obs
+FROM rec f
+JOIN (SELECT range AS lag FROM range(1, 25)) j ON TRUE
+JOIN stats st ON st.event_type = f.event_type
+WHERE f.k = 24
+""".format(series=_SERIES_1H)
+
+# Classical additive decomposition over the same count series. Mirrors
+# the engine's exact-integer path (_classical_decompose_exact_int,
+# feasts_ray/functions/stl.py): every output double is a single rounding
+# division / subtraction over exact integers.
+_CLASSICAL_1H = """
+WITH {series},
+idx AS (
+  SELECT event_type, bucket, x,
+    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY bucket) - 1 AS t,
+    COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM series),
+w AS (
+  SELECT event_type, bucket, x, t % 24 AS phase,
+    CASE WHEN t >= 12 AND t <= n - 13 THEN
+      lag(x, 12) OVER win + lead(x, 12) OVER win
+      + 2 * (SUM(x) OVER (PARTITION BY event_type ORDER BY bucket
+                          ROWS BETWEEN 11 PRECEDING AND 11 FOLLOWING))
+    END AS W
+  FROM idx
+  WINDOW win AS (PARTITION BY event_type ORDER BY bucket)),
+d AS (SELECT *, CASE WHEN W IS NOT NULL THEN 48 * x - W END AS D FROM w),
+ph AS (SELECT event_type, phase, CAST(SUM(D) AS BIGINT) AS A, COUNT(D) AS c
+       FROM d WHERE D IS NOT NULL GROUP BY event_type, phase),
+lt AS (SELECT event_type, lcm(MIN(c), MAX(c)) AS L FROM ph GROUP BY event_type),
+ov AS (SELECT p.event_type, SUM(p.A * (l.L // p.c)) AS N, ANY_VALUE(l.L) AS L
+       FROM ph p JOIN lt l USING (event_type) GROUP BY p.event_type),
+fig AS (SELECT p.event_type, p.phase,
+          CAST(p.A AS DOUBLE) / CAST(48 * p.c AS DOUBLE)
+          - CAST(o.N AS DOUBLE) / CAST(48 * o.L * 24 AS DOUBLE) AS seasonal
+        FROM ph p JOIN ov o USING (event_type))
+SELECT d.event_type, d.bucket, CAST(d.x AS DOUBLE) AS value,
+  CAST(d.W AS DOUBLE) / 48.0 AS trend,
+  f.seasonal AS seasonal,
+  (CAST(d.x AS DOUBLE) - f.seasonal) - CAST(d.W AS DOUBLE) / 48.0 AS random,
+  CAST(d.x AS DOUBLE) - f.seasonal AS season_adjust
+FROM d JOIN fig f ON f.event_type = d.event_type AND f.phase = d.phase
+""".format(series=_SERIES_1H)
+
+
 _CCF_1H = """
 WITH sec AS (SELECT event_type, (epoch_us(ts)//1000000//3600)*3600 AS bucket FROM events),
 agg AS (SELECT event_type, bucket, COUNT(*) AS c FROM sec GROUP BY event_type, bucket),
@@ -225,6 +350,9 @@ JOIN series p ON p.event_type = s.event_type AND p.bucket = s.bucket - k.lag * 3
             "(MAX(bucket) - MIN(bucket))//3600 + 1 - COUNT(*) AS n_missing "
             "FROM agg GROUP BY event_type".format(sec=_EV_SEC.format(u=3600))),
         "acf_1h_counts": _ACF_1H,
+        "acf_table_1h": _ACF_TABLE_1H,
+        "pacf_table_1h": _PACF_TABLE_1H,
+        "classical_1h": _CLASSICAL_1H,
         "event_type_stats": (
             "WITH sec AS ({sec}) SELECT event_type, COUNT(*) AS n_events, "
             "CAST(SUM(cents) AS BIGINT) AS sum_cents, MIN(cents) AS min_cents, "

@@ -108,6 +108,57 @@ def pacf(x: np.ndarray, lag_max: int | None = None) -> np.ndarray:
     return pacf_from_acf(rho, lag_max)
 
 
+def acf_exact_int(xi: np.ndarray, lag_max: int) -> np.ndarray:
+    """ACF (lags 0..lag_max, rho[0] == 1) of an integer series from exact
+    integer power sums, so the final doubles are a fixed IEEE expression
+    over exact ints — bit-identical to a SQL oracle evaluating
+
+      rho_k = ((Sxy_k - m*(H_k + T_k)) + ((n-k)*m)*m) / (SS - S*m),  m = S/n
+
+    (same expression as pipelines/events._ExactACFKernel / the
+    ``acf_1h_counts`` oracle; stats::acf semantics, R divisor n)."""
+    xi = np.asarray(xi, dtype=np.int64)
+    n = len(xi)
+    lag_max = min(lag_max, n - 1)
+    S = int(xi.sum())
+    SS = int(np.dot(xi, xi))
+    m = S / n
+    den = SS - S * m
+    out = np.empty(lag_max + 1)
+    out[0] = 1.0
+    for k in range(1, lag_max + 1):
+        sxy = int(np.dot(xi[:-k], xi[k:]))
+        h = int(xi[:-k].sum())
+        t = int(xi[k:].sum())
+        num = (sxy - m * (h + t)) + ((n - k) * m) * m
+        out[k] = num / den if den != 0 else math.nan
+    return out
+
+
+def pacf_from_acf_seq(rho: np.ndarray, lag_max: int) -> np.ndarray:
+    """Durbin-Levinson with strictly sequential (left-to-right) inner
+    sums, mirroring a SQL recursive-CTE oracle whose list_sum accumulates
+    sequentially — bit-identical given bit-identical rho. Same recursion
+    as pacf_from_acf (which uses BLAS dot, order unspecified)."""
+    p = np.zeros(lag_max)
+    phi_prev = [0.0] * (lag_max + 1)
+    p[0] = phi_prev[1] = float(rho[1])
+    for k in range(2, lag_max + 1):
+        s_num = 0.0
+        s_den = 0.0
+        for j in range(1, k):
+            s_num += phi_prev[j] * rho[k - j]
+            s_den += phi_prev[j] * rho[j]
+        pk = (rho[k] - s_num) / (1.0 - s_den)
+        phi = [0.0] * (lag_max + 1)
+        for j in range(1, k):
+            phi[j] = phi_prev[j] - pk * phi_prev[k - j]
+        phi[k] = pk
+        phi_prev = phi
+        p[k - 1] = pk
+    return p
+
+
 def ccf(
     y: np.ndarray, x: np.ndarray, lag_max: int | None = None, kind: str = "correlation"
 ) -> tuple[np.ndarray, np.ndarray]:

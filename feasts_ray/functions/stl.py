@@ -338,6 +338,68 @@ def supsmu(y: np.ndarray, span: float = 0.0, bass: float = 0.0) -> np.ndarray:
 # -------------------------------------------------------- classical / driver
 
 
+def _classical_decompose_exact_int(y: np.ndarray, period: int) -> dict[str, np.ndarray]:
+    """Additive classical decomposition of an integer-valued series via
+    exact integer/rational arithmetic until a single rounding division per
+    output value — so an ANSI-SQL oracle evaluating the same expression
+    over the same integers is bit-identical (see __ray_entry__.oracle_sql
+    "classical_1h").
+
+    Scaled scheme (d = 2*period for even period, period for odd):
+      W_t  = d * trend_t            (integer centered-MA window sum)
+      D_t  = d*y_t - W_t            (integer detrended, valid region only)
+      A_p  = sum of D_t over phase p; c_p its count (c_p takes at most two
+             distinct values because the valid region is contiguous)
+      mean_p   = A_p / (d*c_p)                       (one exact division)
+      overall  = N / (d*L*period), N = sum_p A_p*(L/c_p), L = lcm of c_p
+      seasonal_p = mean_p - overall                  (one subtraction)
+      random   = (y - seasonal) - trend
+    Mathematically identical to the float path; numerically it is the
+    correctly-rounded value of the underlying rational at each step."""
+    n = len(y)
+    yi = np.rint(y).astype(np.int64)
+    even = period % 2 == 0
+    half = period // 2
+    d = 2 * period if even else period
+    trend = np.full(n, np.nan)
+    W = np.full(n, 0, dtype=np.int64)
+    valid = np.zeros(n, dtype=bool)
+    c = np.cumsum(np.concatenate([[0], yi]))  # c[i] = sum(yi[:i])
+    if even:
+        # w = y[t-half] + y[t+half] + 2*sum(y[t-half+1 .. t+half-1])
+        t = np.arange(half, n - half)
+        W[t] = yi[t - half] + yi[t + half] + 2 * (c[t + half] - c[t - half + 1])
+    else:
+        t = np.arange(half, n - half)
+        W[t] = c[t + half + 1] - c[t - half]
+    valid[t] = True
+    trend[t] = W[t].astype(np.float64) / float(d)
+    phases = np.arange(n) % period
+    # per-phase integer sums of D_t = d*y_t - W_t over the valid region
+    D = d * yi[valid].astype(object) - W[valid].astype(object)
+    ph_valid = phases[valid]
+    A = [0] * period
+    cnt = [0] * period
+    for p_, dv in zip(ph_valid, D):
+        A[p_] += int(dv)
+        cnt[p_] += 1
+    cs = sorted(set(cnt))
+    L = cs[0] if len(cs) == 1 else int(np.lcm.reduce(np.array(cs, dtype=np.int64)))
+    N = sum(A[p_] * (L // cnt[p_]) for p_ in range(period))
+    overall = float(N) / float(d * L * period)
+    figure = np.array(
+        [float(A[p_]) / float(d * cnt[p_]) - overall for p_ in range(period)]
+    )
+    seasonal = figure[phases]
+    random = (y - seasonal) - trend
+    return {
+        "trend": trend,
+        "seasonal": seasonal,
+        "random": random,
+        "season_adjust": y - seasonal,
+    }
+
+
 def classical_decompose(
     y: np.ndarray, period: int, type_: str = "additive"
 ) -> dict[str, np.ndarray]:
@@ -349,6 +411,9 @@ def classical_decompose(
     n = len(y)
     if period < 2 or n < 2 * period:
         raise ValueError("time series has no or less than 2 periods")
+    if (type_ == "additive" and np.isfinite(y).all()
+            and (np.rint(y) == y).all() and np.abs(y).max() < 2**52):
+        return _classical_decompose_exact_int(y, period)
     if period % 2 == 0:
         filt = np.concatenate([[0.5], np.ones(period - 1), [0.5]]) / period
     else:

@@ -334,12 +334,16 @@ def q_features_1h(sf_dir: str):
 
 
 def q_acf_table_1h(sf_dir: str):
-    return ACF_table(_hourly_mean_series(sf_dir), "mean_val",
+    """§2.5 ACF table stage over gap-filled integer counts — the cf
+    kernel's exact-power-sum path makes the DuckDB oracle bit-exact."""
+    return ACF_table(_hourly_count_series(sf_dir), "value",
                      ["event_type"], time_col="bucket", lag_max=24)
 
 
 def q_pacf_table_1h(sf_dir: str):
-    return PACF_table(_hourly_mean_series(sf_dir), "mean_val",
+    """§2.5 PACF table stage (Durbin-Levinson with sequential inner sums
+    mirrored by a recursive-CTE SQL oracle)."""
+    return PACF_table(_hourly_count_series(sf_dir), "value",
                       ["event_type"], time_col="bucket", lag_max=24)
 
 

@@ -24,7 +24,15 @@ import pandas as pd
 
 import ray.data
 
-from ..functions.acf import acf, ccf as ccf_kernel, pacf, pacf_from_acf, tacf
+from ..functions.acf import (
+    acf,
+    acf_exact_int,
+    ccf as ccf_kernel,
+    pacf,
+    pacf_from_acf,
+    pacf_from_acf_seq,
+    tacf,
+)
 from ..functions.stats_utils import na_contiguous
 
 
@@ -62,11 +70,19 @@ class _CFKernel:
             return pd.DataFrame(out)
         x = na_contiguous(x)
         n = len(x)
+        # integer-valued series + plain correlation: route through the
+        # exact-power-sum kernels so the driver's SQL oracle is bit-exact
+        exact = (not self.tapered and self.kind == "correlation"
+                 and np.isfinite(x).all() and (np.rint(x) == x).all()
+                 and (np.abs(x) < 2**52).all() if n else False)
         if self.mode == "pacf":
             lm = self.lag_max or max(1, min(int(math.floor(10 * math.log10(n))), n - 1))
             if self.tapered:
                 acvf = tacf(x)
                 vals = pacf_from_acf(acvf, min(lm, len(acvf) - 1))
+            elif exact:
+                lm = min(lm, n - 1)
+                vals = pacf_from_acf_seq(acf_exact_int(x, lm), lm)
             else:
                 vals = pacf(x, lag_max=lm)
             lags = np.arange(1, len(vals) + 1)
@@ -75,6 +91,8 @@ class _CFKernel:
             lm = self.lag_max or max(1, min(int(math.floor(10 * math.log10(n))), n - 1))
             if self.tapered:
                 vals = tacf(x)[: lm + 1]
+            elif exact:
+                vals = acf_exact_int(x, min(lm, n - 1))
             else:
                 vals = acf(x, lag_max=lm, kind=self.kind)
             vals = vals[1:]  # reference drops lag 0 (R/acf.R:78-80)
