@@ -175,6 +175,50 @@ JOIN stats st ON st.event_type = f.event_type
 WHERE f.k = 24
 """.format(series=_SERIES_1H)
 
+# features() SQL-expressible subset: n_crossing_points (median crossings;
+# DuckDB median == numpy nanmedian exactly for integer series) and
+# longest_flat_spot (np.digitize over np.linspace interior edges == the
+# k*step+lo expression; run lengths via gaps-and-islands).
+_FEATURES_BASIC_1H = """
+WITH {series},
+med AS (SELECT event_type, median(CAST(x AS DOUBLE)) AS mid FROM series GROUP BY event_type),
+fl AS (SELECT s.event_type, s.bucket, (CAST(s.x AS DOUBLE) <= m.mid) AS ab
+       FROM series s JOIN med m ON m.event_type = s.event_type),
+fl2 AS (SELECT event_type, ab,
+          lag(ab) OVER (PARTITION BY event_type ORDER BY bucket) AS ab_prev
+        FROM fl),
+cr AS (SELECT event_type,
+         SUM(CASE WHEN ab <> ab_prev THEN 1 ELSE 0 END) AS ncross
+       FROM fl2 GROUP BY event_type),
+mm AS (SELECT event_type, MIN(x) AS lo, MAX(x) AS hi FROM series GROUP BY event_type),
+codes AS (
+  SELECT s.event_type, s.bucket,
+    (SELECT COUNT(*) FROM range(1, 10) k
+     WHERE CAST(k.range AS DOUBLE)
+             * ((CAST(m.hi AS DOUBLE) - CAST(m.lo AS DOUBLE)) / 10.0)
+           + CAST(m.lo AS DOUBLE) < CAST(s.x AS DOUBLE)) AS code
+  FROM series s JOIN mm m ON m.event_type = s.event_type),
+runs AS (SELECT event_type, code,
+    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY bucket)
+    - ROW_NUMBER() OVER (PARTITION BY event_type, code ORDER BY bucket) AS grp
+  FROM codes),
+flat AS (SELECT event_type, MAX(cnt) AS fmax FROM (
+    SELECT event_type, code, grp, COUNT(*) AS cnt FROM runs
+    GROUP BY event_type, code, grp) GROUP BY event_type)
+SELECT c.event_type, CAST(c.ncross AS DOUBLE) AS n_crossing_points,
+       CAST(f.fmax AS DOUBLE) AS longest_flat_spot
+FROM cr c JOIN flat f ON f.event_type = c.event_type
+""".format(series=_SERIES_1H)
+
+# GPT-2-style pre-tokenizer count. The engine's Python regex uses a
+# \\s+(?!\\S) branch RE2 lacks; for token COUNTS the lookahead-free
+# pattern is equivalent (the lookahead only moves one trailing space
+# between adjacent tokens, never changing how many there are).
+_BPE_COUNTS = (
+    "SELECT doc_id, CAST(len(regexp_extract_all(text, "
+    "'''(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^\\sA-Za-z0-9]+|\\s+'"
+    ")) AS BIGINT) AS n_bpe_tokens FROM documents")
+
 # Classical additive decomposition over the same count series. Mirrors
 # the engine's exact-integer path (_classical_decompose_exact_int,
 # feasts_ray/functions/stl.py): every output double is a single rounding
@@ -353,6 +397,8 @@ JOIN series p ON p.event_type = s.event_type AND p.bucket = s.bucket - k.lag * 3
         "acf_table_1h": _ACF_TABLE_1H,
         "pacf_table_1h": _PACF_TABLE_1H,
         "classical_1h": _CLASSICAL_1H,
+        "features_basic_1h": _FEATURES_BASIC_1H,
+        "bpe_token_counts": _BPE_COUNTS,
         "event_type_stats": (
             "WITH sec AS ({sec}) SELECT event_type, COUNT(*) AS n_events, "
             "CAST(SUM(cents) AS BIGINT) AS sum_cents, MIN(cents) AS min_cents, "

@@ -333,6 +333,19 @@ def q_features_1h(sf_dir: str):
     )
 
 
+def q_features_basic_1h(sf_dir: str):
+    """features() registry pass restricted to the SQL-expressible
+    integer-exact extractors (median crossings, equal-width-bin flat
+    spots) over gap-filled hourly counts — gives the feature surface a
+    hard driver-side oracle; the full 23-feature pass (q_features_1h)
+    stays suite-pinned."""
+    return extract_features(
+        _hourly_count_series(sf_dir), value_col="value",
+        key_cols=["event_type"], period=24, time_col="bucket",
+        names=["n_crossing_points", "longest_flat_spot"],
+    )
+
+
 def q_acf_table_1h(sf_dir: str):
     """§2.5 ACF table stage over gap-filled integer counts — the cf
     kernel's exact-power-sum path makes the DuckDB oracle bit-exact."""
@@ -536,6 +549,7 @@ ALL_QUERIES = {
     "ann_topk_lsh": q_ann_topk_lsh,
     "ann_topk_ivf": q_ann_topk_ivf,
     "features_1h": q_features_1h,
+    "features_basic_1h": q_features_basic_1h,
     "acf_table_1h": q_acf_table_1h,
     "pacf_table_1h": q_pacf_table_1h,
     "stl_1h": q_stl_1h,

@@ -58,6 +58,22 @@ class BpeishTokenCounter:
         return batch.append_column("n_bpe_tokens", pa.array(counts, type=pa.int64()))
 
 
+def _stopword_hits(words: pa.ListArray, profile: set[str]) -> tuple[np.ndarray, np.ndarray]:
+    """(n_words, n_profile_hits) per doc from a list<string> of lowered
+    words — vectorized: is_in over the flat values + add.reduceat."""
+    if isinstance(words, pa.ChunkedArray):
+        words = words.combine_chunks()
+    offsets = words.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    n_words = np.diff(offsets)
+    flat = words.flatten()
+    hits = pc.is_in(flat, value_set=pa.array(sorted(profile))).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    starts = offsets[:-1]
+    csum = np.concatenate([[0], np.cumsum(hits)])
+    n_stop = csum[offsets[1:]] - csum[starts]
+    return n_words, n_stop
+
+
 def add_quality(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """Quality heuristics per doc.
 
@@ -73,20 +89,19 @@ def add_quality(batch: pa.Table, text_col: str = "text") -> pa.Table:
                       + 0.2*min(stop*4, 1) + 0.2*alpha
     """
     t = batch[text_col]
+    if isinstance(t, pa.ChunkedArray):
+        t = t.combine_chunks()
     n_chars = pc.utf8_length(t).to_numpy(zero_copy_only=False).astype(np.int64)
-    texts = t.to_pylist()
-    n = len(texts)
-    n_punct = np.empty(n, dtype=np.int64)
-    n_alpha = np.empty(n, dtype=np.int64)
-    n_words = np.empty(n, dtype=np.int64)
-    n_stop = np.empty(n, dtype=np.int64)
-    stops = _PROFILES["en"]
-    for i, s in enumerate(texts):
-        n_punct[i] = sum(c in _PUNCT for c in s)
-        n_alpha[i] = sum(("a" <= c <= "z") or ("A" <= c <= "Z") for c in s)
-        w = s.split()
-        n_words[i] = len(w)
-        n_stop[i] = sum(x.lower() in stops for x in w)
+    # character-class counts via vectorized RE2 kernels (same classes as
+    # the oracle's regexp_replace character sets)
+    n_punct = pc.count_substring_regex(
+        t, r"[.,;:!?'\"()\[\]{}-]").to_numpy(zero_copy_only=False).astype(np.int64)
+    n_alpha = pc.count_substring_regex(
+        t, r"[A-Za-z]").to_numpy(zero_copy_only=False).astype(np.int64)
+    # words: whitespace-run split (str.split semantics); stopword hits via
+    # is_in over the flattened word values + per-doc reduceat
+    words = pc.split_pattern_regex(pc.utf8_lower(t), r"\s+")
+    n_words, n_stop = _stopword_hits(words, _PROFILES["en"])
     Lc = np.maximum(n_chars, 1).astype(np.float64)
     Lw = np.maximum(n_words, 1).astype(np.float64)
     punct = n_punct.astype(np.float64) / Lc
@@ -104,17 +119,27 @@ def add_quality(batch: pa.Table, text_col: str = "text") -> pa.Table:
 
 
 def add_langid(batch: pa.Table, text_col: str = "text") -> pa.Table:
-    """Stopword-vote language ID; 'und' when no profile word seen."""
-    texts = batch[text_col].to_pylist()
-    langs = []
-    for s in texts:
-        words = set(w.lower() for w in s.split())
-        best, best_n = "und", 0
-        for lang, prof in _PROFILES.items():
-            hits = len(words & prof)
-            if hits > best_n:
-                best, best_n = lang, hits
-        langs.append(best)
+    """Stopword-vote language ID; 'und' when no profile word seen.
+
+    Vectorized: one RE2 presence test per profile word over the lowered
+    text column (40 C-speed passes, no per-row Python). Votes count
+    DISTINCT profile words present (same as the set-intersection oracle);
+    ties break in profile order en > de > fr > es."""
+    t = batch[text_col]
+    if isinstance(t, pa.ChunkedArray):
+        t = t.combine_chunks()
+    low = pc.utf8_lower(t)
+    n = len(batch)
+    lang_names = list(_PROFILES)
+    votes = np.zeros((len(lang_names), n), dtype=np.int64)
+    for li, lang in enumerate(lang_names):
+        for w in _PROFILES[lang]:
+            present = pc.match_substring_regex(
+                low, rf"(^|\s){re.escape(w)}(\s|$)").to_numpy(zero_copy_only=False)
+            votes[li] += present.astype(np.int64)
+    best = np.argmax(votes, axis=0)  # first max wins = profile order
+    langs = np.array(lang_names, dtype=object)[best]
+    langs[votes.max(axis=0) == 0] = "und"
     return batch.append_column("lang_pred", pa.array(langs, type=pa.string()))
 
 
