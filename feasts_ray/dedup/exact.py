@@ -10,7 +10,6 @@ from __future__ import annotations
 
 import hashlib
 
-import numpy as np
 import pyarrow as pa
 
 import ray.data
@@ -39,26 +38,37 @@ def exact_groups(ds: "ray.data.Dataset", text_col: str = "text",
 
 
 def dedup_exact(ds: "ray.data.Dataset", text_col: str = "text",
-                id_col: str = "doc_id") -> "ray.data.Dataset":
+                id_col: str = "doc_id",
+                num_partitions: int | None = None) -> "ray.data.Dataset":
     """Keep one row per distinct content (the min-id survivor).
 
-    Broadcast-free: the survivor set is joined back by re-hashing — rows
-    stream through a filter against the survivor ids shipped via ray.put
-    when small, else a semi-join on digest. Here: digest groupby keeps
-    first occurrence via min(id), then an inner filter pass.
+    Fully distributed — no driver-side survivor set: rows are re-hashed
+    and semi-joined on the digest against the (digest, survivor_id)
+    aggregate (Ray Data hash join), then filtered to id == survivor_id.
+    Only fixed-width digest/id columns cross the survivor shuffle; the
+    document bodies move once, co-partitioned by digest in the join.
+    At cluster scale, size ``num_partitions`` to the aggregate survivor
+    cardinality (~#distinct docs x 48 B / target block size). The default
+    is half the cluster's CPUs — the join operator holds one aggregator
+    actor per partition, so a partition count above the CPU count
+    deadlocks the streaming executor.
     """
-    groups = exact_groups(ds, text_col=text_col, id_col=id_col)
-    keep = set(groups.select_columns(["survivor_id"]).to_pandas()["survivor_id"])
     import ray as _ray
 
-    keep_ref = _ray.put(np.array(sorted(keep)))
+    if num_partitions is None:
+        cpus = int(_ray.cluster_resources().get("CPU", 8)) if _ray.is_initialized() else 8
+        num_partitions = max(2, cpus // 2)
+    hashed = ds.map_batches(
+        add_content_hash, batch_format="pyarrow", fn_kwargs={"text_col": text_col}
+    )
+    survivors = hashed.select_columns(["text_md5", id_col]).groupby(
+        "text_md5").aggregate(Min(id_col, alias_name="survivor_id"))
+    joined = hashed.join(survivors, "inner", num_partitions, on=("text_md5",))
 
     def _filter(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].to_numpy(zero_copy_only=False)
-        arr = _ray.get(keep_ref) if isinstance(keep_ref, _ray.ObjectRef) else keep_ref
-        pos = np.searchsorted(arr, ids)
-        pos = np.clip(pos, 0, len(arr) - 1)
-        mask = arr[pos] == ids
-        return batch.filter(pa.array(mask))
+        surv = batch["survivor_id"].to_numpy(zero_copy_only=False)
+        keep = batch.filter(pa.array(ids == surv))
+        return keep.drop_columns(["text_md5", "survivor_id"])
 
-    return ds.map_batches(_filter, batch_format="pyarrow")
+    return joined.map_batches(_filter, batch_format="pyarrow")

@@ -68,22 +68,64 @@ class BandEmitter:
         })
 
 
-def _shingle_sets(ds, text_col, id_col, k, wanted: set) -> dict:
-    """doc_id -> shingle set for candidate docs only (small side)."""
-    sets: dict = {}
-    for batch in ds.select_columns([id_col, text_col]).iter_batches(
-        batch_size=1024, batch_format="pyarrow"
-    ):
-        ids = batch[id_col].to_numpy(zero_copy_only=False)
-        mask = np.isin(ids, list(wanted)) if wanted else np.zeros(len(ids), bool)
+class CandidateShingles:
+    """Distributed verify pre-pass: emit (doc_id, shingle hashes) for
+    candidate doc ids ONLY. The sorted candidate-id array (small) is
+    broadcast once via ray.put and resolved once per actor in __init__ —
+    the full corpus is scanned by the cluster, never by the driver."""
+
+    def __init__(self, text_col: str, id_col: str, k: int, wanted_ref):
+        self.text_col = text_col
+        self.id_col = id_col
+        self.k = k
+        self.wanted = (ray.get(wanted_ref)
+                       if isinstance(wanted_ref, ray.ObjectRef) else wanted_ref)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
+        if len(self.wanted):
+            pos = np.clip(np.searchsorted(self.wanted, ids), 0,
+                          len(self.wanted) - 1)
+            mask = self.wanted[pos] == ids
+        else:
+            mask = np.zeros(len(ids), dtype=bool)
+        empty = pa.table({
+            self.id_col: pa.array([], type=batch[self.id_col].type),
+            "shingles": pa.array([], type=pa.list_(pa.int64())),
+        })
         if not mask.any():
-            continue
-        texts = [t for t, m in zip(batch[text_col].to_pylist(), mask) if m]
+            return empty
+        texts = [t for t, m in zip(batch[self.text_col].to_pylist(), mask) if m]
         whash, offsets, _ = tokenize_batch(texts)
-        for j, did in enumerate(ids[mask]):
-            sets[int(did)] = set(
-                shingle_hashes(whash[offsets[j]:offsets[j + 1]], k).tolist()
-            )
+        sets = [
+            np.unique(shingle_hashes(whash[offsets[j]:offsets[j + 1]], self.k))
+            .astype(np.int64)
+            for j in range(len(texts))
+        ]
+        return pa.table({
+            self.id_col: pa.array(ids[mask]),
+            "shingles": pa.array([s.tolist() for s in sets],
+                                 type=pa.list_(pa.int64())),
+        })
+
+
+def _shingle_sets(ds, text_col, id_col, k, wanted: set,
+                  batch_size: int = 1024, concurrency=(1, 8)) -> dict:
+    """doc_id -> shingle set for candidate docs, via a distributed
+    map_batches pass (only candidate rows come back to the driver)."""
+    wanted_arr = np.array(sorted(int(w) for w in wanted), dtype=np.int64)
+    shing = ds.select_columns([id_col, text_col]).map_batches(
+        CandidateShingles,
+        fn_constructor_args=(text_col, id_col, k, ray.put(wanted_arr)),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+    sets: dict = {}
+    for batch in shing.iter_batches(batch_format="pyarrow"):
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        for j, did in enumerate(ids):
+            sets[int(did)] = set(batch["shingles"][j].as_py())
     return sets
 
 
