@@ -3,9 +3,10 @@
 Scale path: a coarse spherical-k-means quantizer is trained ONCE on a
 driver-side sample (the classic IVF recipe); centroids + queries are
 broadcast via ray.put, and each map_batches task scores only the vectors
-whose centroid falls in a query's ``n_probe`` nearest centroids. At
-100 TB the assignment would be precomputed as a partition column so
-probing prunes whole files; here the filter happens in-kernel.
+whose centroid falls in a query's ``n_probe`` nearest centroids. The
+filter here happens in-kernel (single-pass, no index); the persisted
+variant with the cell as a partition column — so probing prunes whole
+files — is index.build_ivf_index / topk_cosine_ivf_index.
 """
 
 from __future__ import annotations

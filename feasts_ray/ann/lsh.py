@@ -2,8 +2,9 @@
 
 Same random-hyperplane sketch as dedup.embedding; each query probes its
 own bucket per table, so only vectors sharing a bucket with some query
-are scored. At 100 TB this turns a full-scan matmul into a filtered scan
-whose selectivity is controlled by (n_bits, n_tables).
+are scored (the scan still touches every block; selectivity only cuts
+the matmul). The persisted variant that prunes at the READ — buckets as
+partition dirs — is index.build_lsh_index / topk_cosine_lsh_index.
 """
 
 from __future__ import annotations

@@ -25,6 +25,11 @@ def _emb_matrix(batch: pa.Table, col: str) -> np.ndarray:
     arr = batch[col]
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
+    if isinstance(arr.type, pa.ExtensionType):
+        # Ray's ArrowTensorType (fixed-shape lists round-trip through Ray
+        # blocks as the tensor extension): to_numpy gives (n, dim)
+        m = np.asarray(arr.to_numpy(zero_copy_only=False), dtype=np.float64)
+        return m.reshape(len(batch), -1)
     flat = arr.values.to_numpy(zero_copy_only=False).astype(np.float64)
     dim = len(flat) // len(batch) if len(batch) else 0
     return flat.reshape(len(batch), dim)

@@ -308,6 +308,24 @@ def q_ann_topk_lsh(sf_dir: str):
     return out[["query_id", "rank", "vec_id"]]
 
 
+def q_ann_topk_ivf_pruned(sf_dir: str):
+    """Persisted IVF index probe: the corpus is written Hive-partitioned
+    by coarse cell once, then the query reads ONLY the probed cell
+    partitions (path-level file pruning — the true 100 TB shape)."""
+    import hashlib
+    import os
+
+    from ..ann import build_ivf_index, topk_cosine_ivf_index
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    idx = f"/tmp/feasts_ray_ivf_index_{tag}"
+    if not os.path.exists(f"{idx}/centroids.parquet"):
+        build_ivf_index(ray.data.read_parquet(f"{sf_dir}/embeddings.parquet"),
+                        idx, n_centroids=32)
+    out = topk_cosine_ivf_index(idx, _query_vectors(sf_dir), k=10, n_probe=8)
+    return out[["query_id", "rank", "vec_id"]]
+
+
 def q_ann_topk_ivf(sf_dir: str):
     """IVF coarse-quantizer ANN (sampled spherical k-means + n_probe
     cell search) — the classic at-scale inverted-file path."""
@@ -548,6 +566,7 @@ ALL_QUERIES = {
     "ann_topk": q_ann_topk,
     "ann_topk_lsh": q_ann_topk_lsh,
     "ann_topk_ivf": q_ann_topk_ivf,
+    "ann_topk_ivf_pruned": q_ann_topk_ivf_pruned,
     "features_1h": q_features_1h,
     "features_basic_1h": q_features_basic_1h,
     "acf_table_1h": q_acf_table_1h,

@@ -224,3 +224,72 @@ class TestIVF:
         for qi in range(3):
             top = approx[(approx["query_id"] == qi) & (approx["rank"] == 1)]
             assert top["vec_id"].iloc[0] == [0, 50, 100][qi]
+
+
+class TestPersistedIndex:
+    """Persisted IVF/LSH indexes: recall vs brute force + the read path
+    actually prunes partitions (only probed cell/bucket dirs are read)."""
+
+    @staticmethod
+    def _clustered(n_centers=8, per=50, d=32, seed=5):
+        rng = np.random.default_rng(seed)
+        centers = rng.standard_normal((n_centers, d)) * 4
+        m = np.concatenate([c + 0.3 * rng.standard_normal((per, d))
+                            for c in centers]).astype(np.float32)
+        tbl = pa.table({
+            "vec_id": pa.array(range(len(m)), type=pa.int64()),
+            "embedding": pa.array([list(map(float, r)) for r in m],
+                                  type=pa.list_(pa.float32())),
+        })
+        return ray.data.from_arrow(tbl), m
+
+    @staticmethod
+    def _recall(approx, exact):
+        rec = []
+        for qi in sorted(exact["query_id"].unique()):
+            e = set(exact[exact["query_id"] == qi]["vec_id"])
+            a = set(approx[approx["query_id"] == qi]["vec_id"])
+            rec.append(len(e & a) / len(e))
+        return float(np.mean(rec))
+
+    def test_ivf_index_recall_and_pruning(self, ray_session, tmp_path):
+        import os
+
+        from feasts_ray.ann import build_ivf_index, topk_cosine_ivf_index
+        from feasts_ray.ann.index import _expand_partition_files
+
+        ds, m = self._clustered()
+        idx = str(tmp_path / "ivf")
+        C = build_ivf_index(ds, idx, n_centroids=16, sample_size=400, seed=11)
+        assert len(C) == 16
+        cell_dirs = [d for d in os.listdir(f"{idx}/cells") if d.startswith("cell=")]
+        assert len(cell_dirs) > 4  # clusters spread over many partitions
+        q = m[[0, 50, 100]].astype(np.float64)
+        exact = topk_cosine(ds, q, k=10, batch_size=128)
+        approx = topk_cosine_ivf_index(idx, q, k=10, n_probe=4, batch_size=128)
+        assert self._recall(approx, exact) >= 0.8
+        # pruning: the probe touches fewer partition dirs than exist
+        from feasts_ray.dedup.embedding import _normalize_rows
+        qn = _normalize_rows(q)
+        probes = np.argsort(-(qn @ C.T), axis=1)[:, :4]
+        probed = {f"cell={c}" for c in np.unique(probes)}
+        assert len(probed) < len(cell_dirs)
+        all_files = _expand_partition_files(
+            [f"{idx}/cells/{d}" for d in cell_dirs])
+        probed_files = _expand_partition_files(
+            [f"{idx}/cells/{d}" for d in sorted(probed)])
+        assert 0 < len(probed_files) < len(all_files)
+
+    def test_lsh_index_recall(self, ray_session, tmp_path):
+        from feasts_ray.ann import build_lsh_index, topk_cosine_lsh_index
+
+        ds, m = self._clustered()
+        idx = str(tmp_path / "lsh")
+        build_lsh_index(ds, idx, dim=32, n_bits=6, n_tables=8, seed=7)
+        q = m[[0, 50, 100]].astype(np.float64)
+        exact = topk_cosine(ds, q, k=10, batch_size=128)
+        approx = topk_cosine_lsh_index(idx, q, k=10, batch_size=128)
+        assert self._recall(approx, exact) >= 0.6
+        for qi in range(3):
+            top = approx[(approx["query_id"] == qi) & (approx["rank"] == 1)]
+            assert top["vec_id"].iloc[0] == [0, 50, 100][qi]
