@@ -195,12 +195,20 @@ def ccf(
     return lags, vals
 
 
+TACF_MAX_N = 4096  # eigen shrinkage builds an n x n matrix: hard cap
+
+
 def tacf(x: np.ndarray) -> np.ndarray:
     """Banded/tapered autocorrelation with eigen shrinkage
     (McMurry & Politis 2010; reference R/acf.R:252-300 behavior).
-    O(n^2)-O(n^3): intended for modest series lengths (documented cap)."""
+    O(n^2)-O(n^3): series longer than TACF_MAX_N are rejected up front
+    (an n x n eigendecomposition at 50k points would allocate ~20 GB)."""
     x = np.asarray(x, dtype=np.float64)
     n = len(x)
+    if n > TACF_MAX_N:
+        raise ValueError(
+            f"tacf is O(n^2)-O(n^3) and capped at n={TACF_MAX_N}; got {n}. "
+            "Downsample the series (coarser rollup tier) before tapering.")
     ac = acf(x, lag_max=n - 1)
     s = np.arange(1, len(ac) + 1, dtype=np.float64)
     upper = 2 * math.sqrt(math.log10(n) / n)

@@ -35,6 +35,21 @@ _DF_TAU_MU = np.array(
 )
 _DF_PCT = np.array([0.01, 0.05, 0.10])
 
+# Dickey-Fuller normalized-bias (rho_mu) critical values for the Z-alpha
+# statistic, constant-mean case (Fuller 1976, Table 8.5.1) — the Z-alpha
+# statistic is n*(rho-1) corrected, NOT a t-ratio, so it needs its own
+# table.
+_DF_RHO_MU = np.array(
+    [
+        [-12.9, -7.7, -5.5],
+        [-13.3, -7.9, -5.6],
+        [-13.6, -8.0, -5.7],
+        [-13.7, -8.1, -5.7],
+        [-13.7, -8.1, -5.7],
+        [-13.8, -8.1, -5.7],
+    ]
+)
+
 
 def _bartlett_lrv(e: np.ndarray, lags: int) -> float:
     """Long-run variance with Bartlett weights: s^2 = (1/n)Σe² +
@@ -119,7 +134,9 @@ def unitroot_pp(
         )
     else:  # Z-alpha
         stat = n * (rho - 1.0) - (lam2 - gamma0) / 2.0 * (n * se_rho) ** 2 / s2
-    # interpolate the critical-value row for this sample size, then the p-value
-    cvals = np.array([approx_clamped(_DF_TAU_MU_N, _DF_TAU_MU[:, j], n0) for j in range(3)])
+    # interpolate the critical-value row for this sample size, then the
+    # p-value; Z-alpha is a normalized-bias statistic with its own table
+    table = _DF_TAU_MU if type_ == "Z-tau" else _DF_RHO_MU
+    cvals = np.array([approx_clamped(_DF_TAU_MU_N, table[:, j], n0) for j in range(3)])
     pval = approx_clamped(cvals, _DF_PCT, stat)
     return {"pp_stat": float(stat), "pp_pvalue": float(pval)}

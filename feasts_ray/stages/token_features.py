@@ -70,17 +70,24 @@ def pad_bucket(n: int, pad_len: int = PAD_LEN) -> int:
 
 def padded_matrix(tokens_col: pa.Array, pad_len: int = PAD_LEN):
     """list<int32> column -> (B, pad_len) float64 + lengths (zero-copy
-    flat values; one reshape-free scatter)."""
+    flat values; one reshape-free scatter).
+
+    Docs longer than ``pad_len`` are CAPPED to their first ``pad_len``
+    tokens, and the returned lengths are the capped lengths — every
+    downstream mean/variance divides by the number of tokens actually
+    in the matrix (consistent truncation, never a silent wrong divisor)."""
     if isinstance(tokens_col, pa.ChunkedArray):
         tokens_col = tokens_col.combine_chunks()
     offs = tokens_col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
     flat = tokens_col.values.to_numpy(zero_copy_only=False).astype(np.float64)
-    n = offs[1:] - offs[:-1]
+    n = np.minimum(offs[1:] - offs[:-1], pad_len)
     b = len(n)
     x = np.zeros((b, pad_len), dtype=np.float64)
     idx = np.arange(pad_len)[None, :]
     mask = idx < n[:, None]
-    x[mask] = flat  # row-major scatter of the ragged values
+    gather = offs[:-1][:, None] + idx
+    if len(flat):
+        x[mask] = flat[np.minimum(gather, len(flat) - 1)[mask]]
     return x, n, mask
 
 
@@ -198,7 +205,9 @@ def token_feature_batch(batch: pa.Table, tokens_col: str = "tokens",
         toks = toks.combine_chunks()
     offs = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
     flat = toks.values.to_numpy(zero_copy_only=False).astype(np.float64)
-    n_all = offs[1:] - offs[:-1]
+    # docs longer than PAD_LEN are capped to their first PAD_LEN tokens;
+    # the capped length is the divisor everywhere (consistent truncation)
+    n_all = np.minimum(offs[1:] - offs[:-1], PAD_LEN)
     nb = len(n_all)
     buckets = np.minimum(
         np.maximum(64, 2 ** np.ceil(np.log2(np.maximum(n_all, 1))).astype(np.int64)),

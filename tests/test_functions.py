@@ -350,3 +350,27 @@ def test_all_features_on_edge_series():
     const = np.full(100, 7.0)
     assert guerrero(const, 12)["lambda_guerrero"] == 1.0  # guerrero.R:31
     assert math.isnan(feat_spectral(const)["spectral_entropy"])  # features.R:529
+
+
+def test_tacf_length_cap():
+    from feasts_ray.functions.acf import TACF_MAX_N, tacf
+
+    with pytest.raises(ValueError, match="capped"):
+        tacf(np.zeros(TACF_MAX_N + 1))
+
+
+def test_unitroot_pp_zalpha_table():
+    """Z-alpha uses the normalized-bias (rho_mu) table, not tau_mu: a
+    clearly stationary series should have a small p-value on BOTH paths,
+    and the Z-alpha statistic scale (~n*(rho-1)) is far outside tau range."""
+    from feasts_ray.functions.unitroot import unitroot_pp
+
+    rng = np.random.default_rng(3)
+    x = rng.normal(0, 1, 300)  # white noise: strongly rejects unit root
+    tau = unitroot_pp(x, type_="Z-tau")
+    alpha = unitroot_pp(x, type_="Z-alpha")
+    assert tau["pp_pvalue"] <= 0.01
+    assert alpha["pp_pvalue"] <= 0.01
+    assert alpha["pp_stat"] < -50  # normalized-bias scale, not a t-ratio
+    rw = np.cumsum(rng.normal(0, 1, 300))  # random walk: fails to reject
+    assert unitroot_pp(rw, type_="Z-alpha")["pp_pvalue"] >= 0.05

@@ -74,3 +74,33 @@ def test_batch_invariance(ray_session):
         gb = b[c].to_numpy(np.float64)
         same = (ga.view(np.int64) == gb.view(np.int64)) | (np.isnan(ga) & np.isnan(gb))
         assert same.all(), c
+
+
+def test_long_docs_capped_consistently(ray_session):
+    """Docs longer than PAD_LEN: features computed on the first PAD_LEN
+    tokens with the CAPPED length as divisor (no silent wrong divisor,
+    no opaque scatter error)."""
+    import pyarrow as pa
+
+    from feasts_ray.stages.token_features import (
+        PAD_LEN,
+        padded_matrix,
+        token_feature_batch,
+        token_feature_block,
+    )
+
+    long = list(range(PAD_LEN + 200))
+    short = [5, 6, 7, 8]
+    tbl = pa.table({
+        "doc_id": pa.array([0, 1], type=pa.int64()),
+        "source": pa.array(["s", "s"]),
+        "tokens": pa.array([long, short], type=pa.list_(pa.int32())),
+    })
+    out = token_feature_batch(tbl).to_pandas().sort_values("doc_id")
+    # matches a manual run on the truncated prefix
+    x, n, mask = padded_matrix(tbl["tokens"])
+    assert n.tolist() == [PAD_LEN, 4]
+    ref = token_feature_block(x[:1], n[:1], mask[:1])
+    assert out["tok_mean"].iloc[0] == ref["tok_mean"][0]
+    expect_mean = float(np.mean(np.arange(PAD_LEN, dtype=np.float64)))
+    assert out["tok_mean"].iloc[0] == expect_mean
