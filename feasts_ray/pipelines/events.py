@@ -110,10 +110,13 @@ def rollup_table(
                    "ts_col": ts_col, "value_col": value_col},
     )
     if cascade_from_s is not None:
-        fine = run_tier(ds, f"u{first_unit}", first_unit, segment_points,
-                        {}, gap_fill=False, blobs_dir=None, key_col=key_col)
-        ds = fine.select_columns([key_col, "bucket", "count", "sum", "min", "max"]
-                                 ).map_batches(
+        # Cascade fusion: the finer tier's merge is a plain integer
+        # aggregation (no gap-fill, no blobs), and integer partial
+        # aggregation is associative — re-bucketing the fine-tier
+        # PARTIALS straight to the coarser unit is byte-identical to
+        # materializing the fine tier first, and skips one full shuffle.
+        # (Buckets still floor through the fine unit: ts -> 60s -> 3600s.)
+        ds = ds.map_batches(
             _recast_batch, batch_format="pyarrow",
             fn_kwargs={"unit_s": unit_s, "key_col": key_col},
         )

@@ -130,6 +130,7 @@ def run_rollup(
     lineage = ckpt.lineage_hash(input_path, cfg_dict)
     metrics: dict[str, dict] = {}
     prev_points: Path | None = None
+    prev_mat: "ray.data.Dataset | None" = None
     spans: dict | None = None
 
     for k, tier in enumerate(cfg.tiers):
@@ -140,6 +141,7 @@ def run_rollup(
             if spans is None and "spans" in m:
                 spans = {s: tuple(v) for s, v in m["spans"].items()}
             prev_points = points_dir
+            prev_mat = None  # resume path: next tier re-reads from disk
             continue
         # stale partial output from a crashed attempt: clear before rerun
         for d in (points_dir, blobs_dir):
@@ -158,11 +160,14 @@ def run_rollup(
             )
         else:
             assert prev_points is not None
-            ds = ray.data.read_parquet(
-                str(prev_points),
-                columns=[cfg.series_key, "bucket", "count", "sum", "min", "max"],
-            )
-            ds = ds.map_batches(
+            # cascade fusion: when the previous tier just ran, its points
+            # are still materialized in the object store — re-aggregate
+            # them directly and skip the parquet read-back (the write
+            # still happened, so resume semantics are unchanged)
+            cols = [cfg.series_key, "bucket", "count", "sum", "min", "max"]
+            src = (prev_mat.select_columns(cols) if prev_mat is not None
+                   else ray.data.read_parquet(str(prev_points), columns=cols))
+            ds = src.map_batches(
                 cascade_batch, batch_format="pyarrow", fn_kwargs={"unit_s": tier.unit_s}
             )
         # materialize partials ONLY when the span reduce needs a second
@@ -179,6 +184,14 @@ def run_rollup(
             blobs_dir=str(blobs_dir) if encode else None,
             key_col=cfg.series_key,
         )
+        # post-raw tiers are small (>=60x reduction): keep them in the
+        # object store so the next cascade tier skips the disk read-back;
+        # the raw tier stays fully streaming (it is input-sized)
+        if k >= 1 and k + 1 < len(cfg.tiers):
+            points = points.materialize()
+            prev_mat = points
+        else:
+            prev_mat = None
         points.write_parquet(str(points_dir))
         rows, watermark = _points_stats(points_dir)
         blob_bytes = ckpt.dir_bytes(blobs_dir) if encode else 0

@@ -181,19 +181,20 @@ def generate_mbb(
 
 
 class _X11Kernel:
-    def __init__(self, value_col, key_cols, period, time_col):
+    def __init__(self, value_col, key_cols, period, time_col, type_="additive"):
         self.value_col = value_col
         self.key_cols = tuple(key_cols)
         self.period = period
         self.time_col = time_col
+        self.type_ = type_
 
     def __call__(self, group: pd.DataFrame) -> pd.DataFrame:
-        from ..functions.x11 import x11_additive
+        from ..functions.x11 import x11_decompose
 
         if self.time_col is not None:
             group = group.sort_values(self.time_col, kind="mergesort")
         y = group[self.value_col].to_numpy(dtype=np.float64, na_value=np.nan)
-        dcmp = x11_additive(y, self.period)
+        dcmp = x11_decompose(y, self.period, self.type_)
         out = group.copy()
         for k, v in dcmp.items():
             out[k] = v
@@ -206,12 +207,15 @@ def x11_decomposition(
     key_cols: list[str],
     period: int,
     time_col: str | None = None,
+    type_: str = "additive",
 ) -> Decomposition:
-    """X11-style additive seasonal adjustment (Henderson trend + 3x3/3x5
-    seasonal MAs; see functions/x11.py — the reference's X-11 surface is
-    an external Census binary, R/x11.R:19-84, reimplemented from the
-    published method as a documented deviation)."""
-    kernel = _X11Kernel(value_col, tuple(key_cols), period, time_col)
+    """X11-style seasonal adjustment, additive or multiplicative
+    (Henderson trend with Musgrave end filters + 3x3/3x5 seasonal MAs
+    with the published X-11 end weights; see functions/x11.py — the
+    reference's X-11 surface is an external Census binary,
+    R/x11.R:5-9,19-84, reimplemented from the published method as a
+    documented deviation)."""
+    kernel = _X11Kernel(value_col, tuple(key_cols), period, time_col, type_)
     out = ds.groupby(list(key_cols)).map_groups(kernel.__call__,
                                                 batch_format="pandas")
     return Decomposition(out, value_col, "X11", ["seasonal"])

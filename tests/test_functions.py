@@ -374,3 +374,69 @@ def test_unitroot_pp_zalpha_table():
     assert alpha["pp_stat"] < -50  # normalized-bias scale, not a t-ratio
     rw = np.cumsum(rng.normal(0, 1, 300))  # random walk: fails to reject
     assert unitroot_pp(rw, type_="Z-alpha")["pp_pvalue"] >= 0.05
+
+
+class TestX11Ends:
+    def test_musgrave_h13_published_weights(self):
+        """Musgrave asymmetric weights for Henderson-13 (R=3.5) reproduce
+        the published X-11 last-point filter (Ladiray-Quenneville 2001,
+        ch. 3; Doherty 2001 Table 1)."""
+        from feasts_ray.functions.x11 import _H13, musgrave_weights
+
+        u0 = musgrave_weights(_H13, 0, 3.5)
+        published = np.array([-0.092, -0.058, 0.012, 0.120, 0.244, 0.353, 0.421])
+        np.testing.assert_allclose(u0, published, atol=5e-4)
+        # symmetric case reproduces the Henderson weights exactly
+        np.testing.assert_allclose(musgrave_weights(_H13, 6, 3.5), _H13)
+        # every truncation preserves constants (weights sum to 1)
+        for q in range(6):
+            assert abs(musgrave_weights(_H13, q, 3.5).sum() - 1.0) < 1e-12
+
+    def test_seasonal_ma_end_weight_tables(self):
+        from feasts_ray.functions.x11 import _END33, _END35, _W33, _W35
+
+        for table, w in ((_END33, _W33), (_END35, _W35)):
+            for q, u in table.items():
+                assert abs(u.sum() - 1.0) < 1e-12
+                assert len(u) == len(w) // 2 + q + 1
+
+    def test_x11_multiplicative_roundtrip(self):
+        from feasts_ray.functions.x11 import x11_decompose
+
+        n, p = 240, 12
+        t = np.arange(n, dtype=float)
+        rng = np.random.default_rng(2)
+        seasonal = 1.0 + 0.3 * np.sin(2 * np.pi * (np.arange(n) % p) / p)
+        y = (10 + 0.05 * t) * seasonal * np.exp(rng.normal(0, 0.01, n))
+        d = x11_decompose(y, p, "multiplicative")
+        np.testing.assert_allclose(
+            d["trend"] * d["seasonal"] * d["remainder"], y, rtol=1e-9)
+        np.testing.assert_allclose(d["season_adjust"] * d["seasonal"], y,
+                                   rtol=1e-9)
+        mid = slice(2 * p, n - 2 * p)
+        assert np.abs(d["seasonal"][mid] - seasonal[mid]).mean() < 0.03
+        assert np.corrcoef(d["trend"], 10 + 0.05 * t)[0, 1] > 0.99
+
+    def test_x11_additive_end_region_tracks_trend(self):
+        """Musgrave end filters beat truncated re-normalized symmetric
+        weights on a linear trend (the minimum-revision design goal),
+        and the full X11 iteration still reconstructs exactly."""
+        from feasts_ray.functions.x11 import (
+            _H13,
+            _musgrave_filter,
+            _sym_filter,
+            x11_decompose,
+        )
+
+        n, p = 120, 12
+        t = np.arange(n, dtype=float)
+        x = 0.5 * t  # pure linear trend
+        err_musgrave = np.abs(_musgrave_filter(x, _H13, 3.5) - x)[-6:]
+        err_truncated = np.abs(_sym_filter(x, _H13) - x)[-6:]
+        assert err_musgrave.max() < err_truncated.max()
+        assert err_musgrave.max() < 0.25
+        seasonal = np.tile(np.sin(2 * np.pi * np.arange(p) / p) * 3, n // p)
+        y = x + seasonal
+        d = x11_decompose(y, p, "additive")
+        np.testing.assert_allclose(
+            d["trend"] + d["seasonal"] + d["remainder"], y, atol=1e-9)
