@@ -398,6 +398,10 @@ JOIN series p ON p.event_type = s.event_type AND p.bucket = s.bucket - k.lag * 3
         "pacf_table_1h": _PACF_TABLE_1H,
         "classical_1h": _CLASSICAL_1H,
         "features_basic_1h": _FEATURES_BASIC_1H,
+        "seasonal_overlay_1h": (
+            "WITH {series} SELECT event_type, bucket // 86400 AS cycle, "
+            "(bucket % 86400) // 3600 AS phase, CAST(x AS DOUBLE) AS value "
+            "FROM series".format(series=_SERIES_1H)),
         "bpe_token_counts": _BPE_COUNTS,
         "event_type_stats": (
             "WITH sec AS ({sec}) SELECT event_type, COUNT(*) AS n_events, "

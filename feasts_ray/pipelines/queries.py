@@ -534,6 +534,25 @@ def q_seasonal_subseries_1h(sf_dir: str):
                               interval_s=HOUR, period="day")
 
 
+def q_seasonal_overlay_1h(sf_dir: str):
+    """gg_season overlay data: one per-day line over the hour-of-day axis
+    per event_type (zero-shuffle projection of the gap-filled rollup)."""
+    from ..stages.seasonal import seasonal_overlay
+
+    return seasonal_overlay(_hourly_count_series(sf_dir), value_col="value",
+                            key_col="event_type", interval_s=HOUR, period="day")
+
+
+def q_x11_1h(sf_dir: str):
+    """X11-style additive adjustment (Musgrave-ended Henderson trend,
+    3x3/3x5 seasonal MAs) of hourly counts per event_type."""
+    from ..stages.decompose import x11_decomposition
+
+    return x11_decomposition(_hourly_count_series(sf_dir), value_col="value",
+                             key_cols=["event_type"], period=24,
+                             time_col="bucket").components()
+
+
 def q_lag_pairs_1h(sf_dir: str):
     """(key, lag, t, y, y_lagged) pairs over gap-filled hourly counts
     (gg_lag scatter data)."""
@@ -578,5 +597,7 @@ ALL_QUERIES = {
     "rolling_24h": q_rolling_24h,
     "anomalies_1h": q_anomalies_1h,
     "seasonal_subseries_1h": q_seasonal_subseries_1h,
+    "seasonal_overlay_1h": q_seasonal_overlay_1h,
+    "x11_1h": q_x11_1h,
     "lag_pairs_1h": q_lag_pairs_1h,
 }

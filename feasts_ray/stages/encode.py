@@ -95,17 +95,22 @@ def decode_segments(blob_rows: pa.Table | pd.DataFrame, key_col: str = "source")
     mean) form — used for the bit-exactness invariant and as a reader."""
     if isinstance(blob_rows, pa.Table):
         blob_rows = blob_rows.to_pandas()
+    # row loop is fine here: one iteration decodes a whole 4096-point
+    # segment (vectorized inside the codecs), so Python overhead is
+    # ~0.02% of the work; the lockstep batch decoder (codecs.intcodec.
+    # decode_ints_batch) is used where rows are per-doc sized.
     parts = []
-    for _, r in blob_rows.iterrows():
-        buckets = decode_ints(r["bucket_blob"])
-        d = {key_col: r[key_col], "bucket": buckets}
+    cols = blob_rows[key_col].to_numpy()
+    for i in range(len(blob_rows)):
+        buckets = decode_ints(blob_rows["bucket_blob"].iat[i])
+        d = {key_col: cols[i], "bucket": buckets}
         for c in _INT_COLS:
-            d[c] = decode_ints(r[f"{c}_blob"])
+            d[c] = decode_ints(blob_rows[f"{c}_blob"].iat[i])
         for c in _FLOAT_COLS:
             if c in ("min", "max"):
-                vals, _ = decode_nullable_ints(r[f"{c}_blob"])
+                vals, _ = decode_nullable_ints(blob_rows[f"{c}_blob"].iat[i])
             else:
-                vals, _ = decode_nullable_floats(r[f"{c}_blob"])
+                vals, _ = decode_nullable_floats(blob_rows[f"{c}_blob"].iat[i])
             d[c] = vals
         parts.append(pd.DataFrame(d))
     if not parts:

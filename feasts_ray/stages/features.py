@@ -101,7 +101,13 @@ def extract_features(
 class TokenFeatureKernel:
     """map_batches kernel over a list<int32> series column: one feature row
     per input row, zero shuffle. Stateful setup (feature-set resolution)
-    in __init__ — runs once per actor."""
+    in __init__ — runs once per actor.
+
+    FLEXIBILITY path: runs arbitrary registry kernels per doc in Python
+    (~100x the cost of the padded-matrix kernel). For the full-corpus
+    default feature set use stages.token_features.token_feature_table —
+    the batch-vectorized kernel with batch-shape-independent reduction
+    trees; this class is for ad-hoc registry subsets."""
 
     def __init__(self, tokens_col: str, id_cols: tuple[str, ...], period: int,
                  names: list[str] | None = None, tags: list[str] | None = None):

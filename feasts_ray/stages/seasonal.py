@@ -111,3 +111,31 @@ def lag_pairs(
     """Long (key, lag, t, y, y_lagged) table for lag scatter displays."""
     kernel = _LagPairKernel(value_col, key_col, time_col, lags)
     return ds.groupby(key_col).map_groups(kernel.__call__, batch_format="pandas")
+
+
+def seasonal_overlay(
+    ds: "ray.data.Dataset",
+    value_col: str,
+    key_col: str,
+    bucket_col: str = "bucket",
+    interval_s: int = 3600,
+    period: str = "day",
+) -> "ray.data.Dataset":
+    """gg_season overlay data: one line per (key, cycle) over the phase
+    axis — (key, cycle, phase, value). Pure projection (zero shuffle):
+    cycle = period window index, phase = observation index within it."""
+    from ..functions.timeutils import _MONDAY_SHIFT_S
+
+    span = PERIODS_S[period]
+    shift = _MONDAY_SHIFT_S if period == "week" else 0
+
+    def _project(batch: pa.Table) -> pa.Table:
+        b = batch[bucket_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            key_col: batch[key_col],
+            "cycle": pa.array((b + shift) // span, type=pa.int64()),
+            "phase": pa.array(phase_of(b, interval_s, period), type=pa.int64()),
+            "value": batch[value_col].cast(pa.float64()),
+        })
+
+    return ds.map_batches(_project, batch_format="pyarrow")
