@@ -90,6 +90,110 @@ def encode_ints(values: np.ndarray) -> bytes:
     return header + pack_codes(vals, bits)
 
 
+def encode_ints_batch(flat: np.ndarray, offs: np.ndarray) -> list[bytes]:
+    """Encode MANY dod streams in one vectorized pass: classification and
+    code construction run over the concatenated second-difference array,
+    and every doc's stream is packed into one shared buffer at its own
+    byte-aligned offset (bitio.pack_codes_at). Byte-identical to calling
+    ``encode_ints`` per doc.
+
+    ``flat`` is the concatenation of all docs' int64 values, ``offs`` the
+    (S+1,) boundaries. Rare huge second differences (|dod| >= 2^31 — the
+    '11111' spill class, impossible for token-id streams) fall back to
+    the scalar encoder for just those docs."""
+    from .bitio import pack_codes_at
+
+    flat = np.asarray(flat, dtype=np.int64)
+    offs = np.asarray(offs, dtype=np.int64)
+    S = len(offs) - 1
+    if S == 0:
+        return []
+    n = np.diff(offs)
+    m = np.maximum(n - 2, 0)  # dod codes per doc
+    doc_code_start = np.cumsum(m) - m
+    doc_of = np.repeat(np.arange(S), m)
+    base = np.repeat(offs[:-1], m)
+    within = np.arange(len(doc_of)) - np.repeat(doc_code_start, m)
+    j = base + within + 2
+    with np.errstate(over="ignore"):
+        dod = flat[j] - 2 * flat[j - 1] + flat[j - 2]
+    a = np.abs(dod)
+    cls = np.where(dod == 0, 0,
+          np.where((dod >= -63) & (dod <= 64), 1,
+          np.where((dod >= -255) & (dod <= 256), 2,
+          np.where((dod >= -2047) & (dod <= 2048), 3,
+          np.where(a < (1 << 31), 4, 5)))))
+    if (cls == 5).any():
+        # spill class: encode the affected docs with the scalar path
+        bad_docs = np.unique(doc_of[cls == 5])
+        good = np.ones(S, dtype=bool)
+        good[bad_docs] = False
+        out: list[bytes | None] = [None] * S
+        for i in bad_docs:
+            out[i] = encode_ints(flat[offs[i]:offs[i + 1]])
+        if good.any():
+            gi = np.flatnonzero(good)
+            g_n = n[gi]
+            g_offs = np.concatenate([[0], np.cumsum(g_n)])
+            g_flat = np.concatenate(
+                [flat[offs[i]:offs[i + 1]] for i in gi]) if g_offs[-1] else (
+                np.array([], dtype=np.int64))
+            for i, b in zip(gi, encode_ints_batch(g_flat, g_offs)):
+                out[i] = b
+        return out  # type: ignore[return-value]
+    du = dod.view(np.uint64)
+    zz = (du << np.uint64(1)) ^ (dod >> np.int64(63)).view(np.uint64)
+    mm = len(dod)
+    vals = np.empty(mm, dtype=np.uint64)
+    bits = np.empty(mm, dtype=np.int64)
+    vals[cls == 0] = 0;                               bits[cls == 0] = 1
+    s = cls == 1
+    vals[s] = ((0b10 << 7) | (dod[s] + 63)).astype(np.uint64);    bits[s] = 9
+    s = cls == 2
+    vals[s] = ((0b110 << 9) | (dod[s] + 255)).astype(np.uint64);  bits[s] = 12
+    s = cls == 3
+    vals[s] = ((0b1110 << 12) | (dod[s] + 2047)).astype(np.uint64); bits[s] = 16
+    s = cls == 4
+    vals[s] = (np.uint64(0b11110) << np.uint64(32)) | zz[s];      bits[s] = 37
+    # layout: per-doc [n:64][zz(v0):64][zz(d0):64][codes padded to words]
+    cs = np.concatenate([[0], np.cumsum(bits)])
+    bit_sum = cs[doc_code_start + m] - cs[doc_code_start]
+    header_bytes = 8 * (1 + (n >= 1).astype(np.int64) + (n >= 2).astype(np.int64))
+    code_bytes = ((bit_sum + 63) // 64) * 8
+    doc_bytes = header_bytes + code_bytes
+    doc_start = np.concatenate([[0], np.cumsum(doc_bytes)])
+    total = int(doc_start[-1])
+
+    def _zz_vec(v: np.ndarray) -> np.ndarray:
+        with np.errstate(over="ignore"):
+            return ((v.view(np.uint64) << np.uint64(1))
+                    ^ (v >> np.int64(63)).view(np.uint64))
+
+    h_vals = [n.view(np.uint64)]
+    h_bits = [np.full(S, 64, dtype=np.int64)]
+    h_starts = [doc_start[:-1] * 8]
+    has1 = n >= 1
+    v0 = np.where(has1, flat[np.minimum(offs[:-1], len(flat) - 1)], 0)
+    h_vals.append(_zz_vec(v0)[has1])
+    h_bits.append(np.full(int(has1.sum()), 64, dtype=np.int64))
+    h_starts.append((doc_start[:-1] * 8 + 64)[has1])
+    has2 = n >= 2
+    i2 = np.minimum(offs[:-1] + 1, len(flat) - 1)
+    with np.errstate(over="ignore"):
+        d0 = np.where(has2, flat[i2] - v0, 0)
+    h_vals.append(_zz_vec(d0)[has2])
+    h_bits.append(np.full(int(has2.sum()), 64, dtype=np.int64))
+    h_starts.append((doc_start[:-1] * 8 + 128)[has2])
+    code_base_bit = (doc_start[:-1] + header_bytes) * 8
+    code_starts = (np.repeat(code_base_bit, m)
+                   + (cs[:-1] - np.repeat(cs[doc_code_start], m)))
+    all_vals = np.concatenate([*h_vals, vals])
+    all_bits = np.concatenate([*h_bits, bits])
+    all_starts = np.concatenate([*h_starts, code_starts])
+    buf = pack_codes_at(all_vals, all_bits, all_starts, total)
+    return [buf[doc_start[i]:doc_start[i + 1]].tobytes() for i in range(S)]
+
+
 def _wrap64(x: int) -> int:
     """Wrap to signed int64 (matches numpy int64 overflow semantics in encode)."""
     x &= (1 << 64) - 1

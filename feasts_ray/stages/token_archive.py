@@ -18,8 +18,7 @@ import pyarrow as pa
 
 import ray.data
 
-from ..codecs import encode_ints
-from ..codecs.intcodec import decode_ints_batch
+from ..codecs.intcodec import decode_ints_batch, encode_ints_batch
 
 
 def archive_tokens_batch(batch: pa.Table, tokens_col: str = "tokens",
@@ -29,7 +28,10 @@ def archive_tokens_batch(batch: pa.Table, tokens_col: str = "tokens",
         toks = toks.combine_chunks()
     offs = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
     flat = toks.values.to_numpy(zero_copy_only=False).astype(np.int64)
-    blobs = [encode_ints(flat[offs[i]:offs[i + 1]]) for i in range(len(batch))]
+    # lockstep vectorized encode of the whole batch (~8x the per-doc
+    # loop; byte-identical to encode_ints per doc)
+    blobs = encode_ints_batch(flat[offs[0]:offs[-1]] if len(batch) else flat,
+                              offs - offs[0])
     raw_bytes = 4 * (int(offs[-1]) - int(offs[0])) if len(batch) else 0
     if verify and len(batch):
         # lockstep vectorized decode of the whole batch: flat values AND

@@ -138,3 +138,28 @@ try:
         np.testing.assert_array_equal(got, out)  # bitwise, incl NaN payloads
 except ImportError:  # pragma: no cover
     pass
+
+
+def test_encode_ints_batch_byte_identical():
+    """Lockstep batch encoder must produce byte-identical blobs to the
+    scalar encoder for every class incl. the 64-bit spill fallback."""
+    from feasts_ray.codecs.intcodec import decode_ints, encode_ints, encode_ints_batch
+
+    rng = np.random.default_rng(42)
+    docs = [
+        np.array([], dtype=np.int64),
+        np.array([5], dtype=np.int64),
+        np.array([5, -9], dtype=np.int64),
+        np.zeros(7, dtype=np.int64),
+        np.arange(64, dtype=np.int64) * 3600,          # dod == 0 run
+        np.array([0, 2**31 - 1, 0, 2**31 - 1], dtype=np.int64),  # spill
+    ]
+    for _ in range(30):
+        docs.append(rng.integers(-10**6, 10**6,
+                                 rng.integers(3, 200)).astype(np.int64))
+    flat = np.concatenate(docs)
+    offs = np.concatenate([[0], np.cumsum([len(d) for d in docs])])
+    blobs = encode_ints_batch(flat, offs)
+    for i, d in enumerate(docs):
+        assert blobs[i] == encode_ints(d)
+        np.testing.assert_array_equal(decode_ints(blobs[i]), d)
