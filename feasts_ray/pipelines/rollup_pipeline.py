@@ -130,7 +130,6 @@ def run_rollup(
     lineage = ckpt.lineage_hash(input_path, cfg_dict)
     metrics: dict[str, dict] = {}
     prev_points: Path | None = None
-    prev_mat: "ray.data.Dataset | None" = None
     spans: dict | None = None
 
     for k, tier in enumerate(cfg.tiers):
@@ -141,7 +140,6 @@ def run_rollup(
             if spans is None and "spans" in m:
                 spans = {s: tuple(v) for s, v in m["spans"].items()}
             prev_points = points_dir
-            prev_mat = None  # resume path: next tier re-reads from disk
             continue
         # stale partial output from a crashed attempt: clear before rerun
         for d in (points_dir, blobs_dir):
@@ -160,39 +158,55 @@ def run_rollup(
             )
         else:
             assert prev_points is not None
-            # cascade fusion: when the previous tier just ran, its points
-            # are still materialized in the object store — re-aggregate
-            # them directly and skip the parquet read-back (the write
-            # still happened, so resume semantics are unchanged)
-            cols = [cfg.series_key, "bucket", "count", "sum", "min", "max"]
-            src = (prev_mat.select_columns(cols) if prev_mat is not None
-                   else ray.data.read_parquet(str(prev_points), columns=cols))
-            ds = src.map_batches(
+            # Size read blocks to ~128 MB (floor: one per CPU): the finer
+            # tier wrote one small file per kernel task, and inheriting
+            # 100+ KB-sized blocks makes the next shuffle pure scheduling
+            # overhead (measured: 1m tier sort 17.7 s for 11 MB of rows).
+            import ray as _ray
+
+            cpus = (int(_ray.cluster_resources().get("CPU", 8))
+                    if _ray.is_initialized() else 8)
+            nblk = max(cpus, ckpt.dir_bytes(prev_points) // (128 << 20))
+            ds = ray.data.read_parquet(
+                str(prev_points),
+                columns=[cfg.series_key, "bucket", "count", "sum", "min", "max"],
+                override_num_blocks=nblk,
+            ).map_batches(
                 cascade_batch, batch_format="pyarrow", fn_kwargs={"unit_s": tier.unit_s}
             )
-        # materialize partials ONLY when the span reduce needs a second
-        # consumer (first uncheckpointed tier); cascade tiers reuse spans
-        # and stream straight into the tier shuffle
-        if spans is None:
+        # Spans (per-key bucket domain) are only needed for gap-filled
+        # tiers. The raw tier is not gap-filled, so it streams straight
+        # through (read -> combine -> shuffle -> kernel -> write in ONE
+        # pipeline, no input-sized materialization); spans are then
+        # derived from its small points parquet. Materialize partials
+        # only when the FIRST tier itself needs gap-fill.
+        tier_gap_fill = cfg.gap_fill and tier.gap_fill
+        if spans is None and tier_gap_fill:
             partials = ds.materialize()
             spans = spans_from_partials(partials, key_col=cfg.series_key)
         else:
             partials = ds
         points = run_tier(
-            partials, tier.name, tier.unit_s, cfg.segment_points, spans,
-            gap_fill=cfg.gap_fill and tier.gap_fill,
+            partials, tier.name, tier.unit_s, cfg.segment_points,
+            spans or {}, gap_fill=tier_gap_fill,
             blobs_dir=str(blobs_dir) if encode else None,
             key_col=cfg.series_key,
         )
-        # post-raw tiers are small (>=60x reduction): keep them in the
-        # object store so the next cascade tier skips the disk read-back;
-        # the raw tier stays fully streaming (it is input-sized)
-        if k >= 1 and k + 1 < len(cfg.tiers):
-            points = points.materialize()
-            prev_mat = points
-        else:
-            prev_mat = None
+        # The next tier re-reads this tier's parquet. Measured:
+        # materializing points for in-memory reuse UN-fuses the write
+        # from the tier kernel (extra barrier + second pass), ~5 s/tier
+        # at 12M docs, while the parquet read-back of a post-raw tier is
+        # ~1 s — streaming write + re-read wins (and is the resume path
+        # anyway).
         points.write_parquet(str(points_dir))
+        if spans is None:
+            # first (non-gap-filled) tier just wrote: derive spans from
+            # its points parquet — a 2-column scan of the rolled output,
+            # tiny next to the input the old materialize() path held
+            spans = spans_from_partials(
+                ray.data.read_parquet(str(points_dir),
+                                      columns=[cfg.series_key, "bucket"]),
+                key_col=cfg.series_key)
         rows, watermark = _points_stats(points_dir)
         blob_bytes = ckpt.dir_bytes(blobs_dir) if encode else 0
         wall = time.perf_counter() - t0

@@ -65,7 +65,7 @@ def restore_tokens_batch(batch: pa.Table, blob_col: str = "tokens_blob") -> pa.T
 
 
 def archive_tokens(ds: "ray.data.Dataset", tokens_col: str = "tokens",
-                   verify: bool = True, batch_size: int = 1024) -> "ray.data.Dataset":
+                   verify: bool = True, batch_size: int = 4096) -> "ray.data.Dataset":
     """tokens list column -> verified per-doc compressed blobs."""
     return ds.map_batches(archive_tokens_batch, batch_format="pyarrow",
                           batch_size=batch_size,
