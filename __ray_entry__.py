@@ -386,6 +386,20 @@ JOIN series p ON p.event_type = s.event_type AND p.bucket = s.bucket - k.lag * 3
         "rollup_1h_cascade": _rollup_sql(3600),
         "rollup_1h_blobs_roundtrip": _rollup_sql(3600),
         "gapfill_1h": _GAPFILL_1H,
+        "series_checks_1h": (
+            "WITH sec AS ({sec}), "
+            "agg AS (SELECT event_type, bucket FROM sec GROUP BY event_type, bucket), "
+            "d AS (SELECT event_type, bucket - lag(bucket) OVER "
+            "(PARTITION BY event_type ORDER BY bucket) AS delta FROM agg), "
+            "st AS (SELECT event_type, COUNT(*) AS n, MIN(bucket) AS lo, "
+            "MAX(bucket) AS hi FROM agg GROUP BY event_type), "
+            "rg AS (SELECT event_type, COUNT(DISTINCT delta) AS nd FROM d "
+            "WHERE delta IS NOT NULL GROUP BY event_type) "
+            "SELECT s.event_type, s.n, "
+            "s.n < ((s.hi - s.lo) // 3600 + 1) AS has_gaps, "
+            "COALESCE(rg.nd, 0) <= 1 AS regular "
+            "FROM st s LEFT JOIN rg ON rg.event_type = s.event_type"
+            .format(sec=_EV_SEC.format(u=3600))),
         "gap_counts": (
             "WITH sec AS ({sec}), agg AS (SELECT event_type, bucket FROM sec "
             "GROUP BY event_type, bucket) "

@@ -97,6 +97,50 @@ def q_gap_counts(sf_dir: str):
     return merged.map_batches(_derive, batch_format="pyarrow")
 
 
+def q_series_checks_1h(sf_dir: str):
+    """§2.2 structural predicates as data: per-key row count, gap flag,
+    interval regularity over the (non-gap-filled) hourly rollup
+    (reference aborts on these — R/dcmp_checks.R:1-11; we report)."""
+    from ..stages.checks import check_gaps, check_regular
+
+    rolled = rollup_table(_events(sf_dir), HOUR)
+    g = check_gaps(rolled, "event_type", "bucket", HOUR, strict=False)
+    r = check_regular(rolled, "event_type", "bucket", strict=False)
+    out = g.merge(r, on="event_type").sort_values("event_type",
+                                                  ignore_index=True)
+    return out[["event_type", "n", "has_gaps", "regular"]]
+
+
+def q_media_pipeline(sf_dir: str):
+    """Multimodal pipeline: real-format (P6 PPM) payloads -> actor-pool
+    decode -> nearest-neighbor resize; returns per-media shape facts.
+    Media is deterministic synth (no media in the driver tables)."""
+    from ..multimodal import ImageDecoder, ImageResizer, make_fake_media_table
+
+    t = make_fake_media_table(64, kind="image", real_format=True, seed=7)
+    ds = ray.data.from_arrow(t)
+    out = ds.map_batches(ImageDecoder, fn_constructor_kwargs={"decoder": "real"},
+                         batch_format="pyarrow", batch_size=16,
+                         concurrency=(1, 4))
+    out = out.map_batches(ImageResizer, fn_constructor_args=(16, 16),
+                          batch_format="pyarrow", batch_size=16,
+                          concurrency=(1, 4))
+
+    def _facts(batch: pa.Table) -> pa.Table:
+        pix = batch["pixels"]
+        if isinstance(pix, pa.ChunkedArray):
+            pix = pix.combine_chunks()
+        n_pix = np.diff(pix.offsets.to_numpy(zero_copy_only=False))
+        return pa.table({
+            "media_id": batch["media_id"],
+            "width": batch["width"].cast(pa.int64()),
+            "height": batch["height"].cast(pa.int64()),
+            "n_values": pa.array(n_pix, type=pa.int64()),
+        })
+
+    return out.map_batches(_facts, batch_format="pyarrow")
+
+
 def q_acf_1h_counts(sf_dir: str):
     rolled = rollup_table(_events(sf_dir), HOUR, fill_gaps=True)
     return acf_of_counts(rolled, key_col="event_type", value_col="count",
@@ -567,6 +611,8 @@ ALL_QUERIES = {
     "rollup_1h_cascade": q_rollup_1h_cascade,
     "gapfill_1h": q_gapfill_1h,
     "gap_counts": q_gap_counts,
+    "series_checks_1h": q_series_checks_1h,
+    "media_pipeline": q_media_pipeline,
     "acf_1h_counts": q_acf_1h_counts,
     "rollup_1h_blobs_roundtrip": q_rollup_1h_blobs_roundtrip,
     "event_type_stats": q_event_type_stats,
