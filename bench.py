@@ -125,8 +125,12 @@ def main_scaling():
     (sandbox evidence for the N -> 4N cluster-size scaling criterion).
 
     Uses a larger input than the plain bench: scaling efficiency is only
-    meaningful when per-stage fixed costs are amortized by real work."""
-    n_docs = int(os.environ.get("GRAFT_SCALING_DOCS", "12000000"))
+    meaningful when per-stage fixed costs are amortized by real work
+    (24M docs ~ 3.4 GB parquet; round-2 kernels are fast enough that the
+    12M input left ~6 s of fixed Ray stage setup visible per tier).
+    NOTE: run on an otherwise-idle machine — this host shows ~10%
+    run-to-run noise and any concurrent Ray session poisons the split."""
+    n_docs = int(os.environ.get("GRAFT_SCALING_DOCS", "24000000"))
     c_lo, c_hi = (int(c) for c in
                   os.environ.get("GRAFT_SCALING_CPUS", "4,16").split(","))
     from feasts_ray.synth import ensure_token_table
