@@ -78,6 +78,46 @@ def perm_params(num_perm: int, seed: int = 1) -> tuple[np.ndarray, np.ndarray]:
     return a, b
 
 
+def minhash_signature_batch(flat_shingles: np.ndarray, starts: np.ndarray,
+                            a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """(B, num_perm) MinHash signatures for MANY docs at once: one
+    (S_total, P) permutation grid + per-doc minimum.reduceat. Duplicate
+    shingles within a doc do not affect the min, so no per-doc unique is
+    needed. Empty docs get the identity row (MERSENNE31). Bit-identical
+    to minhash_signature per doc."""
+    B = len(starts) - 1
+    P = len(a)
+    out = np.full((B, P), MERSENNE31, dtype=np.uint64)
+    if len(flat_shingles) == 0:
+        return out
+    x = (flat_shingles.astype(np.uint64) % np.uint64(MERSENNE31))
+    grid = (x[:, None] * a[None, :] + b[None, :]) % np.uint64(MERSENNE31)
+    counts = np.diff(starts)
+    nonempty = counts > 0
+    red = np.minimum.reduceat(grid, np.minimum(starts[:-1], len(x) - 1), axis=0)
+    out[nonempty] = red[nonempty]
+    return out
+
+
+_FNV_OFF = np.uint64(0xCBF29CE484222325)
+_FNV_PRIME = np.uint64(0x100000001B3)
+
+
+def band_hashes_batch(sigs: np.ndarray, n_bands: int) -> np.ndarray:
+    """(B, num_perm) signatures -> (B, n_bands) uint64 band buckets via a
+    vectorized FNV-1a-style mix over each band's lanes. Bucket EQUALITY
+    (the only thing LSH uses) matches hashing the band bytes any other
+    way, up to negligible 64-bit collisions."""
+    Bn, P = sigs.shape
+    r = P // n_bands
+    lanes = sigs.reshape(Bn, n_bands, r)
+    acc = np.full((Bn, n_bands), _FNV_OFF, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for j in range(r):
+            acc = (acc ^ lanes[:, :, j]) * _FNV_PRIME
+    return acc
+
+
 def band_hashes(sig: np.ndarray, n_bands: int) -> np.ndarray:
     """Hash each band (contiguous rows of the signature) to uint64."""
     r = len(sig) // n_bands

@@ -25,8 +25,8 @@ import ray
 import ray.data
 
 from .hashing import (
-    band_hashes,
-    minhash_signature,
+    band_hashes_batch,
+    minhash_signature_batch,
     perm_params,
     shingle_hashes,
     tokenize_batch,
@@ -49,22 +49,29 @@ class BandEmitter:
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch[self.text_col].to_pylist()
         ids = batch[self.id_col].to_numpy(zero_copy_only=False)
-        whash, offsets, _ = tokenize_batch(texts)
-        out_id, out_band, out_hash = [], [], []
-        for i in range(len(texts)):
-            sh = shingle_hashes(whash[offsets[i]:offsets[i + 1]], self.k)
-            sig = minhash_signature(sh, self.a, self.b)
-            bh = band_hashes(sig, self.n_bands)
-            out_id.append(np.full(self.n_bands, ids[i]))
-            out_band.append(np.arange(self.n_bands, dtype=np.int64))
-            out_hash.append(bh)
         n = len(texts)
+        if n == 0:
+            return pa.table({
+                self.id_col: pa.array([], type=batch[self.id_col].type),
+                "band": pa.array([], type=pa.int64()),
+                "band_hash": pa.array([], type=pa.int64()),
+            })
+        whash, offsets, _ = tokenize_batch(texts)
+        # per-doc shingle streams (vectorized inside), then ONE batch-wide
+        # permutation grid + reduceat for all signatures and a vectorized
+        # band mix — no per-doc Python in the hash math
+        sh_list = [shingle_hashes(whash[offsets[i]:offsets[i + 1]], self.k)
+                   for i in range(n)]
+        counts = np.fromiter((len(s) for s in sh_list), dtype=np.int64, count=n)
+        starts = np.concatenate([[0], np.cumsum(counts)])
+        flat = (np.concatenate(sh_list) if starts[-1]
+                else np.array([], dtype=np.uint64))
+        sigs = minhash_signature_batch(flat, starts, self.a, self.b)
+        bh = band_hashes_batch(sigs, self.n_bands)
         return pa.table({
-            self.id_col: pa.array(np.concatenate(out_id) if n else []),
-            "band": pa.array(np.concatenate(out_band) if n else [], type=pa.int64()),
-            "band_hash": pa.array(
-                np.concatenate(out_hash).astype(np.int64) if n else [], type=pa.int64()
-            ),
+            self.id_col: pa.array(np.repeat(ids, self.n_bands)),
+            "band": pa.array(np.tile(np.arange(self.n_bands, dtype=np.int64), n)),
+            "band_hash": pa.array(bh.reshape(-1).astype(np.int64)),
         })
 
 
