@@ -173,14 +173,18 @@ def encode_ints_batch(flat: np.ndarray, offs: np.ndarray) -> list[bytes]:
     h_bits = [np.full(S, 64, dtype=np.int64)]
     h_starts = [doc_start[:-1] * 8]
     has1 = n >= 1
-    v0 = np.where(has1, flat[np.minimum(offs[:-1], len(flat) - 1)], 0)
+    v0 = (np.where(has1, flat[np.minimum(offs[:-1], len(flat) - 1)], 0)
+          if len(flat) else np.zeros(S, dtype=np.int64))
     h_vals.append(_zz_vec(v0)[has1])
     h_bits.append(np.full(int(has1.sum()), 64, dtype=np.int64))
     h_starts.append((doc_start[:-1] * 8 + 64)[has1])
     has2 = n >= 2
-    i2 = np.minimum(offs[:-1] + 1, len(flat) - 1)
     with np.errstate(over="ignore"):
-        d0 = np.where(has2, flat[i2] - v0, 0)
+        if len(flat):
+            i2 = np.minimum(offs[:-1] + 1, len(flat) - 1)
+            d0 = np.where(has2, flat[i2] - v0, 0)
+        else:
+            d0 = np.zeros(S, dtype=np.int64)
     h_vals.append(_zz_vec(d0)[has2])
     h_bits.append(np.full(int(has2.sum()), 64, dtype=np.int64))
     h_starts.append((doc_start[:-1] * 8 + 128)[has2])
