@@ -60,3 +60,49 @@ def test_token_like_streams_hit_spill_classes(doc):
     offs = np.array([0, len(arr)], dtype=np.int64)
     assert encode_ints_batch(arr, offs)[0] == encode_ints(arr)
     np.testing.assert_array_equal(decode_ints(encode_ints(arr)), arr)
+
+
+_floats = st.floats(allow_nan=False, allow_infinity=True, width=64)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(_floats, min_size=0, max_size=50))
+def test_gorilla_float_roundtrip(vals):
+    from feasts_ray.codecs.gorilla import decode_floats, encode_floats
+
+    arr = np.array(vals, dtype=np.float64)
+    out = decode_floats(encode_floats(arr))
+    # bitwise equality (not just value equality: -0.0 vs 0.0 etc.)
+    np.testing.assert_array_equal(out.view(np.int64), arr.view(np.int64))
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.tuples(_floats, st.booleans()), min_size=0, max_size=50))
+def test_nullable_float_roundtrip(pairs):
+    from feasts_ray.codecs.nullable import (
+        decode_nullable_floats,
+        encode_nullable_floats,
+    )
+
+    vals = np.array([v for v, _ in pairs], dtype=np.float64)
+    valid = np.array([m for _, m in pairs], dtype=bool)
+    out, ovalid = decode_nullable_floats(encode_nullable_floats(vals, valid))
+    np.testing.assert_array_equal(ovalid, valid)
+    np.testing.assert_array_equal(out[valid].view(np.int64),
+                                  vals[valid].view(np.int64))
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.tuples(st.integers(min_value=-(2**52), max_value=2**52),
+                          st.booleans()), min_size=0, max_size=50))
+def test_nullable_int_roundtrip(pairs):
+    from feasts_ray.codecs.nullable import (
+        decode_nullable_ints,
+        encode_nullable_ints,
+    )
+
+    vals = np.array([float(v) for v, _ in pairs], dtype=np.float64)
+    valid = np.array([m for _, m in pairs], dtype=bool)
+    out, ovalid = decode_nullable_ints(encode_nullable_ints(vals, valid))
+    np.testing.assert_array_equal(ovalid, valid)
+    np.testing.assert_array_equal(out[valid], vals[valid])
