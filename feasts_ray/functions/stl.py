@@ -77,11 +77,48 @@ def _est(
     return float(np.dot(w, yw))
 
 
+def _interior_weights(length: int, degree: int, n: int) -> np.ndarray | None:
+    """Final loess weight vector for a fully-interior evaluation point.
+
+    Without robustness weights the loess window at every interior point
+    sees the same |j - xs| pattern, the same normalization and the same
+    degree-1 correction — the estimate is a CONVOLUTION with this fixed
+    kernel (shift-invariance; same device as the X11 filters). Interior
+    here means nsh <= i <= n - nsh with length < n."""
+    nsh = (length + 1) // 2
+    xs = float(nsh)
+    nleft, nright = 1, length
+    rng = float(n) - 1.0
+    h = max(xs - nleft, nright - xs)
+    h9 = 0.999 * h
+    h1 = 0.001 * h
+    j = np.arange(nleft, nright + 1)
+    r = np.abs(j - xs)
+    w = np.zeros(len(j))
+    inside = r <= h9
+    if h > 0:
+        w[inside] = (1.0 - (r[inside] / h) ** 3) ** 3
+    w[r <= h1] = 1.0
+    a = w.sum()
+    if a <= 0:
+        return None
+    w = w / a
+    if h > 0 and degree > 0:
+        xm = float(np.dot(w, j))
+        c = float(np.dot(w, (j - xm) ** 2))
+        if math.sqrt(c) > 0.001 * rng:
+            b = (xs - xm) / c
+            w = w * (b * (j - xm) + 1.0)
+    return w
+
+
 def _stless(
     y: np.ndarray, length: int, degree: int, jump: int, rw: np.ndarray | None = None
 ) -> np.ndarray:
     """Loess-smooth y at positions 1..n with jump-point linear interpolation
-    (the paper's speed device; matches the reference's jump semantics)."""
+    (the paper's speed device; matches the reference's jump semantics).
+    The rw-free interior runs as one vectorized correlation (see
+    _interior_weights); only the 2*nsh edge points stay per-point."""
     n = len(y)
     if n < 2:
         return y.astype(np.float64).copy()
@@ -91,7 +128,18 @@ def _stless(
     eval_pts = list(range(1, n + 1, newnj))
     if eval_pts[-1] != n:
         eval_pts.append(n)
+    interior_done = np.zeros(n + 1, dtype=bool)
+    if rw is None and length < n:
+        W = _interior_weights(length, degree, n)
+        if W is not None:
+            corr = np.correlate(y, W, mode="valid")  # corr[s] = dot(W, y[s:s+length])
+            for i in eval_pts:
+                if nsh <= i < n - nsh + 1:
+                    ys[i - 1] = corr[i - nsh]
+                    interior_done[i] = True
     for i in eval_pts:
+        if interior_done[i]:
+            continue
         if length >= n:
             nleft, nright = 1, n
         elif i < nsh:
