@@ -293,3 +293,49 @@ class TestPersistedIndex:
         for qi in range(3):
             top = approx[(approx["query_id"] == qi) & (approx["rank"] == 1)]
             assert top["vec_id"].iloc[0] == [0, 50, 100][qi]
+
+
+class TestSkewAndEdges:
+    def test_giant_duplicate_cluster_bounded(self, ray_session):
+        """1000 identical docs: the per-bucket pair cap bounds the emitted
+        candidate set (no quadratic blowup), exact dedup still keeps
+        exactly one survivor, and every emitted pair verifies at 1.0."""
+        texts = ["the exact same document body repeated many times over"] * 1000 \
+            + ["something completely different here"]
+        ds = _doc_ds(texts)
+        groups = exact_groups(ds).to_pandas()
+        assert len(groups) == 2
+        big = groups[groups["n_copies"] == 1000]
+        assert big["survivor_id"].iloc[0] == 0
+        pairs = minhash_dedup_pairs(_doc_ds(texts), threshold=0.9,
+                                    max_bucket=50)
+        # cap: <= C(50,2) * n_bands pairs, deduped -> far below C(1000,2)
+        assert 0 < len(pairs) < 25000
+        assert (pairs["jaccard"] == 1.0).all()
+
+    def test_dedup_exact_distributed_filter(self, ray_session):
+        """The semi-join filter path keeps exactly the min-id survivors."""
+        texts = ["a", "b", "a", "c", "b", "a", "d"]
+        kept = dedup_exact(_doc_ds(texts)).to_pandas()
+        assert sorted(kept["doc_id"]) == [0, 1, 3, 6]
+
+    def test_cf_exact_path_short_series(self, ray_session):
+        """Integer series shorter than lag_max: the exact-power-sum cf
+        kernels cap lags at n-1 and stay finite."""
+        import pandas as pd
+
+        from feasts_ray.stages.cf import ACF, PACF
+
+        df = pd.DataFrame({
+            "key": ["k"] * 6,
+            "t": range(6),
+            "v": [3.0, 1.0, 4.0, 1.0, 5.0, 9.0],  # integral floats
+        })
+        ds = ray.data.from_pandas(df)
+        acf_t = ACF(ds, "v", ["key"], time_col="t", lag_max=24).to_pandas()
+        pacf_t = PACF(ds, "v", ["key"], time_col="t", lag_max=24).to_pandas()
+        assert len(acf_t) == 5 and len(pacf_t) == 5  # capped at n-1
+        assert np.isfinite(acf_t["acf"]).all()
+        assert (acf_t["num_obs"] == 6).all()
+        # lag-0-normalized: |acf| <= 1 for a real series
+        assert (np.abs(acf_t["acf"]) <= 1.0 + 1e-12).all()
