@@ -295,6 +295,36 @@ _LANG_SETS = {
     "es": "'el','la','de','que','y','los','un','es','en','por'",
 }
 
+# Exact word-3-gram Jaccard near-dup pairs. The engine's MinHash+LSH
+# candidates are verified with the EXACT shingle-set Jaccard, so when
+# banding recall is 1 over the >=threshold pairs (true here: the corpus
+# pair similarities are cleanly separated, all >=0.9 vs <=0.2, and the
+# 16-band/128-perm scheme catches j>=0.9 with P>0.9998) the output IS
+# the exact pair set — SQL-computable from string 3-grams (the 64-bit
+# shingle hashes are collision-free at this scale).
+_MINHASH_PAIRS = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+tok AS (SELECT doc_id, unnest(ws) AS tkn, generate_subscripts(ws, 1) AS i FROM w),
+tri AS (
+  SELECT DISTINCT a.doc_id, a.tkn || ' ' || b.tkn || ' ' || c.tkn AS sh
+  FROM tok a
+  JOIN tok b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+  JOIN tok c ON c.doc_id = a.doc_id AND c.i = a.i + 2),
+short AS (SELECT doc_id, array_to_string(ws, ' ') AS sh FROM w WHERE len(ws) < 3),
+sh_all AS (SELECT * FROM tri UNION SELECT * FROM short),
+sizes AS (SELECT doc_id, COUNT(*) AS m FROM sh_all GROUP BY doc_id),
+inter AS (
+  SELECT x.doc_id AS id_a, y.doc_id AS id_b, COUNT(*) AS ni
+  FROM sh_all x JOIN sh_all y ON y.sh = x.sh AND y.doc_id > x.doc_id
+  GROUP BY x.doc_id, y.doc_id)
+SELECT i.id_a, i.id_b,
+  CAST(i.ni AS DOUBLE) / CAST(sa.m + sb.m - i.ni AS DOUBLE) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.id_a
+JOIN sizes sb ON sb.doc_id = i.id_b
+WHERE CAST(i.ni AS DOUBLE) / CAST(sa.m + sb.m - i.ni AS DOUBLE) >= 0.35
+"""
+
 _LANGID = """
 WITH w AS (
   SELECT doc_id,
@@ -449,6 +479,7 @@ JOIN series p ON p.event_type = s.event_type AND p.bucket = s.bucket - k.lag * 3
             "MIN(cents) AS min_cents, MAX(cents) AS max_cents, "
             "(CAST(SUM(cents) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) / 100.0 AS mean_val "
             "FROM sec GROUP BY l_returnflag, bucket"),
+        "minhash_dup_pairs": _MINHASH_PAIRS,
         "dedup_exact": (
             "SELECT md5(text) AS text_md5, MIN(doc_id) AS survivor_id, "
             "COUNT(*) AS n_copies FROM documents GROUP BY md5(text)"),
