@@ -77,8 +77,14 @@ def _est(
     return float(np.dot(w, yw))
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=256)
 def _interior_weights(length: int, degree: int, n: int) -> np.ndarray | None:
     """Final loess weight vector for a fully-interior evaluation point.
+    Cached (read-only) per (length, degree, n) — the cycle-subseries pass
+    recomputes the same kernel once per subseries otherwise.
 
     Without robustness weights the loess window at every interior point
     sees the same |j - xs| pattern, the same normalization and the same
@@ -109,6 +115,7 @@ def _interior_weights(length: int, degree: int, n: int) -> np.ndarray | None:
         if math.sqrt(c) > 0.001 * rng:
             b = (xs - xm) / c
             w = w * (b * (j - xm) + 1.0)
+    w.setflags(write=False)
     return w
 
 
