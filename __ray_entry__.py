@@ -484,7 +484,10 @@ JOIN series p ON p.event_type = s.event_type AND p.bucket = s.bucket - k.lag * 3
             "SELECT md5(text) AS text_md5, MIN(doc_id) AS survivor_id, "
             "COUNT(*) AS n_copies FROM documents GROUP BY md5(text)"),
         "token_counts": (
-            "SELECT doc_id, CAST(len(regexp_split_to_array(text, '\\s+')) AS BIGINT) "
+            # str.split() semantics: trim, then count non-empty tokens
+            "SELECT doc_id, CAST(CASE WHEN regexp_replace(text, '^\\s+|\\s+$', '', 'g') = '' "
+            "THEN 0 ELSE len(regexp_split_to_array("
+            "regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+')) END AS BIGINT) "
             "AS n_words, CAST(length(text) AS BIGINT) AS n_chars_calc FROM documents"),
         "text_quality": """
 WITH c AS (
@@ -492,8 +495,11 @@ WITH c AS (
     length(text) AS n_chars,
     length(regexp_replace(text, '[^.,;:!?''"()\\[\\]{}-]', '', 'g')) AS n_punct,
     length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
-    len(string_split(text, ' ')) AS n_words,
-    len(list_filter(string_split(text, ' '),
+    CASE WHEN regexp_replace(text, '^\\s+|\\s+$', '', 'g') = '' THEN 0
+         ELSE len(regexp_split_to_array(
+             regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+')) END AS n_words,
+    len(list_filter(regexp_split_to_array(
+            regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+'),
         x -> lower(x) IN ('the','and','of','to','a','in','is','it','that','for'))) AS n_stop
   FROM documents),
 r AS (

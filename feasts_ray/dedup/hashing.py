@@ -94,8 +94,12 @@ def minhash_signature_batch(flat_shingles: np.ndarray, starts: np.ndarray,
     grid = (x[:, None] * a[None, :] + b[None, :]) % np.uint64(MERSENNE31)
     counts = np.diff(starts)
     nonempty = counts > 0
-    red = np.minimum.reduceat(grid, np.minimum(starts[:-1], len(x) - 1), axis=0)
-    out[nonempty] = red[nonempty]
+    # reduceat only over NONEMPTY docs' starts: clipping an empty doc's
+    # start==len(x) would shorten the previous doc's segment and drop its
+    # last shingle from the min (silently wrong signatures).
+    if nonempty.any():
+        red = np.minimum.reduceat(grid, starts[:-1][nonempty], axis=0)
+        out[nonempty] = red
     return out
 
 

@@ -84,8 +84,12 @@ def spectral_entropy(x: np.ndarray, period: int = 1) -> float:
     xc = na_contiguous(x)
     try:
         coefs, var_pred, _ = ar_burg(xc)
-        # stats::spec.ar default grid: n.freq = 500 points in [0, 0.5]
-        spec = ar_spectrum(coefs, var_pred, n_freq=500, frequency=float(period))
+        # reference feat_spectral overrides the spec.ar grid explicitly:
+        # n.freq = ceiling(length(x)/2 + 1) on the ORIGINAL series length
+        # (/root/reference/R/features.R:531-533)
+        spec = ar_spectrum(
+            coefs, var_pred, n_freq=math.ceil(n / 2 + 1), frequency=float(period)
+        )
     except (ValueError, np.linalg.LinAlgError):
         return math.nan
     fx = np.concatenate([spec[:0:-1], spec]) / n

@@ -467,7 +467,10 @@ def classical_decompose(
     if period < 2 or n < 2 * period:
         raise ValueError("time series has no or less than 2 periods")
     if (type_ == "additive" and np.isfinite(y).all()
-            and (np.rint(y) == y).all() and np.abs(y).max() < 2**52):
+            and (np.rint(y) == y).all() and np.abs(y).max() < 2**52
+            # the exact path's int64 cumsum reaches n*max|y|; bound it so
+            # it cannot wrap silently (phase sums use Python ints, safe)
+            and n * float(np.abs(y).max()) < 2**62):
         return _classical_decompose_exact_int(y, period)
     if period % 2 == 0:
         filt = np.concatenate([[0.5], np.ones(period - 1), [0.5]]) / period

@@ -361,7 +361,12 @@ def q_ann_topk_ivf_pruned(sf_dir: str):
 
     from ..ann import build_ivf_index, topk_cosine_ivf_index
 
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    # cache key includes a content fingerprint (size+mtime) of the source
+    # parquet so a regenerated embeddings table rebuilds the index
+    src = f"{sf_dir}/embeddings.parquet"
+    st = os.stat(src)
+    tag = hashlib.md5(
+        f"{sf_dir}:{st.st_size}:{st.st_mtime_ns}".encode()).hexdigest()[:12]
     idx = f"/tmp/feasts_ray_ivf_index_{tag}"
     if not os.path.exists(f"{idx}/centroids.parquet"):
         build_ivf_index(ray.data.read_parquet(f"{sf_dir}/embeddings.parquet"),

@@ -71,10 +71,16 @@ class _CFKernel:
         x = na_contiguous(x)
         n = len(x)
         # integer-valued series + plain correlation: route through the
-        # exact-power-sum kernels so the driver's SQL oracle is bit-exact
-        exact = (not self.tapered and self.kind == "correlation"
-                 and np.isfinite(x).all() and (np.rint(x) == x).all()
-                 and (np.abs(x) < 2**52).all() if n else False)
+        # exact-power-sum kernels so the driver's SQL oracle is bit-exact.
+        # Gate on the ACTUAL int64 accumulations, not just per-value
+        # magnitude: dot products reach n*mx^2 and sums n*mx — a 2^52
+        # per-value bound alone admits silent int64 wraparound.
+        if n and np.isfinite(x).all() and (np.rint(x) == x).all():
+            mx = float(np.abs(x).max())
+            exact = (not self.tapered and self.kind == "correlation"
+                     and mx < 2**52 and n * mx * mx < 2**62 and n * mx < 2**62)
+        else:
+            exact = False
         if self.mode == "pacf":
             lm = self.lag_max or max(1, min(int(math.floor(10 * math.log10(n))), n - 1))
             if self.tapered:

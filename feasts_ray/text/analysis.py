@@ -31,11 +31,20 @@ _PROFILES = {
 _PUNCT = set(".,;:!?'\"()[]{}-")
 
 
+def _n_words_vec(t: pa.Array) -> pa.Array:
+    """str.split() word counts, vectorized: trim, count whitespace runs
+    (= separators), +1 for non-empty text. Regex split would keep empty
+    edge tokens ('' or ' a ' -> ['','a','']), inflating the count."""
+    trimmed = pc.utf8_trim_whitespace(t)
+    n_sep = pc.count_substring_regex(trimmed, r"\s+").cast(pa.int64())
+    nonempty = pc.not_equal(trimmed, "").cast(pa.int64())
+    return pc.multiply(pc.add(n_sep, pa.scalar(1, pa.int64())), nonempty)
+
+
 def add_token_counts(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """n_words (whitespace split, vectorized arrow kernels) + n_chars_calc."""
     t = batch[text_col]
-    words = pc.split_pattern_regex(t, r"\s+")
-    n_words = pc.list_value_length(words).cast(pa.int64())
+    n_words = _n_words_vec(t)
     n_chars = pc.utf8_length(t).cast(pa.int64())
     batch = batch.append_column("n_words", n_words)
     return batch.append_column("n_chars_calc", n_chars)
@@ -98,10 +107,14 @@ def add_quality(batch: pa.Table, text_col: str = "text") -> pa.Table:
         t, r"[.,;:!?'\"()\[\]{}-]").to_numpy(zero_copy_only=False).astype(np.int64)
     n_alpha = pc.count_substring_regex(
         t, r"[A-Za-z]").to_numpy(zero_copy_only=False).astype(np.int64)
-    # words: whitespace-run split (str.split semantics); stopword hits via
-    # is_in over the flattened word values + per-doc reduceat
-    words = pc.split_pattern_regex(pc.utf8_lower(t), r"\s+")
-    n_words, n_stop = _stopword_hits(words, _PROFILES["en"])
+    # words: str.split() semantics (trim first; empty text -> 0 words —
+    # regex split alone keeps empty edge tokens and inflates the count);
+    # stopword hits via is_in over the flattened word values + reduceat
+    # (empty tokens never match a profile word, so n_stop is unaffected)
+    trimmed = pc.utf8_trim_whitespace(t)
+    words = pc.split_pattern_regex(pc.utf8_lower(trimmed), r"\s+")
+    _, n_stop = _stopword_hits(words, _PROFILES["en"])
+    n_words = _n_words_vec(t).to_numpy(zero_copy_only=False).astype(np.int64)
     Lc = np.maximum(n_chars, 1).astype(np.float64)
     Lw = np.maximum(n_words, 1).astype(np.float64)
     punct = n_punct.astype(np.float64) / Lc

@@ -74,6 +74,31 @@ class TestMinHash:
         est = float(np.mean(sig1 == sig2))
         assert abs(est - true_j) < 0.15
 
+    def test_batch_signature_matches_scalar_with_empty_docs(self):
+        """Empty docs anywhere in a batch (incl. trailing) must not
+        perturb neighbours: reduceat runs over nonempty starts only."""
+        from feasts_ray.dedup.hashing import minhash_signature_batch
+
+        a, b = perm_params(64)
+        texts = ["aa bb cc dd ee", "", "ff gg hh ii", "", ""]
+        whash, offsets, _ = tokenize_batch(texts)
+        shingle_lists = []
+        for i in range(len(texts)):
+            shingle_lists.append(shingle_hashes(whash[offsets[i]:offsets[i + 1]], 3))
+        flat = np.concatenate(shingle_lists) if shingle_lists else np.array([], dtype=np.uint64)
+        starts = np.concatenate([[0], np.cumsum([len(s) for s in shingle_lists])])
+        batch_sigs = minhash_signature_batch(flat, starts, a, b)
+        for i, s in enumerate(shingle_lists):
+            np.testing.assert_array_equal(batch_sigs[i], minhash_signature(s, a, b))
+
+    def test_batch_signature_all_empty(self):
+        from feasts_ray.dedup.hashing import MERSENNE31, minhash_signature_batch
+
+        a, b = perm_params(16)
+        starts = np.array([0, 0, 0], dtype=np.int64)
+        out = minhash_signature_batch(np.array([], dtype=np.uint64), starts, a, b)
+        assert (out == MERSENNE31).all()
+
     def test_pairs_found(self, ray_session):
         texts = [" ".join(BASE * 4)]
         texts.append(" ".join(_mutate(BASE * 4, 3, 2)))   # near-dup of 0
@@ -172,6 +197,23 @@ class TestTextAnalysis:
         out = ds.map_batches(add_token_counts, batch_format="pyarrow").to_pandas()
         assert list(out.sort_values("doc_id")["n_words"]) == [3, 2, 1]
         assert list(out.sort_values("doc_id")["n_chars_calc"]) == [8, 7, 1]
+
+    def test_token_counts_padded_and_empty(self, ray_session):
+        """str.split() semantics: edge/extra whitespace and empty docs
+        must not inflate n_words (regex split keeps empty edge tokens)."""
+        ds = _doc_ds([" a  b ", "", "   ", "one\t two\n", "x"])
+        out = ds.map_batches(add_token_counts, batch_format="pyarrow").to_pandas()
+        got = list(out.sort_values("doc_id")["n_words"])
+        assert got == [len(t.split()) for t in [" a  b ", "", "   ", "one\t two\n", "x"]]
+
+    def test_quality_padded_docs_match_clean(self, ray_session):
+        """Whitespace padding must not shift stopword_ratio via phantom
+        empty words."""
+        clean = "the cat is here"
+        padded = "  the cat is here  "
+        out = _doc_ds([clean, padded]).map_batches(
+            add_quality, batch_format="pyarrow").to_pandas().sort_values("doc_id")
+        assert out["stopword_ratio"].iloc[0] == out["stopword_ratio"].iloc[1]
 
     def test_bpeish_counter(self, ray_session):
         ds = _doc_ds(["hello world 123", "it's fine"])

@@ -288,6 +288,25 @@ def test_spectral_entropy_ordering():
     assert math.isnan(feat_spectral(np.ones(100))["spectral_entropy"])
 
 
+def test_spectral_entropy_grid_is_half_n_plus_one():
+    """Pin the reference's explicit grid n.freq = ceiling(n/2 + 1)
+    (/root/reference/R/features.R:531-533) by recomputing the entropy
+    inline with that grid and asserting equality."""
+    from feasts_ray.functions.spectral import ar_burg, ar_spectrum
+
+    rng = np.random.default_rng(7)
+    x = rng.normal(0, 1, 101).cumsum()  # odd length exercises the ceil
+    n = len(x)
+    coefs, var_pred, _ = ar_burg(x)
+    spec = ar_spectrum(coefs, var_pred, n_freq=math.ceil(n / 2 + 1), frequency=1.0)
+    fx = np.concatenate([spec[:0:-1], spec]) / n
+    fx = fx / fx.sum()
+    fx = 0.999 * fx + 0.001 / len(fx)
+    expected = min(1.0, float(-np.sum(fx * np.log(fx) / math.log(n))))
+    got = feat_spectral(x)["spectral_entropy"]
+    assert got == pytest.approx(expected, rel=0, abs=0)
+
+
 def test_tiled_and_shift_features(seasonal):
     assert var_tiled_var(np.ones(100) * 3, 1)["var_tiled_var"] == pytest.approx(0.0, abs=1e-20)
     jump = np.concatenate([np.zeros(50), np.ones(50) * 10]) + np.random.default_rng(3).normal(0, 0.1, 100)
