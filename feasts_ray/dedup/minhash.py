@@ -9,16 +9,16 @@ Scale shape:
   2. ONE shuffle: groupby (band_id, band_hash); buckets with >1 doc emit
      candidate pairs (pair list is capped per bucket to bound giant-bucket
      blowup; cap documented in the output).
-  3. verify stage — exact n-gram Jaccard per candidate pair. Pair texts
-     are fetched via a broadcast id->shingle-set lookup built from a
-     second pass over only the candidate doc ids (small side; ray.put
-     once per run, read zero-copy in every task).
+  3. verify stage — exact n-gram Jaccard per candidate pair, fully
+     distributed: distinct candidate ids (hash agg) -> corpus semi-join
+     (shingle sets computed for candidate docs only) -> two hash joins
+     attach sh_a/sh_b to each pair -> in-kernel Jaccard + threshold
+     filter. No pair list or shingle map ever materializes on the driver.
 """
 
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 
 import ray
@@ -75,11 +75,13 @@ class BandEmitter:
         })
 
 
-class CandidateShingles:
-    """Distributed verify pre-pass: emit (doc_id, shingle hashes) for
-    candidate doc ids ONLY. The sorted candidate-id array (small) is
-    broadcast once via ray.put and resolved once per actor in __init__ —
-    the full corpus is scanned by the cluster, never by the driver."""
+class ShingleSetBatch:
+    """Verify pre-pass kernel: (id, text) rows -> (id, sorted unique
+    shingle-hash set packed as little-endian int64 bytes) for CANDIDATE
+    docs only. The sorted candidate-id array (8 B/id, small) is broadcast
+    once via ray.put and resolved once per actor in __init__ — the corpus
+    is scanned (never shuffled) and non-candidate rows are dropped at the
+    batch with a vectorized searchsorted."""
 
     def __init__(self, text_col: str, id_col: str, k: int, wanted_ref):
         self.text_col = text_col
@@ -96,44 +98,119 @@ class CandidateShingles:
             mask = self.wanted[pos] == ids
         else:
             mask = np.zeros(len(ids), dtype=bool)
-        empty = pa.table({
-            self.id_col: pa.array([], type=batch[self.id_col].type),
-            "shingles": pa.array([], type=pa.list_(pa.int64())),
-        })
         if not mask.any():
-            return empty
+            return pa.table({
+                self.id_col: pa.array([], type=batch[self.id_col].type),
+                "shingles": pa.array([], type=pa.large_binary()),
+            })
         texts = [t for t, m in zip(batch[self.text_col].to_pylist(), mask) if m]
         whash, offsets, _ = tokenize_batch(texts)
-        sets = [
+        blobs = [
             np.unique(shingle_hashes(whash[offsets[j]:offsets[j + 1]], self.k))
-            .astype(np.int64)
+            .astype("<i8").tobytes()
             for j in range(len(texts))
         ]
-        return pa.table({
-            self.id_col: pa.array(ids[mask]),
-            "shingles": pa.array([s.tolist() for s in sets],
-                                 type=pa.list_(pa.int64())),
-        })
+        return pa.table({self.id_col: pa.array(ids[mask]),
+                         "shingles": pa.array(blobs, type=pa.large_binary())})
 
 
-def _shingle_sets(ds, text_col, id_col, k, wanted: set,
-                  batch_size: int = 1024, concurrency=(1, 8)) -> dict:
-    """doc_id -> shingle set for candidate docs, via a distributed
-    map_batches pass (only candidate rows come back to the driver)."""
-    wanted_arr = np.array(sorted(int(w) for w in wanted), dtype=np.int64)
-    shing = ds.select_columns([id_col, text_col]).map_batches(
-        CandidateShingles,
-        fn_constructor_args=(text_col, id_col, k, ray.put(wanted_arr)),
-        batch_format="pyarrow",
-        batch_size=batch_size,
-        concurrency=concurrency,
-    )
-    sets: dict = {}
-    for batch in shing.iter_batches(batch_format="pyarrow"):
-        ids = batch[id_col].to_numpy(zero_copy_only=False)
-        for j, did in enumerate(ids):
-            sets[int(did)] = set(batch["shingles"][j].as_py())
-    return sets
+_MIX = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _attach_blobs(pairs: "ray.data.Dataset", shingles: "ray.data.Dataset",
+                  key_col: str, out_col: str, id_col: str,
+                  carry_cols: list[str], num_groups: int = 64,
+                  dedup_pairs: bool = False) -> "ray.data.Dataset":
+    """Distributed equi-attach of (doc_id, shingles-blob) rows onto pair
+    rows via pairs[key_col] == shingles[doc_id] — a hash co-group with a
+    BOUNDED group count (same trick as dedup/pairs.py), not Dataset.join:
+    Ray 2.49's hash-join aggregator crashes on partitions that receive no
+    blocks (zero-column empty tables), which small/skewed inputs hit.
+    Inside each group the match is one vectorized argsort+searchsorted."""
+
+    def _tag_pairs(batch: pa.Table) -> pa.Table:
+        cols = {c: batch[c] for c in carry_cols}
+        cols["_k"] = batch[key_col]
+        cols["_blob"] = pa.nulls(len(batch), pa.large_binary())
+        cols["_kind"] = pa.array(np.zeros(len(batch), dtype=np.int8))
+        return pa.table(cols)
+
+    def _tag_shingles(batch: pa.Table) -> pa.Table:
+        cols = {}
+        for c in carry_cols:
+            cols[c] = (pa.nulls(len(batch), pa.int64()) if c.startswith("id_")
+                       else pa.nulls(len(batch), pa.large_binary()))
+        cols["_k"] = batch[id_col]
+        cols["_blob"] = batch["shingles"]
+        cols["_kind"] = pa.array(np.ones(len(batch), dtype=np.int8))
+        return pa.table(cols)
+
+    def _add_group(batch: pa.Table) -> pa.Table:
+        k = batch["_k"].to_numpy(zero_copy_only=False).astype(np.int64)
+        g = ((k.view(np.uint64) * _MIX) % np.uint64(num_groups)).astype(np.int64)
+        return batch.append_column("_g", pa.array(g, type=pa.int64()))
+
+    def _merge(group: pa.Table) -> pa.Table:
+        kind = group["_kind"].to_numpy(zero_copy_only=False)
+        keys = group["_k"].to_numpy(zero_copy_only=False)
+        sh_idx = np.flatnonzero(kind == 1)
+        pr_idx = np.flatnonzero(kind == 0)
+        out_schema = pa.schema(
+            [(c, pa.int64() if c.startswith("id_") else pa.large_binary())
+             for c in carry_cols] + [(out_col, pa.large_binary())])
+        if len(sh_idx) == 0 or len(pr_idx) == 0:
+            return out_schema.empty_table()
+        if dedup_pairs:
+            # duplicate (id_a,id_b) rows from different bands share the
+            # same group (key is a function of id_a) — dedup here instead
+            # of a dedicated upstream groupby (saves one all-to-all)
+            ab = np.stack([
+                group["id_a"].to_numpy(zero_copy_only=False)[pr_idx],
+                group["id_b"].to_numpy(zero_copy_only=False)[pr_idx],
+            ], axis=1)
+            _, first = np.unique(ab, axis=0, return_index=True)
+            pr_idx = pr_idx[np.sort(first)]
+        sk = keys[sh_idx]
+        order = np.argsort(sk, kind="stable")
+        sk_sorted = sk[order]
+        pos = np.clip(np.searchsorted(sk_sorted, keys[pr_idx]), 0, len(sk_sorted) - 1)
+        matched = sk_sorted[pos] == keys[pr_idx]
+        take_pr = pr_idx[matched]
+        take_sh = sh_idx[order[pos[matched]]]
+        blob_col = group["_blob"]
+        if isinstance(blob_col, pa.ChunkedArray):
+            blob_col = blob_col.combine_chunks()
+        cols = {c: group[c].take(pa.array(take_pr)) for c in carry_cols}
+        cols[out_col] = blob_col.take(pa.array(take_sh))
+        return pa.table(cols).cast(out_schema)
+
+    tagged = (pairs.map_batches(_tag_pairs, batch_format="pyarrow")
+              .union(shingles.map_batches(_tag_shingles, batch_format="pyarrow"))
+              .map_batches(_add_group, batch_format="pyarrow"))
+    return tagged.groupby("_g").map_groups(_merge, batch_format="pyarrow")
+
+
+def _jaccard_verify_batch(batch: pa.Table, threshold: float) -> pa.Table:
+    """(id_a, id_b, sh_a, sh_b) -> pairs with exact Jaccard >= threshold.
+    Shingle blobs decode zero-copy to sorted unique int64 arrays, so each
+    row is one C-speed np.intersect1d(assume_unique=True)."""
+    n = len(batch)
+    jac = np.empty(n)
+    blobs_a = batch["sh_a"].to_pylist()
+    blobs_b = batch["sh_b"].to_pylist()
+    for i in range(n):
+        a_ = np.frombuffer(blobs_a[i], dtype="<i8")
+        b_ = np.frombuffer(blobs_b[i], dtype="<i8")
+        inter = len(np.intersect1d(a_, b_, assume_unique=True))
+        union = len(a_) + len(b_) - inter
+        jac[i] = inter / union if union else 0.0
+    keep = jac >= threshold
+    out = pa.table({
+        "id_a": batch["id_a"],
+        "id_b": batch["id_b"],
+        "jaccard": pa.array(jac, type=pa.float64()),
+    })
+    return out.filter(pa.array(keep))
 
 
 def minhash_dedup_pairs(
@@ -148,12 +225,22 @@ def minhash_dedup_pairs(
     max_bucket: int = 200,
     batch_size: int = 256,
     concurrency=(1, 8),
-) -> pd.DataFrame:
+) -> "ray.data.Dataset":
     """Near-dup pairs (id_a < id_b) with exact n-gram Jaccard >= threshold.
 
-    Returns a pandas DataFrame (pair sets are small relative to input).
+    Distributed end-to-end — no driver-side pair list or shingle map:
+      bands -> bounded-group candidate pairs (Dataset, hash-deduped)
+      -> candidate-id array broadcast (ray.put; 8 B per candidate doc,
+         the only driver-side structure)
+      -> corpus SCAN computes shingle sets for candidate docs only
+         (vectorized searchsorted filter; the corpus is never shuffled)
+      -> two bounded-group hash co-groups attach sh_a / sh_b to pairs
+      -> in-kernel exact-Jaccard verify + threshold filter.
+    The verified pair Dataset is the return value; the candidate pair
+    set and every shingle blob live in the (spillable) object store,
+    shuffled — never collected to one node.
     """
-    from .pairs import emit_candidate_pairs
+    from .pairs import emit_candidate_pairs_ds
 
     bands = ds.map_batches(
         BandEmitter,
@@ -162,22 +249,38 @@ def minhash_dedup_pairs(
         batch_size=batch_size,
         concurrency=concurrency,
     )
-    pdf = emit_candidate_pairs(bands, ["band", "band_hash"], id_col,
-                               max_bucket=max_bucket)
-    if len(pdf) == 0:
-        return pd.DataFrame({"id_a": pd.Series(dtype="int64"),
-                             "id_b": pd.Series(dtype="int64"),
-                             "jaccard": pd.Series(dtype="float64")})
-    wanted = set(pdf["id_a"]).union(pdf["id_b"])
-    sets = _shingle_sets(ds, text_col, id_col, k, wanted)
-    jac = np.empty(len(pdf))
-    for i, (a_, b_) in enumerate(zip(pdf["id_a"], pdf["id_b"])):
-        sa, sb = sets.get(int(a_), set()), sets.get(int(b_), set())
-        u = len(sa | sb)
-        jac[i] = (len(sa & sb) / u) if u else 0.0
-    pdf["jaccard"] = jac
-    out = pdf[pdf["jaccard"] >= threshold].reset_index(drop=True)
-    return out.sort_values(["id_a", "id_b"], ignore_index=True)
+    # materialize: `pairs` feeds the id sweep and the attach rounds;
+    # without it the band+shuffle pipeline re-executes per consumer.
+    # dedup=False: attach round A dedups in-group for free.
+    pairs = emit_candidate_pairs_ds(bands, ["band", "band_hash"], id_col,
+                                    max_bucket=max_bucket,
+                                    dedup=False).materialize()
+    # distinct candidate ids: streamed per-batch uniques -> one sorted
+    # array (ints only; the pair ROWS stay in the object store)
+    chunks = [np.array([], dtype=np.int64)]
+    for b in pairs.iter_batches(batch_format="pyarrow"):
+        chunks.append(np.unique(np.concatenate([
+            b["id_a"].to_numpy(zero_copy_only=False),
+            b["id_b"].to_numpy(zero_copy_only=False)])).astype(np.int64))
+    wanted = np.unique(np.concatenate(chunks))
+    if len(wanted) == 0:
+        return ray.data.from_arrow(pa.table({
+            "id_a": pa.array([], type=pa.int64()),
+            "id_b": pa.array([], type=pa.int64()),
+            "jaccard": pa.array([], type=pa.float64()),
+        }))
+    shingles = ds.select_columns([id_col, text_col]).map_batches(
+        ShingleSetBatch,
+        fn_constructor_args=(text_col, id_col, k, ray.put(wanted)),
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency,
+    ).materialize()  # consumed by both attach rounds
+    ja = _attach_blobs(pairs, shingles, "id_a", "sh_a", id_col,
+                       carry_cols=["id_a", "id_b"], dedup_pairs=True)
+    jb = _attach_blobs(ja, shingles, "id_b", "sh_b", id_col,
+                       carry_cols=["id_a", "id_b", "sh_a"])
+    return jb.map_batches(_jaccard_verify_batch, batch_format="pyarrow",
+                          fn_kwargs={"threshold": threshold})
 
 
 def ngram_jaccard_pairs(
@@ -187,7 +290,7 @@ def ngram_jaccard_pairs(
     k: int = 3,
     threshold: float = 0.5,
     **kwargs,
-) -> pd.DataFrame:
+) -> "ray.data.Dataset":
     """Exact word-n-gram Jaccard near-dup pairs. Candidate generation is
     MinHash+LSH (recall tuned by num_perm/n_bands kwargs); every candidate
     is verified with the EXACT shingle-set Jaccard, so precision is exact

@@ -96,17 +96,47 @@ def emit_candidate_pairs(
 ) -> pd.DataFrame:
     """(bucket..., id[, carry...]) rows -> deduped candidate pairs
     (id_a < id_b) as a small pandas DataFrame. ``post_filter`` (df -> df,
-    vectorized) runs inside the pair kernels before collection."""
+    vectorized) runs inside the pair kernels before collection — callers
+    that collect here MUST verify in-kernel via post_filter so only the
+    verified (small) pair set reaches the driver."""
+    pairs = _candidate_pairs_raw(ds, bucket_cols, id_col, carry_cols,
+                                 num_groups, max_bucket, post_filter)
+    pdf = pairs.to_pandas()
+    if len(pdf) == 0:
+        return pdf
+    return pdf.drop_duplicates(subset=["id_a", "id_b"], ignore_index=True)
 
+
+def _candidate_pairs_raw(ds, bucket_cols, id_col, carry_cols, num_groups,
+                         max_bucket, post_filter) -> "ray.data.Dataset":
     def _add_group(batch: pa.Table) -> pa.Table:
         g = (_mix_cols(batch, list(bucket_cols)) % np.uint64(num_groups)).astype(np.int64)
         return batch.append_column("pgroup", pa.array(g, type=pa.int64()))
 
     kernel = _RunPairKernel(bucket_cols, id_col, carry_cols, max_bucket,
                             post_filter)
-    pairs = ds.map_batches(_add_group, batch_format="pyarrow").groupby(
+    return ds.map_batches(_add_group, batch_format="pyarrow").groupby(
         "pgroup").map_groups(kernel.__call__, batch_format="pandas")
-    pdf = pairs.to_pandas()
-    if len(pdf) == 0:
-        return pdf
-    return pdf.drop_duplicates(subset=["id_a", "id_b"], ignore_index=True)
+
+
+def emit_candidate_pairs_ds(
+    ds: "ray.data.Dataset",
+    bucket_cols: list[str],
+    id_col: str,
+    num_groups: int = 128,
+    max_bucket: int = 500,
+    dedup: bool = True,
+) -> "ray.data.Dataset":
+    """Distributed variant: candidate pairs as a Dataset of (id_a, id_b)
+    — nothing ever lands on the driver. With ``dedup`` (default) pairs
+    are globally deduped by a hash groupby; pass dedup=False when a
+    downstream stage already groups by a function of id_a and can dedup
+    there for free (saves one all-to-all — see dedup/minhash.py)."""
+    raw = _candidate_pairs_raw(ds, bucket_cols, id_col, (), num_groups,
+                               max_bucket, None)
+    if not dedup:
+        return raw
+    from ray.data.aggregate import Count
+
+    return raw.groupby(["id_a", "id_b"]).aggregate(
+        Count(alias_name="_nbands")).drop_columns(["_nbands"])

@@ -103,14 +103,25 @@ class TestMinHash:
         texts = [" ".join(BASE * 4)]
         texts.append(" ".join(_mutate(BASE * 4, 3, 2)))   # near-dup of 0
         texts += [" ".join(f"w{i}x{j}" for j in range(60)) for i in range(8)]
-        pairs = minhash_dedup_pairs(_doc_ds(texts), threshold=0.5)
+        out = minhash_dedup_pairs(_doc_ds(texts), threshold=0.5)
+        assert isinstance(out, ray.data.Dataset)  # distributed end-to-end
+        pairs = out.to_pandas()
         assert {(0, 1)} == set(zip(pairs["id_a"], pairs["id_b"]))
         assert pairs["jaccard"].iloc[0] > 0.5
 
     def test_exact_dup_full_jaccard(self, ray_session):
         texts = [" ".join(BASE * 4)] * 2 + [" ".join(f"q{i}" for i in range(50))]
-        pairs = minhash_dedup_pairs(_doc_ds(texts), threshold=0.9)
+        pairs = minhash_dedup_pairs(_doc_ds(texts), threshold=0.9).to_pandas()
         assert len(pairs) == 1 and pairs["jaccard"].iloc[0] == 1.0
+
+    def test_no_pairs_empty_result(self, ray_session):
+        """All-distinct corpus: empty result, no crash. (Ray 2.49 drops
+        empty blocks, so the empty Dataset cannot carry its schema
+        through to_pandas — only emptiness is asserted.)"""
+        texts = [" ".join(f"u{i}v{j}" for j in range(40)) for i in range(6)]
+        out = minhash_dedup_pairs(_doc_ds(texts), threshold=0.5)
+        assert isinstance(out, ray.data.Dataset)
+        assert len(out.to_pandas()) == 0
 
 
 class TestSimHash:
@@ -349,8 +360,12 @@ class TestSkewAndEdges:
         assert len(groups) == 2
         big = groups[groups["n_copies"] == 1000]
         assert big["survivor_id"].iloc[0] == 0
-        pairs = minhash_dedup_pairs(_doc_ds(texts), threshold=0.9,
-                                    max_bucket=50)
+        out = minhash_dedup_pairs(_doc_ds(texts), threshold=0.9,
+                                  max_bucket=50)
+        # the driver never holds the pair set: the verify is a
+        # distributed join pipeline returning a Dataset
+        assert isinstance(out, ray.data.Dataset)
+        pairs = out.to_pandas()
         # cap: <= C(50,2) * n_bands pairs, deduped -> far below C(1000,2)
         assert 0 < len(pairs) < 25000
         assert (pairs["jaccard"] == 1.0).all()
