@@ -208,9 +208,17 @@ def q_top_users(sf_dir: str):
         Sum("sum_cents", alias_name="total_cents"),
         Sum("count", alias_name="n_events"),
     )
-    pdf = totals.to_pandas()  # O(#users) — small after aggregation
-    pdf = pdf.sort_values(["total_cents", "user_id"], ascending=[False, True],
-                          kind="mergesort").head(10).reset_index(drop=True)
+
+    def _topk(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(["total_cents", "user_id"],
+                              ascending=[False, True],
+                              kind="mergesort").head(10)
+
+    # distributed partial top-k: each block keeps <=10 rows (a global
+    # top-10 row always survives its own block's top-10), so the driver
+    # merge sees <=10*#blocks rows — never O(#users)
+    part = totals.map_batches(_topk, batch_format="pandas")
+    pdf = _topk(part.to_pandas()).reset_index(drop=True)
     return pdf[["user_id", "total_cents", "n_events"]]
 
 

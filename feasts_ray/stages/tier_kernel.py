@@ -30,9 +30,30 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
 
+import ray
 import ray.data
 
 from ..codecs import encode_ints, encode_nullable_floats, encode_nullable_ints
+
+_BROADCAST_CACHE: dict = {}
+
+
+def _resolve_broadcast(ref):
+    """ray.put-broadcast resolver with a per-worker-process cache: the
+    object is fetched+deserialized once per process, not once per task/
+    group. Pass-through for plain objects (tests, driver-side use)."""
+    if isinstance(ref, ray.ObjectRef):
+        key = ref.hex()
+        if key not in _BROADCAST_CACHE:
+            _BROADCAST_CACHE[key] = ray.get(ref)
+        return _BROADCAST_CACHE[key]
+    return ref
+
+
+def _put_once(obj):
+    """ray.put when a session exists (so big lookup structures ship via
+    the object store, not per-task closures); pass-through otherwise."""
+    return ray.put(obj) if ray.is_initialized() else obj
 
 POINT_COLS = ("count", "sum", "min", "max")
 
@@ -65,8 +86,12 @@ def skeleton_rows(spans: dict[str, tuple[int, int]], unit_s: int,
     starts = np.concatenate([[0], np.cumsum(n_segs)])
     total = int(starts[-1])
     keys_arr = np.array(keys, dtype=object)
+    # O(#sources) lookup arrays ship once via the object store, not in
+    # every task's closure
+    tables_ref = _put_once((keys_arr, lo, seg_lo, starts))
 
     def _emit(batch: dict) -> pa.Table:
+        keys_arr, lo, seg_lo, starts = _resolve_broadcast(tables_ref)
         ids = batch["id"].astype(np.int64)
         ki = np.searchsorted(starts[1:], ids, side="right")
         seg = seg_lo[ki] + (ids - starts[ki])
@@ -95,15 +120,21 @@ class TierSegmentKernel:
     partials, local gap-fill, mean, time sort, optional blob write."""
 
     def __init__(self, tier_name: str, unit_s: int, seg_span: int,
-                 spans: dict[str, tuple[int, int]], gap_fill: bool,
+                 spans, gap_fill: bool,
                  blobs_dir: str | None, key_col: str = "source"):
         self.tier_name = tier_name
         self.unit_s = unit_s
         self.seg_span = seg_span
-        self.spans = spans
+        # dict OR ray.ObjectRef (broadcast once, resolved per process):
+        # the O(#sources) span table must not ride every task's closure
+        self._spans = spans
         self.gap_fill = gap_fill
         self.blobs_dir = blobs_dir
         self.key_col = key_col
+
+    @property
+    def spans(self) -> dict:
+        return _resolve_broadcast(self._spans)
 
     def __call__(self, group: pd.DataFrame) -> pd.DataFrame:
         key = group[self.key_col].iloc[0]
@@ -190,11 +221,14 @@ def run_tier(
         seeded = partials.union(skeleton_rows(spans, unit_s, seg_span, key_col))
     with_seg = seeded.map_batches(add_segment, batch_format="pyarrow",
                                   fn_kwargs={"seg_span": seg_span})
-    # task-based map_groups (function, not actor pool): the kernel carries
-    # only a tiny spans dict, and tasks scale elastically with CPUs rather
-    # than being capped by a pool size
-    kernel = TierSegmentKernel(tier_name, unit_s, seg_span, spans, gap_fill,
-                               blobs_dir, key_col)
+    # task-based map_groups (function, not actor pool): tasks scale
+    # elastically with CPUs rather than being capped by a pool size. The
+    # spans dict is ray.put ONCE (per-process cached resolve) — with
+    # millions of sources a closure-captured dict would be deserialized
+    # per task.
+    kernel = TierSegmentKernel(tier_name, unit_s, seg_span,
+                               _put_once(spans) if gap_fill else {},
+                               gap_fill, blobs_dir, key_col)
     return with_seg.groupby([key_col, "segment"]).map_groups(
         kernel.__call__, batch_format="pandas",
     )

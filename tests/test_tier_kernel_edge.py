@@ -122,3 +122,29 @@ def test_no_gap_fill_passthrough(ray_session):
     df["min"] = df["sum"]
     df["max"] = df["sum"]
     _compare(_run(df, 60, gap_fill=False), _oracle(df, 60, gap_fill=False))
+
+
+def test_spans_broadcast_not_in_closure(ray_session):
+    """With 10^5 sources the kernel submitted per task must stay tiny:
+    the span table ships via ray.put (per-process cached resolve), so the
+    pickled kernel is O(1), and the tier output over a 2-source subset is
+    still correct against the oracle."""
+    import pickle
+
+    from feasts_ray.stages.tier_kernel import TierSegmentKernel, _put_once
+
+    big_spans = {f"src{i:06d}": (0, 3600) for i in range(100_000)}
+    kernel = TierSegmentKernel("t", 60, 60 * 64, _put_once(big_spans),
+                               True, None, "source")
+    assert len(pickle.dumps(kernel)) < 10_000  # ref, not the dict
+    # resolves back to the real table inside a worker-like context
+    assert kernel.spans["src000000"] == (0, 3600)
+    # end-to-end correctness unaffected by the broadcast path
+    df = pd.DataFrame({
+        "source": ["a"] * 3 + ["b"] * 2,
+        "bucket": [0, 120, 240, 60, 180],
+        "count": 1, "sum": [5, 6, 7, 8, 9],
+    })
+    df["min"] = df["sum"]
+    df["max"] = df["sum"]
+    _compare(_run(df, 60, gap_fill=True), _oracle(df, 60, gap_fill=True))
