@@ -347,8 +347,14 @@ FROM c""".format(**_LANG_SETS)
 
 
 def oracle_sql() -> dict[str, str]:
+    from feasts_ray.oracle.x11_sql import x11_additive_sql
+
     return {
         "ccf_1h": _CCF_1H,
+        # X11 additive = fixed finite linear filters over the gap-filled
+        # integer counts; the generator emits the kernel's own weights as
+        # literal left-associated chains (bit-exact, see oracle/x11_sql.py)
+        "x11_1h": x11_additive_sql(_SERIES_1H, period=24),
         "langid": _LANGID,
         "seasonal_subseries_1h": (
             "WITH sec AS ({sec}), "

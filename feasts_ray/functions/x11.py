@@ -67,22 +67,47 @@ def musgrave_weights(w: np.ndarray, q: int, r: float) -> np.ndarray:
     return w[: h + q + 1] + A / m + c1 * (kept - i_bar)
 
 
+def _seq_dot(xs: np.ndarray, ws: np.ndarray) -> float:
+    """Strictly left-to-right weighted sum: ((w0*x0 + w1*x1) + w2*x2)...
+    — the deterministic evaluation tree mirrored term-for-term by the
+    DuckDB x11 oracle's literal-coefficient chains (BLAS np.dot has an
+    unspecified summation order and is NOT SQL-reproducible)."""
+    s = float(ws[0]) * float(xs[0])
+    for i in range(1, len(ws)):
+        s = s + float(ws[i]) * float(xs[i])
+    return s
+
+
+def _interior_taps(x: np.ndarray, w: np.ndarray, out: np.ndarray) -> None:
+    """Fill out[h:n-h] with the symmetric MA via ascending-tap
+    accumulation (acc = w0*x[..]; acc += wk*x[..]), vectorized over t —
+    per-element order identical to _seq_dot / the SQL chain."""
+    n = len(x)
+    h = len(w) // 2
+    m = n - 2 * h
+    acc = w[0] * x[0:m]
+    for k in range(1, 2 * h + 1):
+        acc = acc + w[k] * x[k:k + m]
+    out[h:n - h] = acc
+
+
 def _musgrave_filter(x: np.ndarray, w: np.ndarray, r: float) -> np.ndarray:
     """Symmetric weighted MA with Musgrave asymmetric end filters
-    (vectorized convolution interior; the 2h edge points use the
-    minimum-revision weights; series shorter than the filter fall back
-    to truncated re-normalized weights)."""
+    (ascending-tap interior; the 2h edge points use the minimum-revision
+    weights; series shorter than the filter fall back to truncated
+    re-normalized weights)."""
     n = len(x)
     h = len(w) // 2
     if n < len(w):
         return _sym_filter(x, w)  # every point is a double-sided edge
-    out = np.convolve(x, w[::-1], mode="same")  # symmetric w, interior
+    out = np.empty(n)
+    _interior_taps(x, w, out)
     for t in range(h):
         # end edge at n-1-t: q = t future points -> support i = -h..q
         u = musgrave_weights(w, t, r)
-        out[n - 1 - t] = float(np.dot(x[n - 1 - t - h:], u))
+        out[n - 1 - t] = _seq_dot(x[n - 1 - t - h:], u)
         # start edge at t: mirrored support i = -q..h
-        out[t] = float(np.dot(x[: t + h + 1], u[::-1]))
+        out[t] = _seq_dot(x[: t + h + 1], u[::-1])
     return out
 
 
@@ -93,27 +118,26 @@ def _sym_filter(x: np.ndarray, w: np.ndarray,
     when provided, else truncated re-normalized symmetric weights."""
     n = len(x)
     h = len(w) // 2
+    out = np.empty(n)
     if n >= len(w):
-        out = np.convolve(x, w[::-1], mode="same")  # symmetric w
-    else:
-        out = np.empty(n)  # every point is an edge; loop computes all
+        _interior_taps(x, w, out)
     for t in range(n):
-        if h <= t < n - h:
-            continue  # interior handled by the convolution
+        if h <= t < n - h and n >= len(w):
+            continue  # interior handled by the tap accumulation
         q_start = t           # points available before t
         q_end = n - 1 - t     # points available after t
         if end_weights is not None and min(q_start, q_end) in end_weights \
                 and max(q_start, q_end) >= h:
             if q_end < h:   # end edge: weights run ...interior, outward
                 ww = end_weights[q_end]
-                out[t] = float(np.dot(x[t - h: t + q_end + 1], ww))
+                out[t] = _seq_dot(x[t - h: t + q_end + 1], ww)
             else:           # start edge: mirrored
                 ww = end_weights[q_start][::-1]
-                out[t] = float(np.dot(x[t - q_start: t + h + 1], ww))
+                out[t] = _seq_dot(x[t - q_start: t + h + 1], ww)
             continue
         lo, hi = max(0, t - h), min(n, t + h + 1)
         ww = w[h - (t - lo): h + (hi - t)]
-        out[t] = float(np.dot(x[lo:hi], ww) / ww.sum())
+        out[t] = _seq_dot(x[lo:hi], ww) / ww.sum()
     return out
 
 
