@@ -210,6 +210,110 @@ SELECT c.event_type, CAST(c.ncross AS DOUBLE) AS n_crossing_points,
 FROM cr c JOIN flat f ON f.event_type = c.event_type
 """.format(series=_SERIES_1H)
 
+# Exact-integer feature extractors (intermittency, tiled stability /
+# lumpiness, level/variance shifts) over the gap-filled hourly counts.
+# Every value mirrors the kernel's fixed IEEE expression over exact
+# integer power sums: m = S/n; v = (SS - S*m)/(n-1); tile stats are one
+# expression per tile; across-tile variances fold list_sum over an
+# ORDERED tile list (sequential, like the kernel's Python loop); rolling
+# shifts are window int sums with the kernel's division order.
+_FEATURES_EXACT_1H = """
+WITH {series},
+idx AS (
+  SELECT event_type, bucket, x,
+    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY bucket) - 1 AS t,
+    COUNT(*) OVER (PARTITION BY event_type) AS n,
+    lag(x) OVER (PARTITION BY event_type ORDER BY bucket) AS xp
+  FROM series),
+g AS (
+  SELECT event_type, ANY_VALUE(n) AS n, SUM(x) AS S, SUM(x*x) AS SS,
+    SUM(CASE WHEN x <> 0 THEN 1 ELSE 0 END) AS nz_cnt,
+    SUM(CASE WHEN x <> 0 THEN x ELSE 0 END) AS S_nz,
+    SUM(CASE WHEN x <> 0 THEN x*x ELSE 0 END) AS SS_nz,
+    SUM(CASE WHEN x = 0 AND (xp IS NULL OR xp <> 0) THEN 1 ELSE 0 END) AS zr,
+    MIN(CASE WHEN x <> 0 THEN t END) AS first_nz,
+    MAX(CASE WHEN x <> 0 THEN t END) AS last_nz,
+    MIN(CASE WHEN t = 0 THEN x END) AS x_first,
+    MAX(CASE WHEN t = n - 1 THEN x END) AS x_last
+  FROM idx GROUP BY event_type),
+gs AS (
+  SELECT *, S / n AS mu,
+    sqrt((SS - S * (S / n)) / (n - 1)) AS sd,
+    S_nz / nz_cnt AS mu_nz,
+    (SS_nz - S_nz * (S_nz / nz_cnt)) / (nz_cnt - 1) AS v_nz
+  FROM g),
+interm AS (
+  SELECT event_type,
+    CASE WHEN nz_cnt = n THEN 0.0e0
+         ELSE CAST(n - nz_cnt AS DOUBLE) / zr END AS zero_run_mean,
+    (sqrt(v_nz) / mu_nz) * (sqrt(v_nz) / mu_nz) AS nonzero_squared_cv,
+    CASE WHEN x_first = 0 THEN CAST(first_nz AS DOUBLE) / n
+         ELSE 0.0e0 END AS zero_start_prop,
+    CASE WHEN x_last = 0 THEN CAST(n - 1 - last_nz AS DOUBLE) / n
+         ELSE 0.0e0 END AS zero_end_prop
+  FROM gs),
+tl AS (
+  SELECT i.event_type, i.t // 24 AS tile, COUNT(*) AS c,
+    SUM(i.x) AS S_t, SUM(i.x*i.x) AS SS_t,
+    ANY_VALUE(s.mu) AS mu, ANY_VALUE(s.sd) AS sd
+  FROM idx i JOIN gs s ON s.event_type = i.event_type
+  GROUP BY i.event_type, i.t // 24),
+tmean AS (
+  SELECT event_type, list((S_t / c - mu) / sd ORDER BY tile) AS l
+  FROM tl GROUP BY event_type),
+tvar AS (
+  SELECT event_type,
+    list((((SS_t - S_t * (S_t / c)) / (c - 1)) / sd) / sd ORDER BY tile) AS l
+  FROM tl WHERE c = 24 GROUP BY event_type),
+vt AS (
+  SELECT m.event_type,
+    (list_sum(list_transform(m.l, z -> z*z))
+     - list_sum(m.l) * (list_sum(m.l) / len(m.l))) / (len(m.l) - 1)
+      AS var_tiled_mean,
+    (list_sum(list_transform(v.l, z -> z*z))
+     - list_sum(v.l) * (list_sum(v.l) / len(v.l))) / (len(v.l) - 1)
+      AS var_tiled_var
+  FROM tmean m JOIN tvar v ON v.event_type = m.event_type),
+roll AS (
+  SELECT event_type, bucket, t, n,
+    SUM(x) OVER w24 AS s24,
+    SUM(x*x) OVER w24 AS s224,
+    COUNT(*) OVER w24 AS c24
+  FROM idx
+  WINDOW w24 AS (PARTITION BY event_type ORDER BY bucket
+                 ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)),
+rstat AS (
+  SELECT event_type, bucket, t, n,
+    s24 / c24 AS rm,
+    CASE WHEN c24 >= 2 THEN (s224 - (s24 * s24) / c24) / (c24 - 1) END AS rv
+  FROM roll),
+dstat AS (
+  SELECT event_type, t,
+    ABS(rm - lag(rm, 24) OVER w) AS dm,
+    ABS(rv - lag(rv, 24) OVER w) AS dv
+  FROM rstat
+  WINDOW w AS (PARTITION BY event_type ORDER BY bucket)),
+shift AS (
+  SELECT d.event_type,
+    MAX(d.dm) AS shift_level_max,
+    CAST(MIN(CASE WHEN d.dm = mx.m_dm THEN d.t END) - 22 AS DOUBLE)
+      AS shift_level_index,
+    MAX(d.dv) AS shift_var_max,
+    CAST(MIN(CASE WHEN d.dv = mx.m_dv THEN d.t END) - 22 AS DOUBLE)
+      AS shift_var_index
+  FROM dstat d JOIN (
+    SELECT event_type, MAX(dm) AS m_dm, MAX(dv) AS m_dv
+    FROM dstat GROUP BY event_type) mx ON mx.event_type = d.event_type
+  GROUP BY d.event_type)
+SELECT i.event_type, i.zero_run_mean, i.nonzero_squared_cv,
+  i.zero_start_prop, i.zero_end_prop, v.var_tiled_mean, v.var_tiled_var,
+  s.shift_level_max, s.shift_level_index, s.shift_var_max, s.shift_var_index
+FROM interm i
+JOIN vt v ON v.event_type = i.event_type
+JOIN shift s ON s.event_type = i.event_type
+""".format(series=_SERIES_1H)
+
+
 # GPT-2-style pre-tokenizer count. The engine's Python regex uses a
 # \\s+(?!\\S) branch RE2 lacks; for token COUNTS the lookahead-free
 # pattern is equivalent (the lookahead only moves one trailing space
@@ -448,6 +552,7 @@ JOIN series p ON p.event_type = s.event_type AND p.bucket = s.bucket - k.lag * 3
         "pacf_table_1h": _PACF_TABLE_1H,
         "classical_1h": _CLASSICAL_1H,
         "features_basic_1h": _FEATURES_BASIC_1H,
+        "features_exact_1h": _FEATURES_EXACT_1H,
         "seasonal_overlay_1h": (
             "WITH {series} SELECT event_type, bucket // 86400 AS cycle, "
             "(bucket % 86400) // 3600 AS phase, CAST(x AS DOUBLE) AS value "

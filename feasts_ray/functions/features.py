@@ -357,17 +357,64 @@ def _tile_stats(x: np.ndarray, size: int, stat: str, complete: bool) -> np.ndarr
     return np.asarray(vals, dtype=np.float64)
 
 
+def _seq_var(tiles: list[float]) -> float:
+    """Sample variance of an ordered float list via strictly sequential
+    power-sum accumulation — mirrored by the oracle's
+    list_sum(list(... ORDER BY tile)) which also folds left-to-right."""
+    k = len(tiles)
+    if k < 2:
+        return math.nan
+    sm = 0.0
+    sq = 0.0
+    for t in tiles:
+        sm = sm + t
+        sq = sq + t * t
+    return (sq - sm * (sm / k)) / (k - 1)
+
+
+def _var_tiled_exact_int(x: np.ndarray, size: int, stat: str,
+                         complete: bool) -> float:
+    """Exact-int tiled variance: every per-tile statistic is ONE fixed
+    IEEE expression over exact integer tile power sums (S_t, SS_t, c_t)
+    and the global (mu, sd); the across-tile variance uses sequential
+    accumulation. Bit-reproducible by the features_exact_1h oracle."""
+    xi = np.rint(x).astype(np.int64)
+    mu, v_all = _var_mean_exact_int(xi)
+    sd = math.sqrt(v_all)
+    tiles: list[float] = []
+    for s in range(0, len(xi), size):
+        tile = xi[s: s + size]
+        if complete and len(tile) < size:
+            continue
+        c = len(tile)
+        S_t = int(tile.sum())
+        if stat == "mean":
+            tiles.append((S_t / c - mu) / sd)
+        else:
+            if c < 2:
+                tiles.append(math.nan)
+                continue
+            SS_t = int(np.dot(tile, tile))
+            vt = (SS_t - S_t * (S_t / c)) / (c - 1)
+            tiles.append((vt / sd) / sd)
+    tiles = [t for t in tiles if not math.isnan(t)]
+    return _seq_var(tiles)
+
+
 @register_feature("var_tiled_var", ("lumpiness", "tile"))
 def var_tiled_var(x: np.ndarray, period: int = 1, size: int | None = None) -> dict[str, float]:
     """Lumpiness: variance of per-tile variances of the scaled series
-    (features.R:562-576); 0 when fewer than 2 full tiles."""
+    (features.R:562-576); 0 when fewer than 2 full tiles. Integral
+    series route through exact integer power sums (SQL-bit-exact)."""
     x = np.asarray(x, dtype=np.float64)
     if size is None:
         size = 10 if period == 1 else period
-    mu, sd = mean_narm(x), sd_narm(x)
-    z = (x - mu) / sd if sd else x - mu
     if len(x) < 2 * size:
         return {"var_tiled_var": 0.0}
+    if _exact_int_ok(x) and var_narm(x) > 0:
+        return {"var_tiled_var": _var_tiled_exact_int(x, size, "var", True)}
+    mu, sd = mean_narm(x), sd_narm(x)
+    z = (x - mu) / sd if sd else x - mu
     tiles = _tile_stats(z, size, "var", complete=True)
     return {"var_tiled_var": var_narm(tiles)}
 
@@ -375,14 +422,17 @@ def var_tiled_var(x: np.ndarray, period: int = 1, size: int | None = None) -> di
 @register_feature("var_tiled_mean", ("stability", "tile"))
 def var_tiled_mean(x: np.ndarray, period: int = 1, size: int | None = None) -> dict[str, float]:
     """Stability: variance of per-tile means (features.R:580-595); partial
-    trailing tile included (mirrors slide .step without .complete)."""
+    trailing tile included (mirrors slide .step without .complete).
+    Integral series route through exact integer power sums."""
     x = np.asarray(x, dtype=np.float64)
     if size is None:
         size = 10 if period == 1 else period
-    mu, sd = mean_narm(x), sd_narm(x)
-    z = (x - mu) / sd if sd else x - mu
     if len(x) < 2 * size:
         return {"var_tiled_mean": 0.0}
+    if _exact_int_ok(x) and var_narm(x) > 0:
+        return {"var_tiled_mean": _var_tiled_exact_int(x, size, "mean", False)}
+    mu, sd = mean_narm(x), sd_narm(x)
+    z = (x - mu) / sd if sd else x - mu
     tiles = _tile_stats(z, size, "mean", complete=False)
     return {"var_tiled_mean": var_narm(tiles)}
 
@@ -427,18 +477,53 @@ def feat_pacf(x: np.ndarray, period: int = 1, lag_max: int | None = None) -> dic
     return out
 
 
+def _exact_int_ok(x: np.ndarray) -> bool:
+    """Route to an exact-int kernel: integral values whose power sums
+    cannot wrap int64 (same gate family as stages/cf.py)."""
+    if len(x) == 0 or not np.isfinite(x).all() or not (np.rint(x) == x).all():
+        return False
+    mx = float(np.abs(x).max())
+    n = len(x)
+    return mx < 2**52 and n * mx * mx < 2**62 and n * mx < 2**62
+
+
+def _var_mean_exact_int(xi: np.ndarray) -> tuple[float, float]:
+    """(mean, sample var) of an int array as ONE fixed IEEE expression
+    over exact integer power sums — bit-reproducible by a SQL oracle
+    evaluating  m = S/n;  v = (SS - S*m)/(n-1)."""
+    nn = len(xi)
+    S = int(xi.sum())
+    SS = int(np.dot(xi, xi))
+    m = S / nn
+    v = (SS - S * m) / (nn - 1) if nn > 1 else math.nan
+    return m, v
+
+
 @register_feature("feat_intermittent", ("intermittent",), uses_period=False)
 def feat_intermittent(x: np.ndarray, period: int = 1) -> dict[str, float]:
-    """Intermittency measures (features.R:716-726)."""
+    """Intermittency measures (features.R:716-726).
+
+    zero-run / proportion outputs are single int/int divisions (already
+    SQL-exact); for integral series the nonzero CV² routes through exact
+    integer power sums so the DuckDB oracle is bit-exact."""
     x = np.asarray(x, dtype=np.float64)
     vals, lengths = rle(x)
     nonzero = x[x != 0]
     zero_runs = lengths[vals == 0]
-    sd_nz = sd_narm(nonzero) if len(nonzero) else math.nan
-    mu_nz = mean_narm(nonzero) if len(nonzero) else math.nan
+    if len(nonzero) and _exact_int_ok(nonzero):
+        mu_nz, v_nz = _var_mean_exact_int(np.rint(nonzero).astype(np.int64))
+        sd_nz = math.sqrt(v_nz) if not math.isnan(v_nz) else math.nan
+    else:
+        sd_nz = sd_narm(nonzero) if len(nonzero) else math.nan
+        mu_nz = mean_narm(nonzero) if len(nonzero) else math.nan
+    if mu_nz not in (0,) and not math.isnan(mu_nz):
+        ratio = sd_nz / mu_nz
+        cv2 = ratio * ratio  # x*x, not pow(): mirrored by the SQL oracle
+    else:
+        cv2 = math.nan
     return {
         "zero_run_mean": 0.0 if len(nonzero) == len(x) else (float(zero_runs.mean()) if len(zero_runs) else math.nan),
-        "nonzero_squared_cv": (sd_nz / mu_nz) ** 2 if mu_nz not in (0,) and not math.isnan(mu_nz) else math.nan,
+        "nonzero_squared_cv": cv2,
         "zero_start_prop": float(lengths[0] / len(x)) if len(vals) and vals[0] == 0 else 0.0,
         "zero_end_prop": float(lengths[-1] / len(x)) if len(vals) and vals[-1] == 0 else 0.0,
     }

@@ -421,6 +421,19 @@ def q_features_basic_1h(sf_dir: str):
     )
 
 
+def q_features_exact_1h(sf_dir: str):
+    """features() pass over the extractors with exact-integer kernels
+    (intermittency, tiled stability/lumpiness, level/variance shifts) —
+    every output is a fixed IEEE expression over exact integer power
+    sums, so the DuckDB oracle reproduces it bit-for-bit."""
+    return extract_features(
+        _hourly_count_series(sf_dir), value_col="value",
+        key_cols=["event_type"], period=24, time_col="bucket",
+        names=["feat_intermittent", "var_tiled_mean", "var_tiled_var",
+               "shift_level_max", "shift_var_max"],
+    )
+
+
 def q_acf_table_1h(sf_dir: str):
     """§2.5 ACF table stage over gap-filled integer counts — the cf
     kernel's exact-power-sum path makes the DuckDB oracle bit-exact."""
@@ -647,6 +660,7 @@ ALL_QUERIES = {
     "ann_topk_ivf_pruned": q_ann_topk_ivf_pruned,
     "features_1h": q_features_1h,
     "features_basic_1h": q_features_basic_1h,
+    "features_exact_1h": q_features_exact_1h,
     "acf_table_1h": q_acf_table_1h,
     "pacf_table_1h": q_pacf_table_1h,
     "stl_1h": q_stl_1h,
