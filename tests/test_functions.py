@@ -459,3 +459,56 @@ class TestX11Ends:
         d = x11_decompose(y, p, "additive")
         np.testing.assert_allclose(
             d["trend"] + d["seasonal"] + d["remainder"], y, atol=1e-9)
+
+
+class TestCoefHurst:
+    """Exact ARFIMA(0,d,0) MLE (Hosking PACF + Durbin-Levinson
+    innovations): recovery of a known d on simulated fractional noise,
+    plus the white-noise invariant H ~= 0.5."""
+
+    @staticmethod
+    def _simulate_fracnoise(d, n, seed):
+        # exact simulation via the same closed-form PACF recursion
+        rng = np.random.default_rng(seed)
+        z = rng.standard_normal(n)
+        x = np.empty(n)
+        x[0] = z[0]
+        nu = 1.0
+        phi_prev = np.empty(0)
+        for k in range(1, n):
+            pk = d / (k - d)
+            if k == 1:
+                new = np.array([pk])
+            else:
+                new = np.concatenate([phi_prev - pk * phi_prev[::-1], [pk]])
+            nu *= 1.0 - pk * pk
+            x[k] = float(np.dot(new, x[k - 1::-1])) + math.sqrt(nu) * z[k]
+            phi_prev = new
+        return x
+
+    def test_recovers_known_d(self):
+        from feasts_ray.functions.features import coef_hurst
+
+        x = self._simulate_fracnoise(0.3, 1500, seed=11)
+        h = coef_hurst(x)["coef_hurst"]
+        assert abs(h - 0.8) < 0.06  # H = d + 0.5
+
+    def test_white_noise_half(self):
+        from feasts_ray.functions.features import coef_hurst
+
+        rng = np.random.default_rng(5)
+        h = coef_hurst(rng.standard_normal(1000))["coef_hurst"]
+        assert abs(h - 0.5) < 0.06
+
+    def test_near_integrated_approaches_one(self):
+        from feasts_ray.functions.features import coef_hurst
+
+        rng = np.random.default_rng(7)
+        rw = np.cumsum(rng.standard_normal(800))
+        h = coef_hurst(rw)["coef_hurst"]
+        assert h > 0.93  # d pinned near the 0.5 boundary
+
+    def test_constant_nan(self):
+        from feasts_ray.functions.features import coef_hurst
+
+        assert math.isnan(coef_hurst(np.ones(100))["coef_hurst"])
