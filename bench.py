@@ -10,6 +10,11 @@ Modes:
   python bench.py --scaling            # flagship at 8 vs 32 CPUs in fresh
                                        # processes; prints both throughputs
                                        # + scaling efficiency
+  python bench.py --ab GITREF          # same-day A/B: flagship points/sec
+                                       # for GITREF (temp worktree) vs the
+                                       # current tree, interleaved runs —
+                                       # the ONLY fair perf comparison on
+                                       # this noisy shared host
   python bench.py --worker CPUS        # internal: one scaling datapoint
 """
 
@@ -157,9 +162,56 @@ def main_scaling():
     }))
 
 
+def _run_worker_in(tree: str, cpus: int, n_docs: int) -> dict:
+    env = dict(os.environ)
+    env["GRAFT_BENCH_DOCS"] = str(n_docs)
+    out = subprocess.run([sys.executable, "bench.py", "--worker", str(cpus)],
+                         capture_output=True, text=True, env=env, check=True,
+                         cwd=tree)
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def main_ab(ref: str):
+    """Same-day A/B: flagship (tiers+gap-fill+blobs+features, no archive)
+    points/sec for ``ref`` — checked out into a temp git worktree — vs
+    the CURRENT tree, interleaved ref,cur,cur,ref in fresh processes so
+    host phase drift cancels. BASELINE.md protocol: absolute BENCH_r{N}
+    numbers are phase-dependent on this shared host; only this A/B is a
+    fair code-vs-code comparison."""
+    import tempfile
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    n_docs = int(os.environ.get("GRAFT_AB_DOCS", str(N_DOCS)))
+    from feasts_ray.synth import ensure_token_table
+
+    ensure_token_table(n_docs)
+    wt = tempfile.mkdtemp(prefix="feasts_ray_ab_")
+    subprocess.run(["git", "-C", repo, "worktree", "add", "--force",
+                    "--detach", wt, ref], check=True, capture_output=True)
+    try:
+        runs: dict[str, list[float]] = {"ref": [], "cur": []}
+        for tag, tree in (("ref", wt), ("cur", repo), ("cur", repo), ("ref", wt)):
+            runs[tag].append(_run_worker_in(tree, NUM_CPUS, n_docs)["points_per_sec"])
+        mean = lambda v: sum(v) / len(v)  # noqa: E731
+        print(json.dumps({
+            "metric": "same-day A/B flagship points/sec (interleaved fresh processes)",
+            "ref": ref,
+            "num_cpus": NUM_CPUS,
+            "n_docs": n_docs,
+            "ref_points_per_sec": [round(v, 1) for v in runs["ref"]],
+            "cur_points_per_sec": [round(v, 1) for v in runs["cur"]],
+            "speedup_cur_over_ref": round(mean(runs["cur"]) / mean(runs["ref"]), 3),
+        }))
+    finally:
+        subprocess.run(["git", "-C", repo, "worktree", "remove", "--force", wt],
+                       capture_output=True)
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         main_scaling()
+    elif "--ab" in sys.argv:
+        main_ab(sys.argv[sys.argv.index("--ab") + 1])
     elif "--worker" in sys.argv:
         main_worker(int(sys.argv[sys.argv.index("--worker") + 1]))
     else:
