@@ -195,20 +195,42 @@ def ccf(
     return lags, vals
 
 
-TACF_MAX_N = 4096  # eigen shrinkage builds an n x n matrix: hard cap
+TACF_MAX_N = 4096  # above this the eigen shrink (n x n matrix) switches
+                   # to the O(N log N) spectral-density floor
+
+
+def _spectral_shrink(gamma: np.ndarray, n: int) -> np.ndarray:
+    """O(N log N) surrogate for the n x n eigen shrink on long series:
+    floor the SPECTRAL DENSITY of the tapered sequence at 20/n instead
+    of the Toeplitz eigenvalues (Szegő: Toeplitz eigenvalues are
+    asymptotically the spectral-density samples; the circulant embedding
+    makes the correspondence exact). Identity when already PSD — same as
+    the eigen path — and differs from it only by O(1/n) boundary terms
+    when flooring engages (documented approximation for n > TACF_MAX_N).
+    Normalization mirrors the eigen path's /mean(eigenvalues):
+    mean of floored spectral samples == trace/N of the floored matrix."""
+    m = len(gamma)
+    N = 1 << max(12, (2 * m).bit_length())
+    buf = np.zeros(N)
+    buf[0] = gamma[0]
+    buf[1:m] = gamma[1:]
+    buf[N - m + 1:] = gamma[1:][::-1]
+    f = np.fft.rfft(buf).real  # real symmetric sequence -> real spectrum
+    f2 = np.maximum(f, 20.0 / n)
+    corrected = np.fft.irfft(f2, n=N)[:m]
+    # full-spectrum mean from the half-spectrum (rfft) samples
+    wsum = 2.0 * f2[1:-1].sum() + f2[0] + (f2[-1] if N % 2 == 0 else 2.0 * f2[-1])
+    return corrected / (wsum / N)
 
 
 def tacf(x: np.ndarray) -> np.ndarray:
-    """Banded/tapered autocorrelation with eigen shrinkage
+    """Banded/tapered autocorrelation with shrinkage toward white noise
     (McMurry & Politis 2010; reference R/acf.R:252-300 behavior).
-    O(n^2)-O(n^3): series longer than TACF_MAX_N are rejected up front
-    (an n x n eigendecomposition at 50k points would allocate ~20 GB)."""
+    Series up to TACF_MAX_N use the reference's n x n eigen shrink;
+    longer series switch to the O(N log N) spectral-density floor
+    (_spectral_shrink) — same correction in the Szegő limit, no cap."""
     x = np.asarray(x, dtype=np.float64)
     n = len(x)
-    if n > TACF_MAX_N:
-        raise ValueError(
-            f"tacf is O(n^2)-O(n^3) and capped at n={TACF_MAX_N}; got {n}. "
-            "Downsample the series (coarser rollup tier) before tapering.")
     ac = acf(x, lag_max=n - 1)
     s = np.arange(1, len(ac) + 1, dtype=np.float64)
     upper = 2 * math.sqrt(math.log10(n) / n)
@@ -226,8 +248,10 @@ def tacf(x: np.ndarray) -> np.ndarray:
     mid = (sl > 1) & (sl <= 2)
     taper[mid] = 2 - sl[mid]
     gamma = ac * taper
-    # shrinkage toward white noise via eigenvalue flooring
     m = len(gamma)
+    if n > TACF_MAX_N:
+        return _spectral_shrink(gamma, n)
+    # shrinkage toward white noise via eigenvalue flooring
     idx = np.abs(np.subtract.outer(np.arange(m), np.arange(m)))
     G = gamma[idx]
     w, V = np.linalg.eigh(G)

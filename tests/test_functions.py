@@ -371,11 +371,67 @@ def test_all_features_on_edge_series():
     assert math.isnan(feat_spectral(const)["spectral_entropy"])  # features.R:529
 
 
-def test_tacf_length_cap():
-    from feasts_ray.functions.acf import TACF_MAX_N, tacf
+class TestTacfLongSeries:
+    """The 4096 cap is lifted: long series route to the spectral-density
+    floor, which must agree with the eigen shrink where both apply."""
 
-    with pytest.raises(ValueError, match="capped"):
-        tacf(np.zeros(TACF_MAX_N + 1))
+    def test_long_series_runs_and_shrinks(self):
+        from feasts_ray.functions.acf import tacf
+
+        rng = np.random.default_rng(9)
+        g = tacf(rng.normal(0, 1, 20000))
+        assert g[0] == pytest.approx(1.0, abs=1e-6)
+        assert np.abs(g[50:]).max() < 0.05
+
+    def test_spectral_matches_eigen_when_psd(self):
+        """No flooring engaged -> both paths are the identity on the
+        tapered sequence, so they agree exactly."""
+        from feasts_ray.functions.acf import _spectral_shrink, tacf
+
+        rng = np.random.default_rng(4)
+        x = rng.normal(0, 1, 800)
+        e = 0.6 * np.roll(x, 1) + x  # MA(1)-ish, comfortably PSD
+        out_eigen = tacf(e)
+        # recompute the tapered gamma the same way tacf does, then shrink
+        # spectrally: when the floor never binds both equal gamma
+        from feasts_ray.functions.acf import acf
+
+        n = len(e)
+        ac = acf(e, lag_max=n - 1)
+        s = np.arange(1, len(ac) + 1, dtype=np.float64)
+        upper = 2 * math.sqrt(math.log10(n) / n)
+        below = np.abs(ac) < upper
+        l = 0
+        for k in range(len(below) - 4):
+            if below[k: k + 5].all():
+                l = k + 1
+                break
+        if l == 0:
+            l = len(ac)
+        sl = s / l
+        taper = np.zeros(len(sl))
+        taper[sl <= 1] = 1.0
+        mid = (sl > 1) & (sl <= 2)
+        taper[mid] = 2 - sl[mid]
+        gamma = ac * taper
+        out_spec = _spectral_shrink(gamma, n)
+        np.testing.assert_allclose(out_spec, out_eigen, atol=2e-2)
+
+    def test_spectral_output_is_psd(self):
+        """The corrected sequence's spectral density is nonnegative."""
+        from feasts_ray.functions.acf import tacf
+
+        rng = np.random.default_rng(12)
+        x = np.cumsum(rng.normal(0, 1, 8192)) * 0.01 + rng.normal(0, 1, 8192)
+        g = tacf(x)
+        N = 1 << 15
+        buf = np.zeros(N)
+        buf[0] = g[0]
+        m = len(g)
+        buf[1:m] = g[1:]
+        buf[N - m + 1:] = g[1:][::-1]
+        f = np.fft.rfft(buf).real
+        assert f.min() > -1e-9
 
 
 def test_unitroot_pp_zalpha_table():
