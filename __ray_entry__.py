@@ -451,9 +451,13 @@ FROM c""".format(**_LANG_SETS)
 
 
 def oracle_sql() -> dict[str, str]:
+    from feasts_ray.oracle.unitroot_sql import unitroot_sql
     from feasts_ray.oracle.x11_sql import x11_additive_sql
 
     return {
+        # KPSS + ndiffs via exact integer power sums (see
+        # oracle/unitroot_sql.py for the mirrored expression trees)
+        "unitroot_1h": unitroot_sql(_SERIES_1H),
         "ccf_1h": _CCF_1H,
         # X11 additive = fixed finite linear filters over the gap-filled
         # integer counts; the generator emits the kernel's own weights as

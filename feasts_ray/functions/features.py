@@ -502,14 +502,7 @@ def feat_pacf(x: np.ndarray, period: int = 1, lag_max: int | None = None) -> dic
     return out
 
 
-def _exact_int_ok(x: np.ndarray) -> bool:
-    """Route to an exact-int kernel: integral values whose power sums
-    cannot wrap int64 (same gate family as stages/cf.py)."""
-    if len(x) == 0 or not np.isfinite(x).all() or not (np.rint(x) == x).all():
-        return False
-    mx = float(np.abs(x).max())
-    n = len(x)
-    return mx < 2**52 and n * mx * mx < 2**62 and n * mx < 2**62
+from .stats_utils import exact_int_ok as _exact_int_ok  # shared gate
 
 
 def _var_mean_exact_int(xi: np.ndarray) -> tuple[float, float]:

@@ -126,6 +126,16 @@ def poly_orthogonal(n: int, degree: int) -> np.ndarray:
     return z / np.sqrt(norm2)
 
 
+def exact_int_ok(x: np.ndarray) -> bool:
+    """Gate for exact-integer kernels: integral values whose power sums
+    cannot wrap int64 (dot products reach n*mx^2, cumsums n*mx)."""
+    if len(x) == 0 or not np.isfinite(x).all() or not (np.rint(x) == x).all():
+        return False
+    mx = float(np.abs(x).max())
+    n = len(x)
+    return mx < 2**52 and n * mx * mx < 2**62 and n * mx < 2**62
+
+
 def approx_clamped(xs: np.ndarray, ys: np.ndarray, xout: float) -> float:
     """stats::approx(..., rule = 2): linear interp, clamp outside range.
     xs may be descending (critical-value tables); handled by sorting."""

@@ -66,8 +66,49 @@ def _short_lags(n: int) -> int:
     return int(math.trunc(4.0 * (n / 100.0) ** 0.25))
 
 
+def _kpss_mu_exact_int(xi: np.ndarray, L: int) -> dict[str, float]:
+    """KPSS level stat for an integer series as fixed IEEE expressions
+    over exact integer power sums — bit-reproducible by the unitroot_1h
+    DuckDB oracle:
+      m   = S/n;  e2 = SS - S*m
+      lrv = e2/n  +  sum_{l=1..L} ((2/n)*w_l) * dot_l   (ascending l)
+      dot_l = (Sxy_l - m*(H_l + T_l)) + ((n-l)*m)*m     (acf_exact_int's
+              lagged centered-product numerator)
+      stat = [seq sum of ((C_k - k*m))^2] / ((n*n)*lrv)  (ordered fold,
+              mirrored by list_sum over an ORDERED list in SQL)
+    """
+    n = len(xi)
+    S = int(xi.sum())
+    SS = int(np.dot(xi, xi))
+    m = S / n
+    e2 = SS - S * m
+    s2 = e2 / n
+    C = np.cumsum(xi)
+    for l in range(1, L + 1):
+        w = 1.0 - l / (L + 1.0)
+        sxy = int(np.dot(xi[:-l], xi[l:]))
+        h = int(C[n - l - 1])
+        t_ = S - int(C[l - 1])
+        dot_l = (sxy - m * (h + t_)) + ((n - l) * m) * m
+        s2 = s2 + ((2.0 / n) * w) * dot_l
+    if s2 <= 0:
+        return {"kpss_stat": math.nan, "kpss_pvalue": math.nan}
+    sv = C.astype(np.float64) - np.arange(1, n + 1, dtype=np.float64) * m
+    acc = 0.0
+    for v in sv.tolist():
+        acc += v * v
+    stat = acc / ((n * n) * s2)
+    pval = approx_clamped(_KPSS_CVAL["mu"], _KPSS_PCT, stat)
+    return {"kpss_stat": float(stat), "kpss_pvalue": pval}
+
+
 def unitroot_kpss(x: np.ndarray, type_: str = "mu", lags: str | int = "short") -> dict[str, float]:
-    """KPSS stat + interpolated p-value (kpss_stat, kpss_pvalue)."""
+    """KPSS stat + interpolated p-value (kpss_stat, kpss_pvalue).
+
+    Integer-valued series on the level ("mu") test route through the
+    exact power-sum kernel so the DuckDB oracle is bit-exact."""
+    from .stats_utils import exact_int_ok
+
     x = np.asarray(x, dtype=np.float64)
     x = x[~np.isnan(x)]
     n = len(x)
@@ -82,6 +123,8 @@ def unitroot_kpss(x: np.ndarray, type_: str = "mu", lags: str | int = "short") -
             L = 0
     else:
         L = int(lags)
+    if type_ == "mu" and exact_int_ok(x) and n * n * float(np.abs(x).max()) < 2**62:
+        return _kpss_mu_exact_int(np.rint(x).astype(np.int64), L)
     if type_ == "mu":
         e = x - x.mean()
     else:  # tau: residuals of regression on a linear trend

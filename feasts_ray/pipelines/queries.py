@@ -421,6 +421,17 @@ def q_features_basic_1h(sf_dir: str):
     )
 
 
+def q_unitroot_1h(sf_dir: str):
+    """KPSS level test + ndiffs over gap-filled hourly counts — the
+    exact-int kernel makes the DuckDB oracle bit-exact (stat, p-value
+    AND the ndiffs decision)."""
+    return extract_features(
+        _hourly_count_series(sf_dir), value_col="value",
+        key_cols=["event_type"], period=24, time_col="bucket",
+        names=["unitroot_kpss", "unitroot_ndiffs"],
+    )
+
+
 def q_features_exact_1h(sf_dir: str):
     """features() pass over the extractors with exact-integer kernels
     (intermittency, tiled stability/lumpiness, level/variance shifts) —
@@ -661,6 +672,7 @@ ALL_QUERIES = {
     "features_1h": q_features_1h,
     "features_basic_1h": q_features_basic_1h,
     "features_exact_1h": q_features_exact_1h,
+    "unitroot_1h": q_unitroot_1h,
     "acf_table_1h": q_acf_table_1h,
     "pacf_table_1h": q_pacf_table_1h,
     "stl_1h": q_stl_1h,

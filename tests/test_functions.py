@@ -568,3 +568,19 @@ class TestCoefHurst:
         from feasts_ray.functions.features import coef_hurst
 
         assert math.isnan(coef_hurst(np.ones(100))["coef_hurst"])
+
+
+def test_kpss_exact_int_path_agrees_with_generic():
+    """The exact-power-sum KPSS kernel equals the float path up to
+    rounding noise, and the interpolated p-value is identical."""
+    from feasts_ray.functions.unitroot import unitroot_kpss
+
+    rng = np.random.default_rng(3)
+    x = rng.integers(0, 40, 500).astype(float)
+    exact = unitroot_kpss(x)              # integral -> exact-int path
+    generic = unitroot_kpss(x + 1e-9)     # perturbed -> float path
+    assert exact["kpss_stat"] == pytest.approx(generic["kpss_stat"], abs=1e-6)
+    assert exact["kpss_pvalue"] == pytest.approx(generic["kpss_pvalue"], abs=1e-6)
+    # trend-stationarity rejection on a random walk, exact path
+    rw = np.cumsum(rng.integers(-3, 4, 800)).astype(float)
+    assert unitroot_kpss(rw)["kpss_pvalue"] <= 0.05
