@@ -458,6 +458,33 @@ def oracle_sql() -> dict[str, str]:
         # KPSS + ndiffs via exact integer power sums (see
         # oracle/unitroot_sql.py for the mirrored expression trees)
         "unitroot_1h": unitroot_sql(_SERIES_1H),
+        # Ljung-Box / Box-Pierce Q at the reference defaults (lag=1):
+        # r1 from the exact power-sum ACF expression (same as _ACF_1H),
+        # Q by the kernel's exact fold order
+        "portmanteau_1h": """
+WITH {series},
+i AS (
+  SELECT event_type, bucket, x,
+    lead(x, 1) OVER w AS x1,
+    ROW_NUMBER() OVER w AS k,
+    COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM series WINDOW w AS (PARTITION BY event_type ORDER BY bucket)),
+g AS (
+  SELECT event_type, ANY_VALUE(n) AS n, SUM(x) AS S, SUM(x*x) AS SS,
+    SUM(x * x1) AS sxy1,
+    SUM(CASE WHEN k <= n - 1 THEN x END) AS h1,
+    SUM(CASE WHEN k >= 2 THEN x END) AS t1
+  FROM i GROUP BY event_type),
+r AS (
+  SELECT event_type, n,
+    (((sxy1 - (S / n) * (h1 + t1)) + ((n - 1) * (S / n)) * (S / n))
+     / (SS - S * (S / n))) AS r1
+  FROM g)
+SELECT event_type,
+  (n * (n + 2)) * ((r1 * r1) / (n - 1)) AS lb_stat,
+  n * (r1 * r1) AS bp_stat
+FROM r
+""".format(series=_SERIES_1H),
         "ccf_1h": _CCF_1H,
         # X11 additive = fixed finite linear filters over the gap-filled
         # integer counts; the generator emits the kernel's own weights as

@@ -577,14 +577,32 @@ def guerrero(x: np.ndarray, period: int = 1, lower: float = -0.9, upper: float =
     return {"lambda_guerrero": float(lam)}
 
 
+def _portmanteau_r(x: np.ndarray, lag: int) -> tuple[np.ndarray, bool]:
+    """ACF for the portmanteau stats; integral series route through the
+    exact power-sum kernel (SQL-bit-exact r_k)."""
+    if _exact_int_ok(x):
+        from .acf import acf_exact_int
+
+        return acf_exact_int(np.rint(x).astype(np.int64),
+                             min(lag, len(x) - 1)), True
+    return acf(x, lag_max=lag), False
+
+
 @register_feature("ljung_box", ("test", "portmanteau"), uses_period=False)
 def ljung_box(x: np.ndarray, period: int = 1, lag: int = 1, dof: int = 0) -> dict[str, float]:
     """Ljung-Box Q and chi-square p-value (tests.R:19-22)."""
     x = np.asarray(x, dtype=np.float64)
     n = len(x)
-    r = acf(x, lag_max=lag)
-    k = np.arange(1, lag + 1)
-    stat = float(n * (n + 2) * np.sum(r[1 : lag + 1] ** 2 / (n - k)))
+    r, exact = _portmanteau_r(x, lag)
+    if exact:
+        # ordered fold mirrored by the SQL oracle's list_sum chain
+        acc = 0.0
+        for kk in range(1, min(lag, n - 1) + 1):
+            acc += (r[kk] * r[kk]) / (n - kk)
+        stat = (n * (n + 2)) * acc
+    else:
+        k = np.arange(1, lag + 1)
+        stat = float(n * (n + 2) * np.sum(r[1 : lag + 1] ** 2 / (n - k)))
     return {"lb_stat": stat, "lb_pvalue": chi2_sf(stat, lag - dof)}
 
 
@@ -593,8 +611,14 @@ def box_pierce(x: np.ndarray, period: int = 1, lag: int = 1, dof: int = 0) -> di
     """Box-Pierce Q and p-value (tests.R:28-31)."""
     x = np.asarray(x, dtype=np.float64)
     n = len(x)
-    r = acf(x, lag_max=lag)
-    stat = float(n * np.sum(r[1 : lag + 1] ** 2))
+    r, exact = _portmanteau_r(x, lag)
+    if exact:
+        acc = 0.0
+        for kk in range(1, min(lag, n - 1) + 1):
+            acc += r[kk] * r[kk]
+        stat = n * acc
+    else:
+        stat = float(n * np.sum(r[1 : lag + 1] ** 2))
     return {"bp_stat": stat, "bp_pvalue": chi2_sf(stat, lag - dof)}
 
 

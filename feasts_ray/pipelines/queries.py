@@ -432,6 +432,24 @@ def q_unitroot_1h(sf_dir: str):
     )
 
 
+def q_portmanteau_1h(sf_dir: str):
+    """Ljung-Box / Box-Pierce Q statistics (reference defaults: lag=1,
+    dof=0) over gap-filled hourly counts. The Q stats ride the exact
+    power-sum ACF so the DuckDB oracle is bit-exact; the chi-square
+    p-value columns are dropped here (regularized-gamma tails are not
+    SQL-expressible — they stay suite-pinned via chi2_sf tests)."""
+    feats = extract_features(
+        _hourly_count_series(sf_dir), value_col="value",
+        key_cols=["event_type"], period=24, time_col="bucket",
+        names=["ljung_box", "box_pierce"],
+    )
+
+    def _drop(b: pa.Table) -> pa.Table:
+        return b.drop_columns(["lb_pvalue", "bp_pvalue"])
+
+    return feats.map_batches(_drop, batch_format="pyarrow")
+
+
 def q_features_exact_1h(sf_dir: str):
     """features() pass over the extractors with exact-integer kernels
     (intermittency, tiled stability/lumpiness, level/variance shifts) —
@@ -673,6 +691,7 @@ ALL_QUERIES = {
     "features_basic_1h": q_features_basic_1h,
     "features_exact_1h": q_features_exact_1h,
     "unitroot_1h": q_unitroot_1h,
+    "portmanteau_1h": q_portmanteau_1h,
     "acf_table_1h": q_acf_table_1h,
     "pacf_table_1h": q_pacf_table_1h,
     "stl_1h": q_stl_1h,
