@@ -462,11 +462,44 @@ def var_tiled_mean(x: np.ndarray, period: int = 1, size: int | None = None) -> d
     return {"var_tiled_mean": var_narm(tiles)}
 
 
+def _fold_sq(r: np.ndarray, lo: int, hi: int) -> float:
+    """Ordered left fold of squares (mirrored by the SQL oracle's
+    left-associated chain; np.sum's pairwise order is not)."""
+    acc = 0.0
+    for k in range(lo, hi):
+        acc += r[k] * r[k]
+    return acc
+
+
 @register_feature("feat_acf", ("acf", "autocorrelation"))
 def feat_acf(x: np.ndarray, period: int = 1, lag_max: int | None = None) -> dict[str, float]:
     """acf1 / sum-of-squares acf10 for x, diff(x), diff2(x) (+ seasonal lag)
-    (features.R:616-653)."""
+    (features.R:616-653). Integral series route through the exact
+    power-sum ACF with ordered square-sum folds (SQL-bit-exact)."""
     x = np.asarray(x, dtype=np.float64)
+    # diff2 values reach 4*max|x| -> its power sums 16x the gate's bound
+    if (_exact_int_ok(x) and len(x) > 3
+            and 16.0 * len(x) * float(np.abs(x).max()) ** 2 < 2**62):
+        from .acf import acf_exact_int
+
+        xi = np.rint(x).astype(np.int64)
+        d1 = np.diff(xi)
+        d2 = np.diff(d1)
+        lmx = lag_max or max(period, 10)
+        acfx = acf_exact_int(xi, min(lmx, len(xi) - 1))
+        acfd1 = acf_exact_int(d1, min(lag_max or 10, len(d1) - 1))
+        acfd2 = acf_exact_int(d2, min(lag_max or 10, len(d2) - 1))
+        out = {
+            "acf1": float(acfx[1]),
+            "acf10": _fold_sq(acfx, 1, min(11, len(acfx))),
+            "diff1_acf1": float(acfd1[1]),
+            "diff1_acf10": _fold_sq(acfd1, 1, len(acfd1)),
+            "diff2_acf1": float(acfd2[1]),
+            "diff2_acf10": _fold_sq(acfd2, 1, len(acfd2)),
+        }
+        if period > 1 and len(acfx) > period:
+            out["season_acf1"] = float(acfx[period])
+        return out
     acfx = acf(x, lag_max=lag_max or max(period, 10))
     acfd1 = acf(diff(x), lag_max=lag_max or 10)
     acfd2 = acf(diff(x, differences=2), lag_max=lag_max or 10)
@@ -486,9 +519,32 @@ def feat_acf(x: np.ndarray, period: int = 1, lag_max: int | None = None) -> dict
 @register_feature("feat_pacf", ("pacf", "autocorrelation"))
 def feat_pacf(x: np.ndarray, period: int = 1, lag_max: int | None = None) -> dict[str, float]:
     """Sum of squares of first 5 pacfs for x, diff, diff2 (+ seasonal)
-    (features.R:669-695)."""
+    (features.R:669-695). Integral series route through the exact
+    power-sum ACF + sequential Durbin-Levinson with ordered folds
+    (SQL-bit-exact; recursive-CTE oracle)."""
     x = np.asarray(x, dtype=np.float64)
     lm = lag_max or max(period, 5)
+    if (_exact_int_ok(x) and len(x) > 3
+            and 16.0 * len(x) * float(np.abs(x).max()) ** 2 < 2**62):
+        from .acf import acf_exact_int, pacf_from_acf_seq
+
+        xi = np.rint(x).astype(np.int64)
+        d1 = np.diff(xi)
+        d2 = np.diff(d1)
+
+        def _p(v):
+            k = min(lm, len(v) - 1)
+            return pacf_from_acf_seq(acf_exact_int(v, k), k)
+
+        px, pd1_, pd2_ = _p(xi), _p(d1), _p(d2)
+        out = {
+            "pacf5": _fold_sq(px, 0, min(5, len(px))),
+            "diff1_pacf5": _fold_sq(pd1_, 0, min(5, len(pd1_))),
+            "diff2_pacf5": _fold_sq(pd2_, 0, min(5, len(pd2_))),
+        }
+        if period > 1 and len(px) >= period:
+            out["season_pacf"] = float(px[period - 1])
+        return out
     px = pacf(x, lag_max=lm)
     pd1 = pacf(diff(x), lag_max=lm)
     pd2 = pacf(diff(x, differences=2), lag_max=lm)

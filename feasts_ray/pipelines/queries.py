@@ -432,6 +432,28 @@ def q_unitroot_1h(sf_dir: str):
     )
 
 
+def q_feat_acf_1h(sf_dir: str):
+    """feat_acf family (acf1/acf10 of x, diff1, diff2 + season_acf1)
+    over gap-filled hourly counts — exact power-sum ACF + ordered folds
+    make the DuckDB oracle bit-exact."""
+    return extract_features(
+        _hourly_count_series(sf_dir), value_col="value",
+        key_cols=["event_type"], period=24, time_col="bucket",
+        names=["feat_acf"],
+    )
+
+
+def q_feat_pacf_1h(sf_dir: str):
+    """feat_pacf family (pacf5 of x, diff1, diff2 + season_pacf) over
+    gap-filled hourly counts — sequential Durbin-Levinson over exact
+    power-sum rhos, bit-exact vs a recursive-CTE DuckDB oracle."""
+    return extract_features(
+        _hourly_count_series(sf_dir), value_col="value",
+        key_cols=["event_type"], period=24, time_col="bucket",
+        names=["feat_pacf"],
+    )
+
+
 def q_portmanteau_1h(sf_dir: str):
     """Ljung-Box / Box-Pierce Q statistics (reference defaults: lag=1,
     dof=0) over gap-filled hourly counts. The Q stats ride the exact
@@ -692,6 +714,8 @@ ALL_QUERIES = {
     "features_exact_1h": q_features_exact_1h,
     "unitroot_1h": q_unitroot_1h,
     "portmanteau_1h": q_portmanteau_1h,
+    "feat_acf_1h": q_feat_acf_1h,
+    "feat_pacf_1h": q_feat_pacf_1h,
     "acf_table_1h": q_acf_table_1h,
     "pacf_table_1h": q_pacf_table_1h,
     "stl_1h": q_stl_1h,
