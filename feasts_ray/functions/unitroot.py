@@ -141,15 +141,81 @@ def unitroot_kpss(x: np.ndarray, type_: str = "mu", lags: str | int = "short") -
     return {"kpss_stat": stat, "kpss_pvalue": pval}
 
 
+def _seq_dot_lagged(e: np.ndarray, l: int) -> float:
+    """Strictly sequential sum of e[i]*e[i-l], i ascending — the ordered
+    fold mirrored by list_sum over an ORDERED product list in SQL."""
+    acc = 0.0
+    ev = e.tolist()
+    for i in range(l, len(ev)):
+        acc += ev[i] * ev[i - l]
+    return acc
+
+
+def _pp_ztau_exact_int(xi: np.ndarray) -> dict[str, float]:
+    """PP Z-tau (constant model) for an integer series via the CLOSED-
+    FORM 2x2 OLS over exact integer power sums — every float op is a
+    fixed expression mirrored by the unitroot_pp_1h DuckDB oracle:
+      det = n*Sll - Sl*Sl (int);  b1 = (n*Syl - Sl*Sy)/det (one division)
+      b0  = (Sy - b1*Sl)/n;  e_t = (y_t - b0) - b1*ylag_t
+      ss_e / lagged sums by sequential folds; Bartlett lam2 chain;
+      Z-tau per Phillips-Perron 1988; p by the two-stage interpolation.
+    (The generic path's np.linalg.lstsq SVD is not SQL-reproducible.)"""
+    y = xi[1:].astype(np.float64)
+    yl = xi[:-1].astype(np.float64)
+    n = len(y)
+    n0 = n + 1
+    yi, li = xi[1:], xi[:-1]
+    Sy = int(yi.sum())
+    Sl = int(li.sum())
+    Sll = int(np.dot(li, li))
+    Syl = int(np.dot(yi, li))
+    det = n * Sll - Sl * Sl
+    if det == 0:
+        return {"pp_stat": math.nan, "pp_pvalue": math.nan}
+    b1 = (n * Syl - Sl * Sy) / det
+    b0 = (Sy - b1 * Sl) / n
+    e = (y - b0) - b1 * yl
+    ss_e = _seq_dot_lagged(e, 0)
+    s2 = ss_e / (n - 2)
+    if s2 <= 0:
+        return {"pp_stat": math.nan, "pp_pvalue": math.nan}
+    se_rho = math.sqrt(s2 * (n / det))
+    t_stat = (b1 - 1.0) / se_rho
+    L = _short_lags(n)
+    gamma0 = ss_e / n
+    lam2 = gamma0
+    for l in range(1, L + 1):
+        w = 1.0 - l / (L + 1.0)
+        lam2 = lam2 + ((2.0 / n) * w) * _seq_dot_lagged(e, l)
+    if lam2 <= 0:
+        return {"pp_stat": math.nan, "pp_pvalue": math.nan}
+    stat = math.sqrt(gamma0 / lam2) * t_stat - (lam2 - gamma0) * n * se_rho / (
+        2.0 * math.sqrt(lam2) * math.sqrt(s2)
+    )
+    cvals = np.array([approx_clamped(_DF_TAU_MU_N, _DF_TAU_MU[:, j], n0)
+                      for j in range(3)])
+    pval = approx_clamped(cvals, _DF_PCT, stat)
+    return {"pp_stat": float(stat), "pp_pvalue": float(pval)}
+
+
 def unitroot_pp(
     x: np.ndarray, type_: str = "Z-tau", model: str = "constant", lags: str = "short"
 ) -> dict[str, float]:
-    """Phillips-Perron test (Z-tau or Z-alpha) with constant trend."""
+    """Phillips-Perron test (Z-tau or Z-alpha) with constant trend.
+
+    Integer series on the default Z-tau/constant path route through the
+    closed-form exact power-sum kernel (SQL-bit-exact)."""
+    from .stats_utils import exact_int_ok
+
     x = np.asarray(x, dtype=np.float64)
     x = x[~np.isnan(x)]
     n0 = len(x)
     if n0 < 5:
         return {"pp_stat": math.nan, "pp_pvalue": math.nan}
+    if (type_ == "Z-tau" and model == "constant" and lags == "short"
+            and exact_int_ok(x)
+            and n0 * n0 * float(np.abs(x).max()) ** 2 < 2**62):
+        return _pp_ztau_exact_int(np.rint(x).astype(np.int64))
     y = x[1:]
     ylag = x[:-1]
     n = len(y)

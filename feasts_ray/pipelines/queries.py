@@ -432,6 +432,17 @@ def q_unitroot_1h(sf_dir: str):
     )
 
 
+def q_unitroot_pp_1h(sf_dir: str):
+    """Phillips-Perron Z-tau (constant model) over gap-filled hourly
+    counts — closed-form 2x2 OLS over exact integer power sums makes
+    the DuckDB oracle bit-exact (stat AND interpolated p-value)."""
+    return extract_features(
+        _hourly_count_series(sf_dir), value_col="value",
+        key_cols=["event_type"], period=24, time_col="bucket",
+        names=["unitroot_pp"],
+    )
+
+
 def q_feat_acf_1h(sf_dir: str):
     """feat_acf family (acf1/acf10 of x, diff1, diff2 + season_acf1)
     over gap-filled hourly counts — exact power-sum ACF + ordered folds
@@ -716,6 +727,7 @@ ALL_QUERIES = {
     "portmanteau_1h": q_portmanteau_1h,
     "feat_acf_1h": q_feat_acf_1h,
     "feat_pacf_1h": q_feat_pacf_1h,
+    "unitroot_pp_1h": q_unitroot_pp_1h,
     "acf_table_1h": q_acf_table_1h,
     "pacf_table_1h": q_pacf_table_1h,
     "stl_1h": q_stl_1h,

@@ -584,3 +584,15 @@ def test_kpss_exact_int_path_agrees_with_generic():
     # trend-stationarity rejection on a random walk, exact path
     rw = np.cumsum(rng.integers(-3, 4, 800)).astype(float)
     assert unitroot_kpss(rw)["kpss_pvalue"] <= 0.05
+
+
+def test_pp_exact_int_path_agrees_with_generic():
+    """Closed-form 2x2 OLS exact path equals the lstsq float path up to
+    rounding noise; random walk stays non-rejecting."""
+    rng = np.random.default_rng(5)
+    x = rng.integers(0, 30, 600).astype(float)
+    e = unitroot_pp(x)                  # integral -> exact-int path
+    g = unitroot_pp(x + 1e-9)           # perturbed -> lstsq path
+    assert e["pp_stat"] == pytest.approx(g["pp_stat"], abs=1e-5)
+    rw = np.cumsum(rng.integers(-2, 3, 600)).astype(float)
+    assert unitroot_pp(rw)["pp_pvalue"] >= 0.05
