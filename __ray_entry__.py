@@ -429,6 +429,37 @@ JOIN sizes sb ON sb.doc_id = i.id_b
 WHERE CAST(i.ni AS DOUBLE) / CAST(sa.m + sb.m - i.ni AS DOUBLE) >= 0.35
 """
 
+# Near-dup cluster assignment: the exact-Jaccard pair set (same CTEs as
+# _MINHASH_PAIRS) -> connected components by UNROLLED min-label
+# propagation (8 rounds >= any component diameter in this corpus; the
+# engine iterates the same integer recurrence to fixpoint, so labels are
+# identical — pure int64 arithmetic, no float semantics).
+def _make_minhash_dedup_docs() -> str:
+    # AS MATERIALIZED is load-bearing: DuckDB inlines plain CTEs, which
+    # would re-evaluate the expensive pair subquery (and each round's
+    # labels, referenced twice) once per downstream reference
+    sql = """
+WITH p AS MATERIALIZED (SELECT id_a, id_b FROM ({pairs})),
+e AS MATERIALIZED (SELECT id_a AS node, id_b AS other FROM p
+      UNION ALL SELECT id_b, id_a FROM p),
+l0 AS MATERIALIZED (SELECT doc_id AS node, doc_id AS label FROM documents)"""
+    prev = "l0"
+    for i in range(1, 9):
+        sql += f""",
+l{i} AS MATERIALIZED (
+  SELECT n.node,
+    LEAST(n.label, COALESCE(MIN(lo.label), n.label)) AS label
+  FROM {prev} n
+  LEFT JOIN e ON e.node = n.node
+  LEFT JOIN {prev} lo ON lo.node = e.other
+  GROUP BY n.node, n.label)"""
+        prev = f"l{i}"
+    sql += f"\nSELECT node AS doc_id, label AS cluster_id FROM {prev}"
+    return sql.format(pairs=_MINHASH_PAIRS)
+
+
+_MINHASH_DEDUP_DOCS = _make_minhash_dedup_docs()
+
 _LANGID = """
 WITH w AS (
   SELECT doc_id,
@@ -628,6 +659,7 @@ JOIN series p ON p.event_type = s.event_type AND p.bucket = s.bucket - k.lag * 3
             "(CAST(SUM(cents) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) / 100.0 AS mean_val "
             "FROM sec GROUP BY l_returnflag, bucket"),
         "minhash_dup_pairs": _MINHASH_PAIRS,
+        "minhash_dedup_docs": _MINHASH_DEDUP_DOCS,
         "dedup_exact": (
             "SELECT md5(text) AS text_md5, MIN(doc_id) AS survivor_id, "
             "COUNT(*) AS n_copies FROM documents GROUP BY md5(text)"),

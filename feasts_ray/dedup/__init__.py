@@ -6,14 +6,17 @@ All are Ray-Data-native: map_batches signature stages + one groupby
 shuffle keyed by the (band/bucket) hash.
 """
 
+from .cluster import connected_components, minhash_dedup_docs
 from .exact import dedup_exact, exact_groups
 from .minhash import minhash_dedup_pairs, ngram_jaccard_pairs
 from .simhash import simhash_dedup_pairs
 from .embedding import embedding_dup_pairs
 
 __all__ = [
+    "connected_components",
     "dedup_exact",
     "exact_groups",
+    "minhash_dedup_docs",
     "minhash_dedup_pairs",
     "ngram_jaccard_pairs",
     "simhash_dedup_pairs",

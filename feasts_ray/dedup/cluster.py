@@ -1,0 +1,222 @@
+"""Near-duplicate CLUSTERING: connected components over a verified
+near-dup pair Dataset, and the cluster-dedup that keeps one doc per
+component — the operation a training-data pipeline actually runs on the
+pair output.
+
+Algorithm: distributed min-label propagation (the classic hash-join
+formulation of connected components, e.g. Kiveris et al. "Connected
+Components in MapReduce and Beyond", SoCC'14 — the simple iterate-
+to-fixpoint variant):
+
+  label(v) <- min(label(v), min over neighbours' labels)
+
+Each round is one bounded-group hash co-group over (node -> incident
+edges + current labels); near-dup components are dense (duplicate
+cliques), so the number of rounds is the component diameter — almost
+always 1-2. Labels are integers, so the result is exactly reproducible
+by an unrolled SQL propagation (no float semantics at all).
+
+Scale shape: edges and labels stay Datasets throughout; each round
+shuffles only (node:int64, label:int64) pairs; the convergence check is
+a tiny per-round aggregate (count of changed labels).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data
+
+_MIX = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _min_label_round(edges: "ray.data.Dataset", labels: "ray.data.Dataset",
+                     num_groups: int = 64) -> "ray.data.Dataset":
+    """One propagation round: for every node, new label = min(own label,
+    labels of all neighbours). Implemented as a bounded-group co-group:
+    rows are (node, other) half-edges plus (node, label) seeds, grouped
+    by hash(node); inside a group the join of neighbour labels is
+    vectorized. Neighbour labels come from the PREVIOUS round's label
+    table broadcast-joined by the same co-group on the OTHER endpoint
+    first (two bounded shuffles per round)."""
+
+    # half-edges both directions: (node, other)
+    def _halves(batch: pa.Table) -> pa.Table:
+        a = batch["id_a"].to_numpy(zero_copy_only=False)
+        b = batch["id_b"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "node": pa.array(np.concatenate([a, b]), type=pa.int64()),
+            "other": pa.array(np.concatenate([b, a]), type=pa.int64()),
+        })
+
+    halves = edges.map_batches(_halves, batch_format="pyarrow")
+
+    # stage 1: attach label(other) to each half-edge (co-group on other)
+    def _tag_edge(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "k": batch["other"], "node": batch["node"],
+            "lab": pa.nulls(len(batch), pa.int64()),
+            "kind": pa.array(np.zeros(len(batch), dtype=np.int8)),
+        })
+
+    def _tag_label(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "k": batch["node"], "node": pa.nulls(len(batch), pa.int64()),
+            "lab": batch["label"],
+            "kind": pa.array(np.ones(len(batch), dtype=np.int8)),
+        })
+
+    def _add_g(batch: pa.Table) -> pa.Table:
+        k = batch["k"].to_numpy(zero_copy_only=False).astype(np.int64)
+        g = ((k.view(np.uint64) * _MIX) % np.uint64(num_groups)).astype(np.int64)
+        return batch.append_column("_g", pa.array(g, type=pa.int64()))
+
+    def _join_other(group: pa.Table) -> pa.Table:
+        kind = group["kind"].to_numpy(zero_copy_only=False)
+        k = group["k"].to_numpy(zero_copy_only=False)
+        lab_idx = np.flatnonzero(kind == 1)
+        ed_idx = np.flatnonzero(kind == 0)
+        out_schema = pa.schema([("node", pa.int64()), ("nlab", pa.int64())])
+        if len(ed_idx) == 0:
+            return out_schema.empty_table()
+        lk = k[lab_idx]
+        order = np.argsort(lk, kind="stable")
+        lk_sorted = lk[order]
+        pos = np.clip(np.searchsorted(lk_sorted, k[ed_idx]), 0, len(lk_sorted) - 1)
+        matched = lk_sorted[pos] == k[ed_idx]
+        labs = group["lab"].to_numpy(zero_copy_only=False)[lab_idx][order]
+        return pa.table({
+            "node": pa.array(group["node"].to_numpy(zero_copy_only=False)
+                             [ed_idx[matched]], type=pa.int64()),
+            "nlab": pa.array(labs[pos[matched]], type=pa.int64()),
+        })
+
+    neigh = (halves.map_batches(_tag_edge, batch_format="pyarrow")
+             .union(labels.map_batches(_tag_label, batch_format="pyarrow"))
+             .map_batches(_add_g, batch_format="pyarrow")
+             .groupby("_g").map_groups(_join_other, batch_format="pyarrow"))
+
+    # stage 2: per node, min(own, incoming neighbour labels)
+    def _tag_n(batch: pa.Table) -> pa.Table:
+        return pa.table({"k": batch["node"], "lab": batch["nlab"]})
+
+    def _tag_own(batch: pa.Table) -> pa.Table:
+        return pa.table({"k": batch["node"], "lab": batch["label"]})
+
+    def _min_per_node(group: pd.DataFrame) -> pd.DataFrame:
+        m = group.groupby("k", sort=False)["lab"].min()
+        return pd.DataFrame({"node": m.index.to_numpy(),
+                             "label": m.to_numpy()})
+
+    return (neigh.map_batches(_tag_n, batch_format="pyarrow")
+            .union(labels.map_batches(_tag_own, batch_format="pyarrow"))
+            .map_batches(_add_g, batch_format="pyarrow")
+            .groupby("_g").map_groups(_min_per_node, batch_format="pandas"))
+
+
+def _pointer_jump(labels: "ray.data.Dataset",
+                  num_groups: int = 64) -> "ray.data.Dataset":
+    """label(v) <- label(label(v)). Labels are monotone non-increasing
+    node ids, so the replacement is always <= the old label — one
+    bounded-group co-group on (k = label(v)) doubles the compression
+    per round (pointer jumping), turning path-diameter convergence into
+    O(log diameter) rounds."""
+
+    def _tag_ptr(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "k": batch["label"], "node": batch["node"],
+            "lab": pa.nulls(len(batch), pa.int64()),
+            "kind": pa.array(np.zeros(len(batch), dtype=np.int8)),
+        })
+
+    def _tag_lab(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "k": batch["node"], "node": pa.nulls(len(batch), pa.int64()),
+            "lab": batch["label"],
+            "kind": pa.array(np.ones(len(batch), dtype=np.int8)),
+        })
+
+    def _add_g(batch: pa.Table) -> pa.Table:
+        k = batch["k"].to_numpy(zero_copy_only=False).astype(np.int64)
+        g = ((k.view(np.uint64) * _MIX) % np.uint64(num_groups)).astype(np.int64)
+        return batch.append_column("_g", pa.array(g, type=pa.int64()))
+
+    def _resolve(group: pa.Table) -> pa.Table:
+        kind = group["kind"].to_numpy(zero_copy_only=False)
+        k = group["k"].to_numpy(zero_copy_only=False)
+        lab_idx = np.flatnonzero(kind == 1)
+        ptr_idx = np.flatnonzero(kind == 0)
+        out_schema = pa.schema([("node", pa.int64()), ("label", pa.int64())])
+        if len(ptr_idx) == 0:
+            return out_schema.empty_table()
+        lk = k[lab_idx]
+        order = np.argsort(lk, kind="stable")
+        lk_sorted = lk[order]
+        pos = np.clip(np.searchsorted(lk_sorted, k[ptr_idx]), 0, len(lk_sorted) - 1)
+        matched = lk_sorted[pos] == k[ptr_idx]
+        labs = group["lab"].to_numpy(zero_copy_only=False)[lab_idx][order]
+        nodes_ = group["node"].to_numpy(zero_copy_only=False)
+        # every label IS a node id, so every pointer row matches
+        return pa.table({
+            "node": pa.array(nodes_[ptr_idx[matched]], type=pa.int64()),
+            "label": pa.array(labs[pos[matched]], type=pa.int64()),
+        })
+
+    return (labels.map_batches(_tag_ptr, batch_format="pyarrow")
+            .union(labels.map_batches(_tag_lab, batch_format="pyarrow"))
+            .map_batches(_add_g, batch_format="pyarrow")
+            .groupby("_g").map_groups(_resolve, batch_format="pyarrow"))
+
+
+def connected_components(edges: "ray.data.Dataset",
+                         nodes: "ray.data.Dataset",
+                         id_col: str = "doc_id",
+                         max_rounds: int = 16) -> "ray.data.Dataset":
+    """(node -> component label) for every node in ``nodes``; label =
+    min node id of the component. Nodes without edges keep their own id.
+    Each round is one neighbour-min propagation plus one pointer jump
+    (label-of-label), so convergence takes O(log diameter) rounds —
+    near-dup cliques converge in 1-2, a path of length 2^k in ~k."""
+    labels = nodes.map_batches(
+        lambda b: pa.table({"node": b[id_col].cast(pa.int64()),
+                            "label": b[id_col].cast(pa.int64())}),
+        batch_format="pyarrow").materialize()
+    edges = edges.materialize()
+    for _ in range(max_rounds):
+        stepped = _min_label_round(edges, labels)
+        new_labels = _pointer_jump(stepped).materialize()
+        # convergence probe: total label sum strictly decreases until
+        # fixpoint (labels only ever decrease); tiny driver aggregate
+        prev = labels.sum("label")
+        cur = new_labels.sum("label")
+        labels = new_labels
+        if cur == prev:
+            break
+    return labels
+
+
+def minhash_dedup_docs(
+    ds: "ray.data.Dataset",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    **kwargs,
+) -> "ray.data.Dataset":
+    """(doc_id, cluster_id) for every doc: cluster_id = min doc id of
+    its near-duplicate component at the given exact-Jaccard threshold
+    (docs with no near-dup: cluster_id = own id). The dedup policy
+    'keep one per cluster' is then `filter(doc_id == cluster_id)` —
+    exposed in the output so the oracle checks the full assignment."""
+    from .minhash import minhash_dedup_pairs
+
+    pairs = minhash_dedup_pairs(ds, text_col=text_col, id_col=id_col,
+                                threshold=threshold, **kwargs)
+    comp = connected_components(pairs, ds.select_columns([id_col]), id_col)
+
+    def _rename(b: pa.Table) -> pa.Table:
+        return pa.table({id_col: b["node"], "cluster_id": b["label"]})
+
+    return comp.map_batches(_rename, batch_format="pyarrow")

@@ -300,6 +300,16 @@ def q_minhash_pairs(sf_dir: str):
     return minhash_dedup_pairs(_documents(sf_dir), threshold=0.35)
 
 
+def q_minhash_dedup_docs(sf_dir: str):
+    """Near-dup CLUSTER assignment: (doc_id, cluster_id = min id of the
+    doc's near-dup component at Jaccard >= 0.35) for every document —
+    distributed min-label propagation over the verified pair Dataset.
+    Integer labels: the unrolled-propagation SQL oracle is bit-exact."""
+    from feasts_ray.dedup import minhash_dedup_docs
+
+    return minhash_dedup_docs(_documents(sf_dir), threshold=0.35)
+
+
 def q_simhash_pairs(sf_dir: str):
     return simhash_dedup_pairs(_documents(sf_dir), max_hamming=4)
 
@@ -710,6 +720,7 @@ ALL_QUERIES = {
     "dedup_exact": q_dedup_exact,
     "token_counts": q_token_counts,
     "minhash_dup_pairs": q_minhash_pairs,
+    "minhash_dedup_docs": q_minhash_dedup_docs,
     "simhash_dup_pairs": q_simhash_pairs,
     "embedding_dup_pairs": q_embedding_dup_pairs,
     "text_quality": q_text_quality,

@@ -396,3 +396,54 @@ class TestSkewAndEdges:
         assert (acf_t["num_obs"] == 6).all()
         # lag-0-normalized: |acf| <= 1 for a real series
         assert (np.abs(acf_t["acf"]) <= 1.0 + 1e-12).all()
+
+
+class TestNearDupClustering:
+    def test_clique_and_isolated(self, ray_session):
+        """3 identical docs cluster under the min id; distinct docs keep
+        their own id as cluster."""
+        from feasts_ray.dedup import minhash_dedup_docs
+
+        texts = [" ".join(BASE * 4)] * 3 \
+            + [" ".join(f"q{i}r{j}" for j in range(50)) for i in range(4)]
+        out = minhash_dedup_docs(_doc_ds(texts), threshold=0.5).to_pandas()
+        got = dict(zip(out["doc_id"], out["cluster_id"]))
+        assert got[0] == got[1] == got[2] == 0
+        for i in (3, 4, 5, 6):
+            assert got[i] == i
+        survivors = sorted(out[out["doc_id"] == out["cluster_id"]]["doc_id"])
+        assert survivors == [0, 3, 4, 5, 6]
+
+    def test_chain_needs_multiple_rounds(self, ray_session):
+        """A~B and B~C near-dups with A!~C: one component {A,B,C} — the
+        min label must propagate transitively (>1 round)."""
+        from feasts_ray.dedup import connected_components
+
+        import pyarrow as _pa
+        edges = ray.data.from_arrow(_pa.table({
+            "id_a": _pa.array([0, 1, 5], type=_pa.int64()),
+            "id_b": _pa.array([1, 2, 6], type=_pa.int64()),
+        }))
+        nodes = ray.data.from_arrow(_pa.table({
+            "doc_id": _pa.array([0, 1, 2, 5, 6, 9], type=_pa.int64())}))
+        lab = connected_components(edges, nodes).to_pandas()
+        got = dict(zip(lab["node"], lab["label"]))
+        assert got[0] == got[1] == got[2] == 0  # chain collapses to min
+        assert got[5] == got[6] == 5
+        assert got[9] == 9  # isolated
+
+    def test_long_chain_converges(self, ray_session):
+        """Path graph: diameter >> 1 — pointer jumping converges in
+        O(log diameter) rounds, not diameter rounds."""
+        from feasts_ray.dedup import connected_components
+
+        import pyarrow as _pa
+        n = 9
+        edges = ray.data.from_arrow(_pa.table({
+            "id_a": _pa.array(list(range(n - 1)), type=_pa.int64()),
+            "id_b": _pa.array(list(range(1, n)), type=_pa.int64()),
+        }))
+        nodes = ray.data.from_arrow(_pa.table({
+            "doc_id": _pa.array(list(range(n)), type=_pa.int64())}))
+        lab = connected_components(edges, nodes, max_rounds=6).to_pandas()
+        assert (lab["label"] == 0).all()
