@@ -483,6 +483,7 @@ FROM c""".format(**_LANG_SETS)
 
 def oracle_sql() -> dict[str, str]:
     from feasts_ray.oracle.acf_feat_sql import feat_acf_sql
+    from feasts_ray.oracle.archlm_sql import arch_lm_sql
     from feasts_ray.oracle.pacf_feat_sql import feat_pacf_sql
     from feasts_ray.oracle.pp_sql import pp_ztau_sql
     from feasts_ray.oracle.unitroot_sql import unitroot_sql
@@ -492,6 +493,9 @@ def oracle_sql() -> dict[str, str]:
         "feat_acf_1h": feat_acf_sql(_SERIES_1H, period=24),
         "feat_pacf_1h": feat_pacf_sql(_SERIES_1H, period=24),
         "unitroot_pp_1h": pp_ztau_sql(_SERIES_1H),
+        # ARCH LM R²: unrolled 13x13 Cholesky + ordered folds, mirrored
+        # op-for-op by the kernel's exact-int path (oracle/archlm_sql.py)
+        "arch_lm_1h": arch_lm_sql(_SERIES_1H),
         # KPSS + ndiffs via exact integer power sums (see
         # oracle/unitroot_sql.py for the mirrored expression trees)
         "unitroot_1h": unitroot_sql(_SERIES_1H),

@@ -43,12 +43,103 @@ def n_crossing_points(x: np.ndarray, period: int = 1) -> dict[str, float]:
     return {"n_crossing_points": float(np.nansum(cross))}
 
 
+def _arch_lm_exact_int(xi: np.ndarray, lags: int) -> dict[str, float]:
+    """ARCH LM R² for an integer series as fixed IEEE expressions:
+    z_t = (x_t - S/n)^2 per element, normal equations G/c by strictly
+    ascending-row folds, a fully unrolled Cholesky solve (only +-*/ and
+    sqrt — all correctly rounded), and sequential residual folds — every
+    operation mirrored by the generated stat_arch_lm DuckDB oracle
+    (oracle/archlm_sql.py). The generic lstsq SVD is not reproducible."""
+    n = len(xi)
+    mu = int(xi.sum()) / n
+    d = xi.astype(np.float64) - mu
+    zz = (d * d).tolist()
+    p = lags + 1  # regressors incl. intercept
+    rows = range(lags, n)  # row t: y = zz[t], regressor j = zz[t-j]
+    m = n - lags
+    if m <= lags + 1:
+        return {"stat_arch_lm": math.nan}
+    # normal equations with ascending-row sequential folds.
+    # index 0 = intercept, j>=1 = lag j.
+    G = [[0.0] * p for _ in range(p)]
+    c = [0.0] * p
+    G[0][0] = float(m)
+    for j in range(1, p):
+        acc = 0.0
+        for t in rows:
+            acc += zz[t - j]
+        G[0][j] = G[j][0] = acc
+    for i in range(1, p):
+        for j in range(i, p):
+            acc = 0.0
+            for t in rows:
+                acc += zz[t - i] * zz[t - j]
+            G[i][j] = G[j][i] = acc
+    acc = 0.0
+    for t in rows:
+        acc += zz[t]
+    c[0] = acc
+    for i in range(1, p):
+        acc = 0.0
+        for t in rows:
+            acc += zz[t - i] * zz[t]
+        c[i] = acc
+    # unrolled Cholesky G = L L^T (ascending-k subtraction chains)
+    L = [[0.0] * p for _ in range(p)]
+    for j in range(p):
+        acc = G[j][j]
+        for k2 in range(j):
+            acc -= L[j][k2] * L[j][k2]
+        if acc <= 0:
+            return {"stat_arch_lm": 1.0}  # singular: lm R^2 NaN -> 1
+        L[j][j] = math.sqrt(acc)
+        for i in range(j + 1, p):
+            acc = G[i][j]
+            for k2 in range(j):
+                acc -= L[i][k2] * L[j][k2]
+            L[i][j] = acc / L[j][j]
+    w = [0.0] * p
+    for i in range(p):
+        acc = c[i]
+        for k2 in range(i):
+            acc -= L[i][k2] * w[k2]
+        w[i] = acc / L[i][i]
+    beta = [0.0] * p
+    for i in range(p - 1, -1, -1):
+        acc = w[i]
+        for k2 in range(i + 1, p):
+            acc -= L[k2][i] * beta[k2]
+        beta[i] = acc / L[i][i]
+    # residual / total sums with per-row fixed chains
+    ss_res = 0.0
+    sy = 0.0
+    for t in rows:
+        fitted = beta[0]
+        for j in range(1, p):
+            fitted += beta[j] * zz[t - j]
+        r = zz[t] - fitted
+        ss_res += r * r
+        sy += zz[t]
+    ybar = sy / m
+    ss_tot = 0.0
+    for t in rows:
+        dv = zz[t] - ybar
+        ss_tot += dv * dv
+    if ss_tot <= 0:
+        return {"stat_arch_lm": 1.0}
+    return {"stat_arch_lm": 1.0 - ss_res / ss_tot}
+
+
 @register_feature("stat_arch_lm", ("test",), uses_period=False)
 def stat_arch_lm(x: np.ndarray, period: int = 1, lags: int = 12, demean: bool = True) -> dict[str, float]:
-    """R² of x² on its 12 lags — ARCH LM statistic (features.R:18-30)."""
+    """R² of x² on its 12 lags — ARCH LM statistic (features.R:18-30).
+    Integral series (demeaned default path) route through the unrolled
+    exact kernel (SQL-bit-exact)."""
     x = np.asarray(x, dtype=np.float64)
     if len(x) <= lags + 1:
         return {"stat_arch_lm": math.nan}
+    if demean and _exact_int_ok(x) and len(x) > 2 * (lags + 1):
+        return _arch_lm_exact_int(np.rint(x).astype(np.int64), lags)
     if demean:
         x = x - np.nanmean(x)
     mat = embed(x**2, lags + 1)

@@ -493,6 +493,19 @@ def q_portmanteau_1h(sf_dir: str):
     return feats.map_batches(_drop, batch_format="pyarrow")
 
 
+def q_arch_lm_1h(sf_dir: str):
+    """ARCH LM R² (x² on its 12 lags) over gap-filled hourly counts.
+    Integer series route through the unrolled exact kernel (normal
+    equations by ascending-row folds + unrolled Cholesky), mirrored
+    op-for-op by the generated DuckDB oracle (oracle/archlm_sql.py) —
+    bit-exact."""
+    return extract_features(
+        _hourly_count_series(sf_dir), value_col="value",
+        key_cols=["event_type"], period=24, time_col="bucket",
+        names=["stat_arch_lm"],
+    )
+
+
 def q_features_exact_1h(sf_dir: str):
     """features() pass over the extractors with exact-integer kernels
     (intermittency, tiled stability/lumpiness, level/variance shifts) —
@@ -739,6 +752,7 @@ ALL_QUERIES = {
     "feat_acf_1h": q_feat_acf_1h,
     "feat_pacf_1h": q_feat_pacf_1h,
     "unitroot_pp_1h": q_unitroot_pp_1h,
+    "arch_lm_1h": q_arch_lm_1h,
     "acf_table_1h": q_acf_table_1h,
     "pacf_table_1h": q_pacf_table_1h,
     "stl_1h": q_stl_1h,

@@ -19,7 +19,7 @@ FAST_ORACLE_QUERIES = [
     "text_quality", "langid", "ccf_1h", "seasonal_subseries_1h",
     "rolling_24h", "anomalies_1h", "pricing_summary", "lag_pairs_1h",
     "acf_table_1h", "pacf_table_1h", "classical_1h", "features_basic_1h",
-    "bpe_token_counts", "seasonal_overlay_1h",
+    "bpe_token_counts", "seasonal_overlay_1h", "arch_lm_1h",
 ]
 
 

@@ -215,6 +215,19 @@ def test_stat_arch_lm_bounds(ar1):
     assert math.isnan(stat_arch_lm(np.arange(10.0))["stat_arch_lm"])
 
 
+def test_stat_arch_lm_exact_matches_lstsq():
+    """The unrolled exact-int Cholesky path must agree with the generic
+    lstsq float path (they solve the same normal equations)."""
+    rng = np.random.default_rng(7)
+    for n in (60, 200, 720):
+        x = rng.poisson(40, n).astype(np.float64)
+        exact = stat_arch_lm(x)["stat_arch_lm"]  # integral -> exact path
+        fl = stat_arch_lm(x + rng.normal(0, 1e-9, n))["stat_arch_lm"]
+        assert abs(exact - fl) < 1e-6
+    # constant series: zz all equal -> singular Gram -> kernel guard 1.0
+    assert stat_arch_lm(np.full(100, 7.0))["stat_arch_lm"] == 1.0
+
+
 def test_intermittent():
     x = np.array([0, 0, 3, 0, 0, 0, 4, 5, 0], dtype=float)
     out = feat_intermittent(x)
