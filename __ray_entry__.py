@@ -485,6 +485,7 @@ def oracle_sql() -> dict[str, str]:
     from feasts_ray.oracle.acf_feat_sql import feat_acf_sql
     from feasts_ray.oracle.archlm_sql import arch_lm_sql
     from feasts_ray.oracle.pacf_feat_sql import feat_pacf_sql
+    from feasts_ray.oracle.simhash_sql import fingerprint_sql, simhash_pairs_sql
     from feasts_ray.oracle.pp_sql import pp_ztau_sql
     from feasts_ray.oracle.unitroot_sql import unitroot_sql
     from feasts_ray.oracle.x11_sql import x11_additive_sql
@@ -532,6 +533,12 @@ FROM r
         # literal left-associated chains (bit-exact, see oracle/x11_sql.py)
         "x11_1h": x11_additive_sql(_SERIES_1H, period=24),
         "langid": _LANGID,
+        # md5-LE word hashes make SimHash / the FNV rolling fingerprint
+        # exact-integer SQL (oracle/simhash_sql.py). The simhash oracle
+        # is a brute-force Hamming join; chunk banding has exact recall
+        # by pigeonhole, so the sets agree (bucket cap asserted in suite)
+        "simhash_dup_pairs": simhash_pairs_sql(max_hamming=4),
+        "fingerprint": fingerprint_sql(),
         "seasonal_subseries_1h": (
             "WITH sec AS ({sec}), "
             "agg AS (SELECT event_type, bucket, COUNT(*) AS c FROM sec "

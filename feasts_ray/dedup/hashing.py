@@ -17,11 +17,15 @@ _MASK64 = (1 << 64) - 1
 
 
 def hash_words(words: np.ndarray) -> np.ndarray:
-    """uint64 digest per unique word (stable across processes)."""
+    """uint64 digest per unique word (stable across processes): first 8
+    md5 bytes, little-endian. md5 (not blake2b) so SQL oracles can
+    reproduce the hash — DuckDB has md5() but no blake2 — at identical
+    per-word C-digest cost; any uniform 64-bit word hash serves the
+    minhash/simhash math equally (Broder 1997)."""
     out = np.empty(len(words), dtype=np.uint64)
     for i, w in enumerate(words):
         out[i] = int.from_bytes(
-            hashlib.blake2b(w.encode("utf-8"), digest_size=8).digest(), "little"
+            hashlib.md5(w.encode("utf-8")).digest()[:8], "little"
         )
     return out
 

@@ -75,11 +75,17 @@ class SimHashEmitter:
         n = len(texts)
         doc_of = np.repeat(np.arange(n, dtype=np.int64), counts)
         sh = simhash64_batch(whash, doc_of, n)
-        width = 64 // self.n_chunks
-        mask = np.uint64((1 << width) - 1)
+        # variable-width chunks: pigeonhole needs only n_chunks pieces,
+        # not a divisor of 64 — wider chunks (e.g. 13 bits for 5 chunks)
+        # collide ~2^5x less than the 8-bit divisor split, keeping
+        # bucket sizes tiny at scale
+        widths = np.full(self.n_chunks, 64 // self.n_chunks, dtype=np.int64)
+        widths[: 64 % self.n_chunks] += 1
+        starts = np.concatenate([[0], np.cumsum(widths)[:-1]])
         chunks = np.empty((n, self.n_chunks), dtype=np.uint64)
         for c in range(self.n_chunks):
-            chunks[:, c] = (sh >> np.uint64(c * width)) & mask
+            mask = np.uint64((1 << widths[c]) - 1)
+            chunks[:, c] = (sh >> np.uint64(starts[c])) & mask
         return pa.table({
             self.id_col: pa.array(np.repeat(ids, self.n_chunks)),
             "chunk": pa.array(np.tile(np.arange(self.n_chunks), n), type=pa.int64()),
@@ -99,10 +105,9 @@ def simhash_dedup_pairs(
     concurrency=(1, 8),
 ) -> pd.DataFrame:
     """Pairs (id_a < id_b) within ``max_hamming`` bits; chunk count =
-    max_hamming + 1 so recall is exact (pigeonhole)."""
+    max_hamming + 1 so recall is exact (pigeonhole; chunks may have
+    unequal widths)."""
     n_chunks = max_hamming + 1
-    while 64 % n_chunks:
-        n_chunks += 1
     from .pairs import emit_candidate_pairs
 
     emitted = ds.map_batches(

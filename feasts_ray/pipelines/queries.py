@@ -311,7 +311,14 @@ def q_minhash_dedup_docs(sf_dir: str):
 
 
 def q_simhash_pairs(sf_dir: str):
-    return simhash_dedup_pairs(_documents(sf_dir), max_hamming=4)
+    """Hamming<=4 near-dup pairs; bit-exact vs a brute-force DuckDB
+    Hamming join over SQL-recomputed md5 simhashes. max_bucket must
+    exceed the largest planted dup cluster (~600 docs at sf0.1) or the
+    skew cap silently truncates the pair set — the pair OUTPUT is
+    inherently quadratic in cluster size, so giant-cluster corpora
+    should use the clustering query instead."""
+    return simhash_dedup_pairs(_documents(sf_dir), max_hamming=4,
+                               max_bucket=2000)
 
 
 def q_embedding_dup_pairs(sf_dir: str):
