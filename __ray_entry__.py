@@ -484,6 +484,7 @@ FROM c""".format(**_LANG_SETS)
 def oracle_sql() -> dict[str, str]:
     from feasts_ray.oracle.acf_feat_sql import feat_acf_sql
     from feasts_ray.oracle.archlm_sql import arch_lm_sql
+    from feasts_ray.oracle.cointegration_sql import cointegration_pairs_sql
     from feasts_ray.oracle.pacf_feat_sql import feat_pacf_sql
     from feasts_ray.oracle.simhash_sql import fingerprint_sql, simhash_pairs_sql
     from feasts_ray.oracle.pp_sql import pp_ztau_sql
@@ -497,6 +498,11 @@ def oracle_sql() -> dict[str, str]:
         # ARCH LM R²: unrolled 13x13 Cholesky + ordered folds, mirrored
         # op-for-op by the kernel's exact-int path (oracle/archlm_sql.py)
         "arch_lm_1h": arch_lm_sql(_SERIES_1H),
+        # P-O + Johansen over event-type pairs: closed-form 2x2 OLS /
+        # unrolled 3x3 Cholesky residuals / quadratic-formula 2x2 eigen,
+        # mirrored by the kernels' exact-int paths (cointegration_sql.py)
+        "cointegration_1h": cointegration_pairs_sql(
+            "sec AS ({sec})".format(sec=_EV_SEC.format(u=3600))),
         # KPSS + ndiffs via exact integer power sums (see
         # oracle/unitroot_sql.py for the mirrored expression trees)
         "unitroot_1h": unitroot_sql(_SERIES_1H),
