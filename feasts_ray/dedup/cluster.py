@@ -16,9 +16,15 @@ cliques), so the number of rounds is the component diameter — almost
 always 1-2. Labels are integers, so the result is exactly reproducible
 by an unrolled SQL propagation (no float semantics at all).
 
-Scale shape: edges and labels stay Datasets throughout; each round
-shuffles only (node:int64, label:int64) pairs; the convergence check is
-a tiny per-round aggregate (count of changed labels).
+Scale shape: the iteration runs ONLY over edge-incident nodes — nodes
+with no near-dup edge are split off in one up-front co-group and keep
+their own id, so per-round shuffles move O(#duplicate docs) rows of
+(node:int64, label:int64), not the whole corpus. Every materialized
+round output is coalesced back to a bounded block count (Ray's
+sort-based groupby cost is driven by input block COUNT, which otherwise
+grows multiplicatively round over round), and convergence is a tiny
+per-round `sum(chg)` aggregate over an int8 changed flag (no int64
+label-sum overflow at corpus scale).
 """
 
 from __future__ import annotations
@@ -32,6 +38,87 @@ import ray.data
 
 _MIX = np.uint64(0x9E3779B97F4A7C15)
 
+_LABEL_SCHEMA = pa.schema([("node", pa.int64()), ("label", pa.int64())])
+
+
+def _bound_blocks(ds: "ray.data.Dataset",
+                  max_bytes_per_block: int = 32 << 20) -> "ray.data.Dataset":
+    """Coalesce a MATERIALIZED dataset to ~max_bytes_per_block blocks.
+    Without this, each groupby round's output inherits and multiplies
+    the block count (64 -> 268 -> 1084 ... for constant-size data) and
+    the next round's sort-based shuffle pays per-block scheduling cost."""
+    n = ds.num_blocks()
+    size = ds.size_bytes() or 0
+    target = max(1, min(n, size // max_bytes_per_block + 1))
+    if n > 2 * target:
+        return ds.repartition(target).materialize()
+    return ds
+
+
+def _add_g_fn(num_groups: int):
+    def _add_g(batch: pa.Table) -> pa.Table:
+        k = batch["k"].to_numpy(zero_copy_only=False).astype(np.int64)
+        g = ((k.view(np.uint64) * _MIX) % np.uint64(num_groups)).astype(np.int64)
+        return batch.append_column("_g", pa.array(g, type=pa.int64()))
+    return _add_g
+
+
+def _split_incident(edges: "ray.data.Dataset", nodes: "ray.data.Dataset",
+                    id_col: str, num_groups: int = 64):
+    """One bounded co-group splitting ``nodes`` into (incident, singleton)
+    seed-label datasets: a node is incident iff it appears as either
+    endpoint of an edge. Only incident nodes enter the propagation loop."""
+
+    def _tag_node(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].cast(pa.int64())
+        return pa.table({
+            "k": ids,
+            "kind": pa.array(np.ones(len(batch), dtype=np.int8)),
+        })
+
+    def _tag_incident(batch: pa.Table) -> pa.Table:
+        a = batch["id_a"].to_numpy(zero_copy_only=False)
+        b = batch["id_b"].to_numpy(zero_copy_only=False)
+        ids = np.unique(np.concatenate([a, b]).astype(np.int64))
+        return pa.table({
+            "k": pa.array(ids, type=pa.int64()),
+            "kind": pa.array(np.zeros(len(ids), dtype=np.int8)),
+        })
+
+    def _split(group: pa.Table) -> pa.Table:
+        kind = group["kind"].to_numpy(zero_copy_only=False)
+        k = group["k"].to_numpy(zero_copy_only=False)
+        node_ids = k[kind == 1]
+        inc_sorted = np.unique(k[kind == 0])
+        if len(inc_sorted) == 0:
+            member = np.zeros(len(node_ids), dtype=bool)
+        else:
+            pos = np.clip(np.searchsorted(inc_sorted, node_ids),
+                          0, len(inc_sorted) - 1)
+            member = inc_sorted[pos] == node_ids
+        return pa.table({
+            "node": pa.array(node_ids, type=pa.int64()),
+            "label": pa.array(node_ids, type=pa.int64()),
+            "inc": pa.array(member.astype(np.int8)),
+        })
+
+    split = (nodes.map_batches(_tag_node, batch_format="pyarrow")
+             .union(edges.map_batches(_tag_incident, batch_format="pyarrow"))
+             .map_batches(_add_g_fn(num_groups), batch_format="pyarrow")
+             .groupby("_g").map_groups(_split, batch_format="pyarrow")
+             .materialize())
+
+    def _take(want: int):
+        def _f(batch: pa.Table) -> pa.Table:
+            mask = pa.compute.equal(batch["inc"], want)
+            sub = batch.filter(mask)
+            return sub.select(["node", "label"])
+        return _f
+
+    incident = split.map_batches(_take(1), batch_format="pyarrow")
+    singles = split.map_batches(_take(0), batch_format="pyarrow")
+    return incident, singles
+
 
 def _min_label_round(edges: "ray.data.Dataset", labels: "ray.data.Dataset",
                      num_groups: int = 64) -> "ray.data.Dataset":
@@ -41,7 +128,8 @@ def _min_label_round(edges: "ray.data.Dataset", labels: "ray.data.Dataset",
     by hash(node); inside a group the join of neighbour labels is
     vectorized. Neighbour labels come from the PREVIOUS round's label
     table broadcast-joined by the same co-group on the OTHER endpoint
-    first (two bounded shuffles per round)."""
+    first (two bounded shuffles per round). Output carries ``own`` (the
+    round-start label) so the pointer jump can emit a changed flag."""
 
     # half-edges both directions: (node, other)
     def _halves(batch: pa.Table) -> pa.Table:
@@ -69,11 +157,6 @@ def _min_label_round(edges: "ray.data.Dataset", labels: "ray.data.Dataset",
             "kind": pa.array(np.ones(len(batch), dtype=np.int8)),
         })
 
-    def _add_g(batch: pa.Table) -> pa.Table:
-        k = batch["k"].to_numpy(zero_copy_only=False).astype(np.int64)
-        g = ((k.view(np.uint64) * _MIX) % np.uint64(num_groups)).astype(np.int64)
-        return batch.append_column("_g", pa.array(g, type=pa.int64()))
-
     def _join_other(group: pa.Table) -> pa.Table:
         kind = group["kind"].to_numpy(zero_copy_only=False)
         k = group["k"].to_numpy(zero_copy_only=False)
@@ -96,24 +179,30 @@ def _min_label_round(edges: "ray.data.Dataset", labels: "ray.data.Dataset",
 
     neigh = (halves.map_batches(_tag_edge, batch_format="pyarrow")
              .union(labels.map_batches(_tag_label, batch_format="pyarrow"))
-             .map_batches(_add_g, batch_format="pyarrow")
+             .map_batches(_add_g_fn(num_groups), batch_format="pyarrow")
              .groupby("_g").map_groups(_join_other, batch_format="pyarrow"))
 
-    # stage 2: per node, min(own, incoming neighbour labels)
+    # stage 2: per node, min(own, incoming neighbour labels); keep own
     def _tag_n(batch: pa.Table) -> pa.Table:
-        return pa.table({"k": batch["node"], "lab": batch["nlab"]})
+        return pa.table({"k": batch["node"], "lab": batch["nlab"],
+                         "kind": pa.array(np.zeros(len(batch), dtype=np.int8))})
 
     def _tag_own(batch: pa.Table) -> pa.Table:
-        return pa.table({"k": batch["node"], "lab": batch["label"]})
+        return pa.table({"k": batch["node"], "lab": batch["label"],
+                         "kind": pa.array(np.ones(len(batch), dtype=np.int8))})
 
     def _min_per_node(group: pd.DataFrame) -> pd.DataFrame:
         m = group.groupby("k", sort=False)["lab"].min()
-        return pd.DataFrame({"node": m.index.to_numpy(),
-                             "label": m.to_numpy()})
+        own = group[group["kind"] == 1].set_index("k")["lab"]
+        return pd.DataFrame({
+            "node": m.index.to_numpy(),
+            "label": m.to_numpy(),
+            "own": own.reindex(m.index).to_numpy(),
+        })
 
     return (neigh.map_batches(_tag_n, batch_format="pyarrow")
             .union(labels.map_batches(_tag_own, batch_format="pyarrow"))
-            .map_batches(_add_g, batch_format="pyarrow")
+            .map_batches(_add_g_fn(num_groups), batch_format="pyarrow")
             .groupby("_g").map_groups(_min_per_node, batch_format="pandas"))
 
 
@@ -123,11 +212,12 @@ def _pointer_jump(labels: "ray.data.Dataset",
     node ids, so the replacement is always <= the old label — one
     bounded-group co-group on (k = label(v)) doubles the compression
     per round (pointer jumping), turning path-diameter convergence into
-    O(log diameter) rounds."""
+    O(log diameter) rounds. Emits ``chg`` = 1 where the final label
+    differs from the round-start label ``own`` (the convergence probe)."""
 
     def _tag_ptr(batch: pa.Table) -> pa.Table:
         return pa.table({
-            "k": batch["label"], "node": batch["node"],
+            "k": batch["label"], "node": batch["node"], "own": batch["own"],
             "lab": pa.nulls(len(batch), pa.int64()),
             "kind": pa.array(np.zeros(len(batch), dtype=np.int8)),
         })
@@ -135,21 +225,18 @@ def _pointer_jump(labels: "ray.data.Dataset",
     def _tag_lab(batch: pa.Table) -> pa.Table:
         return pa.table({
             "k": batch["node"], "node": pa.nulls(len(batch), pa.int64()),
+            "own": pa.nulls(len(batch), pa.int64()),
             "lab": batch["label"],
             "kind": pa.array(np.ones(len(batch), dtype=np.int8)),
         })
-
-    def _add_g(batch: pa.Table) -> pa.Table:
-        k = batch["k"].to_numpy(zero_copy_only=False).astype(np.int64)
-        g = ((k.view(np.uint64) * _MIX) % np.uint64(num_groups)).astype(np.int64)
-        return batch.append_column("_g", pa.array(g, type=pa.int64()))
 
     def _resolve(group: pa.Table) -> pa.Table:
         kind = group["kind"].to_numpy(zero_copy_only=False)
         k = group["k"].to_numpy(zero_copy_only=False)
         lab_idx = np.flatnonzero(kind == 1)
         ptr_idx = np.flatnonzero(kind == 0)
-        out_schema = pa.schema([("node", pa.int64()), ("label", pa.int64())])
+        out_schema = pa.schema([("node", pa.int64()), ("label", pa.int64()),
+                                ("chg", pa.int8())])
         if len(ptr_idx) == 0:
             return out_schema.empty_table()
         lk = k[lab_idx]
@@ -159,15 +246,18 @@ def _pointer_jump(labels: "ray.data.Dataset",
         matched = lk_sorted[pos] == k[ptr_idx]
         labs = group["lab"].to_numpy(zero_copy_only=False)[lab_idx][order]
         nodes_ = group["node"].to_numpy(zero_copy_only=False)
+        own = group["own"].to_numpy(zero_copy_only=False)
         # every label IS a node id, so every pointer row matches
+        final = labs[pos[matched]]
         return pa.table({
             "node": pa.array(nodes_[ptr_idx[matched]], type=pa.int64()),
-            "label": pa.array(labs[pos[matched]], type=pa.int64()),
+            "label": pa.array(final, type=pa.int64()),
+            "chg": pa.array((final != own[ptr_idx[matched]]).astype(np.int8)),
         })
 
     return (labels.map_batches(_tag_ptr, batch_format="pyarrow")
             .union(labels.map_batches(_tag_lab, batch_format="pyarrow"))
-            .map_batches(_add_g, batch_format="pyarrow")
+            .map_batches(_add_g_fn(num_groups), batch_format="pyarrow")
             .groupby("_g").map_groups(_resolve, batch_format="pyarrow"))
 
 
@@ -176,26 +266,27 @@ def connected_components(edges: "ray.data.Dataset",
                          id_col: str = "doc_id",
                          max_rounds: int = 16) -> "ray.data.Dataset":
     """(node -> component label) for every node in ``nodes``; label =
-    min node id of the component. Nodes without edges keep their own id.
-    Each round is one neighbour-min propagation plus one pointer jump
-    (label-of-label), so convergence takes O(log diameter) rounds —
-    near-dup cliques converge in 1-2, a path of length 2^k in ~k."""
-    labels = nodes.map_batches(
-        lambda b: pa.table({"node": b[id_col].cast(pa.int64()),
-                            "label": b[id_col].cast(pa.int64())}),
-        batch_format="pyarrow").materialize()
-    edges = edges.materialize()
+    min node id of the component. Nodes without edges keep their own id
+    and never enter the loop. Each round is one neighbour-min
+    propagation plus one pointer jump (label-of-label), so convergence
+    takes O(log diameter) rounds — near-dup cliques converge in 1-2, a
+    path of length 2^k in ~k."""
+    edges = _bound_blocks(edges.materialize())
+    incident, singles = _split_incident(edges, nodes, id_col)
+    labels = _bound_blocks(incident.materialize())
+
+    def _strip(batch: pa.Table) -> pa.Table:
+        return batch.select(["node", "label"])
+
+    if labels.count() == 0:
+        return singles
     for _ in range(max_rounds):
         stepped = _min_label_round(edges, labels)
-        new_labels = _pointer_jump(stepped).materialize()
-        # convergence probe: total label sum strictly decreases until
-        # fixpoint (labels only ever decrease); tiny driver aggregate
-        prev = labels.sum("label")
-        cur = new_labels.sum("label")
-        labels = new_labels
-        if cur == prev:
+        labels = _bound_blocks(_pointer_jump(stepped).materialize())
+        # convergence probe: tiny driver aggregate over the int8 flag
+        if not labels.sum("chg"):
             break
-    return labels
+    return labels.map_batches(_strip, batch_format="pyarrow").union(singles)
 
 
 def minhash_dedup_docs(
