@@ -304,6 +304,254 @@ def stl_decompose(
     }
 
 
+# ------------------------------------------------ SQL-mirrored exact path
+#
+# For integer-valued series with numeric windows and robust=False the STL
+# pipeline is a FIXED composition of linear filters: every loess weight
+# vector depends only on (window, degree, position class), never on the
+# data. The exact path below re-runs stl_decompose's algorithm with
+# (a) weight vectors taken from ONE shared helper (loess_weight_vector)
+#     whose float64 outputs are embedded verbatim as literals by the SQL
+#     generator (oracle/stl_sql.py), and
+# (b) every data-dependent accumulation folded in a fixed ascending
+#     order, mirrored term-for-term by the generator's left-associated
+#     chains — so DuckDB reproduces the kernel bit-for-bit (the same
+#     device as the X11 / classical / ARCH-LM oracles).
+
+
+@lru_cache(maxsize=4096)
+def loess_weight_vector(length: int, degree: int, xs: float, nleft: int,
+                        nright: int) -> tuple[float, ...] | None:
+    """Final loess weight vector for evaluation point xs over 1-based
+    window [nleft, nright], with the degree-1 correction applied
+    UNCONDITIONALLY (the float path's guard ``sqrt(c) > 0.001*(n-1)``
+    depends on the series length; the exact path asserts it holds via
+    loess_guard_ok and falls back otherwise). Window length must satisfy
+    length <= n (no short-series h adjustment). The internal numpy
+    evaluation order is irrelevant: only the RESULTING float64 weights
+    are shared between the exact kernel and the SQL literals."""
+    h = max(xs - nleft, nright - xs)
+    if h <= 0:
+        return None
+    h9 = 0.999 * h
+    h1 = 0.001 * h
+    j = np.arange(nleft, nright + 1)
+    r = np.abs(j - xs)
+    w = np.zeros(len(j))
+    inside = r <= h9
+    w[inside] = (1.0 - (r[inside] / h) ** 3) ** 3
+    w[r <= h1] = 1.0
+    a = w.sum()
+    if a <= 0:
+        return None
+    w = w / a
+    if degree > 0:
+        xm = float(np.dot(w, j))
+        c = float(np.dot(w, (j - xm) ** 2))
+        b = (xs - xm) / c
+        w = w * (b * (j - xm) + 1.0)
+    return tuple(float(v) for v in w)
+
+
+@lru_cache(maxsize=4096)
+def loess_guard_ok(length: int, degree: int, xs: float, nleft: int,
+                   nright: int, n: int) -> bool:
+    """True when the float path's degree-1 correction guard
+    ``sqrt(c) > 0.001*(n-1)`` matches the exact path's assumption (always
+    corrected). Degree-0 windows trivially pass."""
+    if degree <= 0:
+        return True
+    h = max(xs - nleft, nright - xs)
+    if h <= 0:
+        return False
+    h9 = 0.999 * h
+    h1 = 0.001 * h
+    j = np.arange(nleft, nright + 1)
+    r = np.abs(j - xs)
+    w = np.zeros(len(j))
+    inside = r <= h9
+    w[inside] = (1.0 - (r[inside] / h) ** 3) ** 3
+    w[r <= h1] = 1.0
+    a = w.sum()
+    if a <= 0:
+        return False
+    w = w / a
+    xm = float(np.dot(w, j))
+    c = float(np.dot(w, (j - xm) ** 2))
+    return math.sqrt(c) > 0.001 * (n - 1)
+
+
+def _loess_classes(length: int, L: int):
+    """(xs, nleft, nright) per evaluation position class for a pass over a
+    series of length L with window ``length``: positions 1..nsh-1 (left),
+    interior, L-nsh+1..L (right). Requires L >= length + 2."""
+    nsh = (length + 1) // 2
+    out = {}
+    for i in range(1, nsh):
+        out[i] = (float(i), 1, length)
+    for i in range(L - nsh + 1, L + 1):
+        out[i] = (float(i), L - length + 1, L)
+    return out, nsh
+
+
+def _fold(w, x, start: int) -> float:
+    """Ascending-order weighted fold: ((w0*x[s]) + w1*x[s+1]) + ... —
+    the order the SQL chains reproduce."""
+    acc = w[0] * x[start]
+    for t in range(1, len(w)):
+        acc += w[t] * x[start + t]
+    return acc
+
+
+def _stless_exact(x: list[float], length: int, degree: int,
+                  jump: int) -> list[float]:
+    """_stless with fixed ascending folds and shared weight vectors.
+    Caller guarantees length + 2 <= len(x) and jump >= 1."""
+    L = len(x)
+    classes, nsh = _loess_classes(length, L)
+    evals = list(range(1, L + 1, jump))
+    if evals[-1] != L:
+        evals.append(L)
+    ys = [0.0] * L
+    for i in evals:
+        if i in classes:
+            xs, nleft, nright = classes[i]
+        else:
+            xs, nleft, nright = float(i), i - nsh + 1, length + i - nsh
+        # loess weights are shift-invariant: express the window in
+        # relative coords so interior positions share one cached vector
+        w = loess_weight_vector(length, degree, xs - nleft + 1, 1,
+                                nright - nleft + 1)
+        ys[i - 1] = _fold(w, x, nleft - 1)
+    for a, b in zip(evals, evals[1:]):
+        if b - a > 1:
+            delta = (ys[b - 1] - ys[a - 1]) / (b - a)
+            for m in range(a + 1, b):
+                ys[m - 1] = ys[a - 1] + delta * (m - a)
+    return ys
+
+
+def _stless_guard_ok(length: int, degree: int, jump: int, L: int) -> bool:
+    """All degree-1 corrections of a pass match the float path's guard."""
+    if degree <= 0:
+        return True
+    classes, nsh = _loess_classes(length, L)
+    evals = list(range(1, L + 1, jump))
+    if evals[-1] != L:
+        evals.append(L)
+    for i in evals:
+        if i in classes:
+            xs, nleft, nright = classes[i]
+        else:
+            xs, nleft, nright = float(i), i - nsh + 1, length + i - nsh
+        if not loess_guard_ok(length, degree, xs - nleft + 1, 1,
+                              nright - nleft + 1, L):
+            return False
+    return True
+
+
+def _ma_exact(x: list[float], length: int) -> list[float]:
+    """Valid-mode moving average with ascending folds: out[i] =
+    ((x[i] + x[i+1]) + ...) / length."""
+    out = []
+    for i in range(len(x) - length + 1):
+        acc = x[i]
+        for t in range(1, length):
+            acc += x[i + t]
+        out.append(acc / length)
+    return out
+
+
+def stl_exact_config(period: int, s_window: int,
+                     t_window: int | None = None,
+                     l_window: int | None = None) -> dict:
+    """Resolved STL parameters for the exact path / SQL generator (same
+    defaulting as stl_decompose)."""
+    s_window = _nextodd(s_window)
+    if t_window is None:
+        t_window = _nextodd(math.ceil(1.5 * period / (1 - 1.5 / s_window)))
+    if l_window is None:
+        l_window = _nextodd(period)
+    return {
+        "period": period,
+        "s_window": s_window, "s_degree": 0,
+        "t_window": t_window, "t_degree": 1,
+        "l_window": l_window, "l_degree": 1,
+        "s_jump": max(1, math.ceil(s_window / 10)),
+        "t_jump": max(1, math.ceil(t_window / 10)),
+        "l_jump": max(1, math.ceil(l_window / 10)),
+        "inner": 2,
+    }
+
+
+def stl_exact_applicable(y: np.ndarray, cfg: dict) -> bool:
+    """True when the exact path reproduces the float path's branch
+    structure: integral values, every pass strictly inside the
+    length/window regime, and every degree-1 guard holding."""
+    from .stats_utils import exact_int_ok
+
+    n = len(y)
+    p = cfg["period"]
+    if n <= 2 * p or not exact_int_ok(np.asarray(y, dtype=np.float64)):
+        return False
+    k_min = min(int(np.sum((np.arange(n) % p) == j)) for j in range(p))
+    if k_min < cfg["s_window"] + 2:
+        return False
+    if n < cfg["t_window"] + 2 or n < cfg["l_window"] + 2:
+        return False
+    for j in range(p):
+        k = int(np.sum((np.arange(n) % p) == j))
+        if not _stless_guard_ok(cfg["s_window"], cfg["s_degree"],
+                                cfg["s_jump"], k):
+            return False
+    return (_stless_guard_ok(cfg["l_window"], cfg["l_degree"], cfg["l_jump"], n)
+            and _stless_guard_ok(cfg["t_window"], cfg["t_degree"],
+                                 cfg["t_jump"], n))
+
+
+def stl_decompose_exact(y: np.ndarray, cfg: dict) -> dict[str, np.ndarray]:
+    """stl_decompose(robust=False) as fixed IEEE expression trees,
+    mirrored term-for-term by oracle/stl_sql.py. Caller must have checked
+    stl_exact_applicable."""
+    n = len(y)
+    p = cfg["period"]
+    yl = [float(v) for v in np.asarray(y, dtype=np.float64)]
+    trend = [0.0] * n
+    season = [0.0] * n
+    deseas = yl
+    for it in range(cfg["inner"]):
+        detr = yl if it == 0 else [yl[t] - trend[t] for t in range(n)]
+        ext = [0.0] * (n + 2 * p)
+        for j in range(1, p + 1):
+            sub = detr[j - 1::p]
+            k = len(sub)
+            sm = _stless_exact(sub, cfg["s_window"], cfg["s_degree"],
+                               cfg["s_jump"])
+            w0 = loess_weight_vector(cfg["s_window"], cfg["s_degree"],
+                                     0.0, 1, min(cfg["s_window"], k))
+            e0 = _fold(w0, sub, 0)
+            start = max(1, k - cfg["s_window"] + 1)
+            wk = loess_weight_vector(cfg["s_window"], cfg["s_degree"],
+                                     float(k + 1) - start + 1, 1,
+                                     k - start + 1)
+            ek = _fold(wk, sub, start - 1)
+            work = [e0] + sm + [ek]
+            for s in range(k + 2):
+                ext[(j - 1) + s * p] = work[s]
+        fts = _ma_exact(_ma_exact(_ma_exact(ext, p), p), 3)
+        low = _stless_exact(fts, cfg["l_window"], cfg["l_degree"],
+                            cfg["l_jump"])
+        season = [ext[p + t] - low[t] for t in range(n)]
+        deseas = [yl[t] - season[t] for t in range(n)]
+        trend = _stless_exact(deseas, cfg["t_window"], cfg["t_degree"],
+                              cfg["t_jump"])
+    return {
+        "seasonal": np.array(season),
+        "trend": np.array(trend),
+        "remainder": np.array([deseas[t] - trend[t] for t in range(n)]),
+    }
+
+
 # ------------------------------------------------------------------ supsmu
 
 
@@ -535,6 +783,22 @@ def estimate_stl(
     items.sort(key=lambda it: it[1])
     deseas = y.astype(np.float64).copy()
     seas: dict[str, np.ndarray] = {}
+    # SQL-mirrored exact path: single seasonal period, default windows /
+    # degrees / jumps, robust=False, integer-valued series. With one
+    # period the back-fitting loop is idempotent (iteration 2 re-fits
+    # the identical input), so one stl_decompose_exact call suffices.
+    if (items and len(items) == 1 and not stl_kwargs
+            and not trend_args and not lowpass_args
+            and set(items[0][2]) <= {"s_window"}):
+        name, period, args = items[0]
+        cfg = stl_exact_config(period, args.get("s_window", 11))
+        if stl_exact_applicable(y, cfg):
+            fit = stl_decompose_exact(y, cfg)
+            out = {"trend": fit["trend"],
+                   f"season_{name}": fit["seasonal"],
+                   "remainder": fit["remainder"],
+                   "season_adjust": y - fit["seasonal"]}
+            return out
     if items:
         for rank, (name, period, args) in enumerate(items, start=1):
             args.setdefault("s_window", 7 + 4 * rank)
