@@ -489,7 +489,7 @@ def oracle_sql() -> dict[str, str]:
     from feasts_ray.oracle.simhash_sql import fingerprint_sql, simhash_pairs_sql
     from feasts_ray.oracle.pp_sql import pp_ztau_sql
     from feasts_ray.oracle.unitroot_sql import unitroot_sql
-    from feasts_ray.oracle.stl_sql import stl_sql
+    from feasts_ray.oracle.stl_sql import feat_stl_sql, stl_sql
     from feasts_ray.oracle.x11_sql import x11_additive_sql
 
     return {
@@ -544,6 +544,9 @@ FROM r
         # the kernel's exact path and this generated SQL share the same
         # weight vectors and fold orders (bit-exact, oracle/stl_sql.py)
         "stl_1h": stl_sql(_SERIES_1H, period=24, s_window=11),
+        # feat_stl strengths/shape over the same exact STL components
+        # + ordered list_sum downstream folds (oracle/stl_sql.py)
+        "feat_stl_1h": feat_stl_sql(_SERIES_1H, period=24, s_window=11),
         "langid": _LANGID,
         # md5-LE word hashes make SimHash / the FNV rolling fingerprint
         # exact-integer SQL (oracle/simhash_sql.py). The simhash oracle

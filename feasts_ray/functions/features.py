@@ -156,6 +156,90 @@ def stat_arch_lm(x: np.ndarray, period: int = 1, lags: int = 12, demean: bool = 
     return {"stat_arch_lm": 1.0 if math.isnan(r2) else r2}
 
 
+def _seq_sum(vals) -> float:
+    """Ascending sequential fold — the order DuckDB's list_sum uses, so
+    the SQL oracle's list(expr ORDER BY rn) folds are bit-identical."""
+    acc = 0.0
+    for v in vals:
+        acc += v
+    return acc
+
+
+def _feat_stl_exact(x: np.ndarray, period: int, cfg: dict) -> dict[str, float]:
+    """feat_stl for an integer series as fixed IEEE expression trees:
+    STL components from the SQL-mirrored exact path
+    (stl.stl_decompose_exact), every downstream statistic folded in
+    ascending row order, the orthogonal degree-2 polynomial basis in
+    closed form over exactly-representable power sums — all mirrored
+    term-for-term by oracle/stl_sql.feat_stl_sql."""
+    from .stl import stl_decompose_exact
+
+    fit = stl_decompose_exact(x, cfg)
+    n = len(x)
+    yl = [float(v) for v in x]
+    trend = list(fit["trend"])
+    season = list(fit["seasonal"])
+    rem = list(fit["remainder"])
+    sadj = [yl[t] - season[t] for t in range(n)]
+
+    def _var(vals) -> tuple[float, float, list[float]]:
+        m = _seq_sum(vals) / n
+        d = [v - m for v in vals]
+        ss = _seq_sum(dv * dv for dv in d)
+        return ss / (n - 1), ss, d
+
+    var_e, ss_rem, d_rem = _var(rem)
+    var_sa, _, _ = _var(sadj)
+    var_rs, _, _ = _var([rem[t] + season[t] for t in range(n)])
+    trend_strength = max(0.0, min(1.0, 1.0 - var_e / var_sa)) \
+        if var_sa != 0 else math.nan
+    seasonal_strength = max(0.0, min(1.0, 1.0 - var_e / var_rs)) \
+        if var_rs != 0 else math.nan
+    # spikiness: variance of leave-one-out variances (mirrored chain:
+    # var_e*(n-1) is NOT re-folded to ss_rem)
+    loo = [(var_e * (n - 1) - d_rem[t] * d_rem[t]) / (n - 2)
+           for t in range(n)]
+    m_loo = _seq_sum(loo) / n
+    spikiness = _seq_sum((v - m_loo) * (v - m_loo) for v in loo) / (n - 1)
+    # closed-form orthonormal poly over 1..n: the centered powers are
+    # multiples of 0.25 / 0.0625 so their sums are EXACT in float64 —
+    # any summation order (incl. DuckDB's plain SUM) gives the same bits
+    c = (n + 1) / 2
+    s2 = _seq_sum((t - c) * (t - c) for t in range(1, n + 1))
+    s4 = _seq_sum(((t - c) * (t - c)) * ((t - c) * (t - c))
+                  for t in range(1, n + 1))
+    u = s2 / n
+    sq2 = math.sqrt(s2)
+    sqn = math.sqrt(s4 - s2 * u)
+    linearity = _seq_sum(((t - c) / sq2) * trend[t - 1]
+                         for t in range(1, n + 1))
+    curvature = _seq_sum((((t - c) * (t - c) - u) / sqn) * trend[t - 1]
+                         for t in range(1, n + 1))
+    # residual ACF (R divisor n, demeaned) with sequential folds
+    c0 = ss_rem / n
+    rho = []
+    for k in range(1, 11):
+        sk = _seq_sum(d_rem[t] * d_rem[t + k] for t in range(n - k))
+        rho.append((sk / n) / c0)
+    acf10 = _seq_sum(r * r for r in rho)
+    # first-occurrence argmax/argmin, 1-based index mod period
+    peak = float((min(t for t in range(n) if season[t] == max(season)) + 1)
+                 % period)
+    trough = float((min(t for t in range(n) if season[t] == min(season)) + 1)
+                   % period)
+    return {
+        "trend_strength": trend_strength,
+        f"seasonal_strength_{period}": seasonal_strength,
+        f"seasonal_peak_{period}": peak,
+        f"seasonal_trough_{period}": trough,
+        "spikiness": spikiness,
+        "linearity": linearity,
+        "curvature": curvature,
+        "stl_e_acf1": rho[0],
+        "stl_e_acf10": acf10,
+    }
+
+
 @register_feature("feat_stl", ("stl", "trend", "seasonal", "decomposition"))
 def feat_stl(x: np.ndarray, period: int = 1, s_window: int = 11, **stl_kwargs) -> dict[str, float]:
     """STL-based strength/shape features (features.R:49-119): trend/seasonal
@@ -165,6 +249,13 @@ def feat_stl(x: np.ndarray, period: int = 1, s_window: int = 11, **stl_kwargs) -
     acf1 and sum-of-squares acf10. Seasonality skipped when
     len(x) <= 2*period; longest contiguous non-NA run is used."""
     x = np.asarray(x, dtype=np.float64)
+    if (period > 1 and len(x) > 2 * period and not stl_kwargs
+            and not np.isnan(x).any() and _exact_int_ok(x)):
+        from .stl import stl_exact_applicable, stl_exact_config
+
+        cfg = stl_exact_config(period, s_window)
+        if stl_exact_applicable(x, cfg):
+            return _feat_stl_exact(x, period, cfg)
     season_args = {}
     if len(x) > period * 2 and period > 1:
         season_args[str(period)] = {"period": period, "s_window": s_window}

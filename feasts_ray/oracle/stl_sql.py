@@ -201,18 +201,14 @@ ti_{x} AS MATERIALIZED {_interp_body(f'te_{x}', 'rn', 'n', tj, 'tv',
                         'mm.rn AS rn,')}"""
 
 
-def stl_sql(series_cte: str, period: int = 24, s_window: int = 11) -> str:
-    """Full oracle: ``series_cte`` must end with a CTE named ``series``
-    of (event_type, bucket, x) rows — gap-filled integer counts. Output
-    matches q_stl_1h's components(): event_type, bucket, value, trend,
-    season_<period>, remainder, season_adjust."""
-    cfg = stl_exact_config(period, s_window)
-    p = period
+def _stl_body(series_cte: str, cfg: dict) -> str:
+    """The shared WITH body: series -> idx2 -> two unrolled inner
+    iterations; exposes ds_b (season/deseas per row) and ti_b (trend)."""
+    p = cfg["period"]
     win = "(PARTITION BY event_type ORDER BY bucket)"
     it_a = _iteration("a", "det_a", cfg)
     it_b = _iteration("b", "det_b", cfg)
-    return f"""
-WITH {series_cte},
+    return f"""WITH {series_cte},
 idx AS MATERIALIZED (
   SELECT event_type, bucket, CAST(x AS DOUBLE) AS y,
     ROW_NUMBER() OVER {win} AS rn,
@@ -228,9 +224,107 @@ det_a AS MATERIALIZED (
 det_b AS MATERIALIZED (
   SELECT i.event_type, i.rn, i.n, i.ph, i.m, i.np, i.y, i.y - t.tv AS d
   FROM idx2 i JOIN ti_a t ON t.event_type = i.event_type AND t.rn = i.rn),
-{it_b}
+{it_b}"""
+
+
+def stl_sql(series_cte: str, period: int = 24, s_window: int = 11) -> str:
+    """Full oracle: ``series_cte`` must end with a CTE named ``series``
+    of (event_type, bucket, x) rows — gap-filled integer counts. Output
+    matches q_stl_1h's components(): event_type, bucket, value, trend,
+    season_<period>, remainder, season_adjust."""
+    cfg = stl_exact_config(period, s_window)
+    return f"""
+{_stl_body(series_cte, cfg)}
 SELECT d.event_type, d.bucket, d.y AS value, t.tv AS trend,
-  d.season AS season_{p}, d.deseas - t.tv AS remainder,
+  d.season AS season_{period}, d.deseas - t.tv AS remainder,
   d.deseas AS season_adjust
 FROM ds_b d JOIN ti_b t ON t.event_type = d.event_type AND t.rn = d.rn
+"""
+
+
+def feat_stl_sql(series_cte: str, period: int = 24,
+                 s_window: int = 11) -> str:
+    """Oracle for the feat_stl feature family over integer counts: the
+    STL body above plus the downstream statistics as ordered list_sum
+    folds (DuckDB's list_sum accumulates sequentially left-to-right —
+    the same ascending order as features._feat_stl_exact's _seq_sum),
+    the closed-form orthonormal degree-2 polynomial (centered power sums
+    are exactly representable, so plain SUM matches any fold order), and
+    first-occurrence argmax/argmin via MIN(rn) at the extreme value."""
+    cfg = stl_exact_config(period, s_window)
+    p = period
+    # centered index powers: exactly-representable multiples of 1/4, 1/16
+    t2 = "((rn - (n + 1) / 2) * (rn - (n + 1) / 2))"
+    acf10 = _sum_chain([f"(rho{k} * rho{k})" for k in range(1, 11)])
+    lead_cols = ", ".join(
+        f"lead(dr, {k}) OVER (PARTITION BY event_type ORDER BY rn) AS dl{k}"
+        for k in range(1, 11))
+    sks = ",\n    ".join(
+        f"list_sum(list(dr * dl{k} ORDER BY rn) "
+        f"FILTER (WHERE rn <= n - {k})) AS sk{k}" for k in range(1, 11))
+    return f"""
+{_stl_body(series_cte, cfg)},
+comp AS MATERIALIZED (
+  SELECT d.event_type, d.rn, d.n, d.season, d.deseas, t.tv AS trend,
+    d.deseas - t.tv AS rem
+  FROM ds_b d JOIN ti_b t ON t.event_type = d.event_type AND t.rn = d.rn),
+a1 AS MATERIALIZED (
+  SELECT event_type, n,
+    list_sum(list(rem ORDER BY rn)) / n AS m_rem,
+    list_sum(list(deseas ORDER BY rn)) / n AS m_sa,
+    list_sum(list(rem + season ORDER BY rn)) / n AS m_rs,
+    SUM({t2}) AS s2, SUM({t2} * {t2}) AS s4,
+    MAX(season) AS smax, MIN(season) AS smin
+  FROM comp GROUP BY event_type, n),
+a2 AS MATERIALIZED (
+  SELECT c.*, a.m_rem, a.m_sa, a.m_rs, a.s2, a.s4, a.smax, a.smin,
+    c.rem - a.m_rem AS dr
+  FROM comp c JOIN a1 a USING (event_type)),
+a2l AS MATERIALIZED (
+  SELECT *, {lead_cols} FROM a2),
+a3 AS MATERIALIZED (
+  SELECT event_type, n, s2, s4,
+    list_sum(list(dr * dr ORDER BY rn)) AS ss_rem,
+    list_sum(list((deseas - m_sa) * (deseas - m_sa) ORDER BY rn)) AS ss_sa,
+    list_sum(list(((rem + season) - m_rs) * ((rem + season) - m_rs)
+                  ORDER BY rn)) AS ss_rs,
+    list_sum(list(((rn - (n + 1) / 2) / sqrt(s2)) * trend
+                  ORDER BY rn)) AS lin,
+    list_sum(list((({t2} - s2 / n) / sqrt(s4 - s2 * (s2 / n))) * trend
+                  ORDER BY rn)) AS cur,
+    MIN(CASE WHEN season = smax THEN rn END) AS peak_rn,
+    MIN(CASE WHEN season = smin THEN rn END) AS trough_rn,
+    {sks}
+  FROM a2l GROUP BY event_type, n, s2, s4),
+loo AS MATERIALIZED (
+  SELECT a2.event_type, a2.rn, a2.n,
+    ((a3.ss_rem / (a2.n - 1)) * (a2.n - 1) - a2.dr * a2.dr)
+      / (a2.n - 2) AS lv
+  FROM a2 JOIN a3 USING (event_type)),
+a5 AS MATERIALIZED (
+  SELECT event_type, n, list_sum(list(lv ORDER BY rn)) / n AS m_loo
+  FROM loo GROUP BY event_type, n),
+a6 AS MATERIALIZED (
+  SELECT l.event_type,
+    list_sum(list((l.lv - a.m_loo) * (l.lv - a.m_loo) ORDER BY l.rn))
+      / (l.n - 1) AS spikiness
+  FROM loo l JOIN a5 a USING (event_type, n)
+  GROUP BY l.event_type, l.n),
+rhos AS MATERIALIZED (
+  SELECT *, ss_rem / (n - 1) AS var_e, ss_rem / n AS c0,
+    {", ".join(f"((sk{k} / n) / (ss_rem / n)) AS rho{k}"
+               for k in range(1, 11))}
+  FROM a3)
+SELECT r.event_type,
+  CASE WHEN r.ss_sa / (r.n - 1) = 0 THEN NULL
+       ELSE greatest(0e0, least(1e0, 1e0 - r.var_e / (r.ss_sa / (r.n - 1))))
+       END AS trend_strength,
+  CASE WHEN r.ss_rs / (r.n - 1) = 0 THEN NULL
+       ELSE greatest(0e0, least(1e0, 1e0 - r.var_e / (r.ss_rs / (r.n - 1))))
+       END AS seasonal_strength_{p},
+  CAST(r.peak_rn % {p} AS DOUBLE) AS seasonal_peak_{p},
+  CAST(r.trough_rn % {p} AS DOUBLE) AS seasonal_trough_{p},
+  s.spikiness AS spikiness, r.lin AS linearity, r.cur AS curvature,
+  r.rho1 AS stl_e_acf1, {acf10} AS stl_e_acf10
+FROM rhos r JOIN a6 s USING (event_type)
 """

@@ -460,6 +460,18 @@ def q_unitroot_pp_1h(sf_dir: str):
     )
 
 
+def q_feat_stl_1h(sf_dir: str):
+    """feat_stl family (trend/seasonal strength, peak/trough, spikiness,
+    linearity/curvature, residual acf1/acf10) over gap-filled hourly
+    counts — the SQL-mirrored exact STL path plus ordered downstream
+    folds make the DuckDB oracle bit-exact (oracle/stl_sql.py)."""
+    return extract_features(
+        _hourly_count_series(sf_dir), value_col="value",
+        key_cols=["event_type"], period=24, time_col="bucket",
+        names=["feat_stl"],
+    )
+
+
 def q_feat_acf_1h(sf_dir: str):
     """feat_acf family (acf1/acf10 of x, diff1, diff2 + season_acf1)
     over gap-filled hourly counts — exact power-sum ACF + ordered folds
@@ -756,6 +768,7 @@ ALL_QUERIES = {
     "features_exact_1h": q_features_exact_1h,
     "unitroot_1h": q_unitroot_1h,
     "portmanteau_1h": q_portmanteau_1h,
+    "feat_stl_1h": q_feat_stl_1h,
     "feat_acf_1h": q_feat_acf_1h,
     "feat_pacf_1h": q_feat_pacf_1h,
     "unitroot_pp_1h": q_unitroot_pp_1h,

@@ -48,6 +48,41 @@ class TestStlExactPath:
         est = estimate_stl(y, season_args={"24": {"period": 24}})
         assert np.isfinite(est["trend"]).all()
 
+    def test_feat_stl_exact_matches_float(self):
+        """The exact feat_stl path agrees with the float path to
+        summation-order noise on every feature."""
+        from feasts_ray.functions import features as F
+
+        y = _series(715, 5)
+        ex = F.feat_stl(y, period=24)
+        fl = F.feat_stl(y, period=24, robust=False)  # kwargs -> float path
+        assert set(ex) == set(fl)
+        for k in ex:
+            assert abs(ex[k] - fl[k]) <= 1e-9 * max(1.0, abs(fl[k])), k
+
+    def test_feat_stl_sql_mirror_bit_exact(self):
+        """feat_stl_sql reproduces _feat_stl_exact bit-for-bit."""
+        from feasts_ray.functions import features as F
+        from feasts_ray.oracle.stl_sql import feat_stl_sql
+
+        rows = []
+        for et, (n, seed) in {"A": (715, 1), "B": (720, 2)}.items():
+            y = _series(n, seed)
+            for i in range(n):
+                rows.append((et, 1000 + i * 3600, int(y[i])))
+        df = pd.DataFrame(rows, columns=["event_type", "bucket", "x"])
+        con = duckdb.connect()
+        con.register("series_src", df)
+        sql = feat_stl_sql("series AS (SELECT * FROM series_src)",
+                           period=24, s_window=11)
+        odf = con.execute(sql).fetchdf().set_index("event_type")
+        for et, g in df.groupby("event_type"):
+            y = g.sort_values("bucket")["x"].to_numpy(dtype=np.float64)
+            feats = F.feat_stl(y, period=24)
+            for k, v in feats.items():
+                sv = float(odf.loc[et, k])
+                assert np.array(v).view(np.int64) == np.array(sv).view(np.int64), (et, k)
+
     def test_sql_mirror_bit_exact(self):
         """The generated DuckDB SQL reproduces stl_decompose_exact
         bit-for-bit across series lengths (incl. an exact multiple of
