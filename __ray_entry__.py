@@ -489,7 +489,7 @@ def oracle_sql() -> dict[str, str]:
     from feasts_ray.oracle.simhash_sql import fingerprint_sql, simhash_pairs_sql
     from feasts_ray.oracle.pp_sql import pp_ztau_sql
     from feasts_ray.oracle.unitroot_sql import unitroot_sql
-    from feasts_ray.oracle.stl_sql import feat_stl_sql, stl_sql
+    from feasts_ray.oracle.stl_sql import feat_stl_sql, nsdiffs_sql, stl_sql
     from feasts_ray.oracle.x11_sql import x11_additive_sql
 
     return {
@@ -547,6 +547,8 @@ FROM r
         # feat_stl strengths/shape over the same exact STL components
         # + ordered list_sum downstream folds (oracle/stl_sql.py)
         "feat_stl_1h": feat_stl_sql(_SERIES_1H, period=24, s_window=11),
+        # nsdiffs: the 0.64 seasonal-strength rule on bit-exact strengths
+        "nsdiffs_1h": nsdiffs_sql(_SERIES_1H, period=24, s_window=11),
         "langid": _LANGID,
         # md5-LE word hashes make SimHash / the FNV rolling fingerprint
         # exact-integer SQL (oracle/simhash_sql.py). The simhash oracle

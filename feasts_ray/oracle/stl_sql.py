@@ -242,6 +242,40 @@ FROM ds_b d JOIN ti_b t ON t.event_type = d.event_type AND t.rn = d.rn
 """
 
 
+def nsdiffs_sql(series_cte: str, period: int = 24,
+                s_window: int = 11) -> str:
+    """Oracle for unitroot_nsdiffs (features.R:209-235 semantics as
+    implemented by features.unitroot_nsdiffs): D candidates decided by
+    feat_stl seasonal_strength >= 0.64 on the series (D=1) and on its
+    lag-``period`` difference (D=2, independent of the D=1 outcome);
+    nsdiffs = max candidate. Both strengths come from the bit-exact
+    feat_stl oracle (the lag difference of integers is integral, so the
+    exact path applies on both sides)."""
+    diff_cte = (series_cte.replace("series AS", "series_base AS", 1)
+                + f""",
+series AS (
+  SELECT event_type, bucket, x FROM (
+    SELECT event_type, bucket,
+      x - lag(x, {period}) OVER (PARTITION BY event_type ORDER BY bucket)
+        AS x
+    FROM series_base)
+  WHERE x IS NOT NULL)""")
+    ss = f"seasonal_strength_{period}"
+    return f"""
+SELECT s0.event_type,
+  CAST(greatest(
+    CASE WHEN s0.ss IS NOT NULL AND s0.ss >= 0.64e0 THEN 1 ELSE 0 END,
+    CASE WHEN s1.ss IS NOT NULL AND s1.ss >= 0.64e0 THEN 2 ELSE 0 END)
+    AS DOUBLE) AS nsdiffs
+FROM (SELECT event_type, {ss} AS ss FROM (
+{feat_stl_sql(series_cte, period, s_window)}
+)) s0
+JOIN (SELECT event_type, {ss} AS ss FROM (
+{feat_stl_sql(diff_cte, period, s_window)}
+)) s1 USING (event_type)
+"""
+
+
 def feat_stl_sql(series_cte: str, period: int = 24,
                  s_window: int = 11) -> str:
     """Oracle for the feat_stl feature family over integer counts: the

@@ -472,6 +472,18 @@ def q_feat_stl_1h(sf_dir: str):
     )
 
 
+def q_nsdiffs_1h(sf_dir: str):
+    """unitroot_nsdiffs (seasonal-strength >= 0.64 rule) over gap-filled
+    hourly counts — both strength evaluations (series and its lag-24
+    difference) ride the bit-exact feat_stl path, so the D decision is
+    DuckDB bit-exact (oracle/stl_sql.nsdiffs_sql)."""
+    return extract_features(
+        _hourly_count_series(sf_dir), value_col="value",
+        key_cols=["event_type"], period=24, time_col="bucket",
+        names=["unitroot_nsdiffs"],
+    )
+
+
 def q_feat_acf_1h(sf_dir: str):
     """feat_acf family (acf1/acf10 of x, diff1, diff2 + season_acf1)
     over gap-filled hourly counts — exact power-sum ACF + ordered folds
@@ -769,6 +781,7 @@ ALL_QUERIES = {
     "unitroot_1h": q_unitroot_1h,
     "portmanteau_1h": q_portmanteau_1h,
     "feat_stl_1h": q_feat_stl_1h,
+    "nsdiffs_1h": q_nsdiffs_1h,
     "feat_acf_1h": q_feat_acf_1h,
     "feat_pacf_1h": q_feat_pacf_1h,
     "unitroot_pp_1h": q_unitroot_pp_1h,

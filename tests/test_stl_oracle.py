@@ -83,6 +83,34 @@ class TestStlExactPath:
                 sv = float(odf.loc[et, k])
                 assert np.array(v).view(np.int64) == np.array(sv).view(np.int64), (et, k)
 
+    def test_nsdiffs_sql_mirror_both_branches(self):
+        """nsdiffs_sql agrees with unitroot_nsdiffs bit-for-bit on a
+        strongly seasonal series (D=1 branch) and a weak one (D=0) —
+        the driver data sits at D=0, so the suite pins the other side."""
+        from feasts_ray.functions.features import unitroot_nsdiffs
+        from feasts_ray.oracle.stl_sql import nsdiffs_sql
+
+        r = np.random.default_rng(9)
+        t = np.arange(715)
+        strong = np.rint(40 + 60 * np.sin(2 * np.pi * t / 24)
+                         + r.poisson(3, 715)).astype(np.float64)
+        weak = _series(715, 4)
+        rows = []
+        for et, y in (("S", strong), ("W", weak)):
+            for i in range(len(y)):
+                rows.append((et, 1000 + i * 3600, int(y[i])))
+        df = pd.DataFrame(rows, columns=["event_type", "bucket", "x"])
+        con = duckdb.connect()
+        con.register("series_src", df)
+        sql = nsdiffs_sql("series AS (SELECT * FROM series_src)",
+                          period=24, s_window=11)
+        odf = con.execute(sql).fetchdf().set_index("event_type")
+        got_s = unitroot_nsdiffs(strong, period=24)["nsdiffs"]
+        got_w = unitroot_nsdiffs(weak, period=24)["nsdiffs"]
+        assert got_s == 1.0  # the strong-seasonality branch fires
+        assert float(odf.loc["S", "nsdiffs"]) == got_s
+        assert float(odf.loc["W", "nsdiffs"]) == got_w
+
     def test_sql_mirror_bit_exact(self):
         """The generated DuckDB SQL reproduces stl_decompose_exact
         bit-for-bit across series lengths (incl. an exact multiple of
