@@ -724,6 +724,15 @@ SELECT doc_id, punct_ratio, stopword_ratio, alpha_ratio, mean_word_len,
   + 0.2 * LEAST(stopword_ratio * 4.0, 1.0)
   + 0.2 * alpha_ratio AS quality_score
 FROM r""",
+        # exact all-pairs cosine baseline: list_cosine_similarity over
+        # FLOAT[] is a float32 sequential fold of dot/(|x| * |y|), which
+        # the kernel mirrors with float32 cumsum-last folds
+        # (dedup/embedding.py::_ExactPairKernel) — `sim` is bitwise-equal
+        "embedding_dup_pairs_exact": (
+            "WITH s AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
+            "list_cosine_similarity(a.embedding, b.embedding) AS sim "
+            "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id) "
+            "SELECT id_a, id_b, sim FROM s WHERE sim >= 0.4e0"),
         "ann_topk": (
             "WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings "
             "WHERE vec_id < 5), "

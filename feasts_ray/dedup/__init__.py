@@ -10,7 +10,7 @@ from .cluster import connected_components, minhash_dedup_docs
 from .exact import dedup_exact, exact_groups
 from .minhash import minhash_dedup_pairs, ngram_jaccard_pairs
 from .simhash import simhash_dedup_pairs
-from .embedding import embedding_dup_pairs
+from .embedding import embedding_dup_pairs, embedding_dup_pairs_exact
 
 __all__ = [
     "connected_components",
@@ -21,4 +21,5 @@ __all__ = [
     "ngram_jaccard_pairs",
     "simhash_dedup_pairs",
     "embedding_dup_pairs",
+    "embedding_dup_pairs_exact",
 ]

@@ -67,6 +67,101 @@ class HyperplaneSketch:
         })
 
 
+class _ExactPairKernel:
+    """Actor kernel for the exact all-pairs baseline: the corpus
+    (ids + float32 matrix) is broadcast ONCE via ray.put and resolved in
+    __init__ (object-store zero-copy per node, never re-shipped per
+    batch). Exact-fold norms are precomputed once per actor.
+
+    Bit-exactness contract: DuckDB's list_cosine_similarity over FLOAT[]
+    is a float32 SEQUENTIAL fold of dot / (sqrt(|x|^2) * sqrt(|y|^2));
+    np.cumsum(..., dtype=float32)[:, -1] reproduces that fold order, so
+    the emitted `sim` is bitwise-identical to the SQL oracle. The fast
+    float32 BLAS matmul is only a SCREEN (threshold - margin); survivors
+    are recomputed with the exact fold before the >= threshold cut."""
+
+    _MARGIN = 1e-3  # >> float32 matmul-vs-sequential-fold drift at dim<=4096
+
+    def __init__(self, emb_col: str, id_col: str, corpus_ref,
+                 threshold: float):
+        self.emb_col = emb_col
+        self.id_col = id_col
+        ids, mat = (ray.get(corpus_ref)
+                    if isinstance(corpus_ref, ray.ObjectRef) else corpus_ref)
+        self.cids = ids
+        self.cmat = mat  # (N, D) float32
+        self.cnrm = np.sqrt(np.cumsum(mat * mat, axis=1,
+                                      dtype=np.float32)[:, -1])
+        self.threshold = threshold
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        bmat = _emb_matrix(batch, self.emb_col).astype(np.float32)
+        bids = batch[self.id_col].to_numpy(zero_copy_only=False)
+        empty = pa.table({
+            "id_a": pa.array([], type=pa.int64()),
+            "id_b": pa.array([], type=pa.int64()),
+            "sim": pa.array([], type=pa.float32()),
+        })
+        if len(bids) == 0:
+            return empty
+        bnrm = np.sqrt(np.cumsum(bmat * bmat, axis=1,
+                                 dtype=np.float32)[:, -1])
+        with np.errstate(divide="ignore", invalid="ignore"):
+            screen = (bmat @ self.cmat.T) / np.outer(bnrm, self.cnrm)
+        cand = (screen >= self.threshold - self._MARGIN) & (
+            bids[:, None] < self.cids[None, :])
+        bi, cj = np.nonzero(cand)
+        if len(bi) == 0:
+            return empty
+        dot = np.cumsum(bmat[bi] * self.cmat[cj], axis=1,
+                        dtype=np.float32)[:, -1]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            sim = dot / (bnrm[bi] * self.cnrm[cj])
+        keep = sim.astype(np.float64) >= self.threshold
+        return pa.table({
+            "id_a": pa.array(bids[bi[keep]].astype(np.int64)),
+            "id_b": pa.array(self.cids[cj[keep]].astype(np.int64)),
+            "sim": pa.array(sim[keep], type=pa.float32()),
+        })
+
+
+def embedding_dup_pairs_exact(
+    ds: "ray.data.Dataset",
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.4,
+    batch_size: int = 1024,
+    concurrency=(1, 8),
+) -> "ray.data.Dataset":
+    """EXACT embedding near-dup pairs: every (id_a < id_b) with cosine >=
+    threshold, by distributed blocked all-pairs (each batch x broadcast
+    corpus matmul). This is the exact BASELINE for validating the LSH
+    path's recall (`embedding_dup_pairs`); it is inherently O(n^2) sims,
+    so at 100 TB the LSH/IVF-bucketed variants are the scale path and
+    this one runs on samples / partitions (the per-batch kernel shape —
+    tile x tile — is exactly what a corpus-partitioned pair sweep would
+    reuse). The `sim` column is bit-identical to DuckDB's
+    list_cosine_similarity (float32 sequential fold; see _ExactPairKernel)."""
+    ids_chunks, mat_chunks = [], []
+    for b in ds.select_columns([id_col, emb_col]).iter_batches(
+            batch_size=4096, batch_format="pyarrow"):
+        ids_chunks.append(
+            b[id_col].to_numpy(zero_copy_only=False).astype(np.int64))
+        mat_chunks.append(_emb_matrix(b, emb_col).astype(np.float32))
+    ids = (np.concatenate(ids_chunks) if ids_chunks
+           else np.array([], dtype=np.int64))
+    mat = (np.concatenate(mat_chunks) if mat_chunks
+           else np.zeros((0, 0), dtype=np.float32))
+    corpus_ref = ray.put((ids, mat))
+    return ds.map_batches(
+        _ExactPairKernel,
+        fn_constructor_args=(emb_col, id_col, corpus_ref, threshold),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
 def embedding_dup_pairs(
     ds: "ray.data.Dataset",
     emb_col: str = "embedding",

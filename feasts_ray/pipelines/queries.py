@@ -19,6 +19,7 @@ from ray.data.aggregate import Count, Max, Min, Sum
 from ..ann import topk_cosine, topk_cosine_ivf, topk_cosine_lsh
 from ..dedup import (
     embedding_dup_pairs,
+    embedding_dup_pairs_exact,
     exact_groups,
     minhash_dedup_pairs,
     simhash_dedup_pairs,
@@ -326,6 +327,14 @@ def q_embedding_dup_pairs(sf_dir: str):
     # testdata embeddings have no true near-dups (max pairwise cosine ~0.51)
     # so probe wide at a low threshold to exercise the verify path
     return embedding_dup_pairs(ds, threshold=0.4, n_bits=6, n_tables=8)
+
+
+def q_embedding_dup_pairs_exact(sf_dir: str):
+    """Exact all-pairs cosine near-dup baseline (blocked batch x broadcast
+    corpus); `sim` is bit-identical to DuckDB list_cosine_similarity
+    (float32 sequential fold — dedup/embedding.py::_ExactPairKernel)."""
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    return embedding_dup_pairs_exact(ds, threshold=0.4)
 
 
 def q_text_quality(sf_dir: str):
@@ -767,6 +776,7 @@ ALL_QUERIES = {
     "minhash_dedup_docs": q_minhash_dedup_docs,
     "simhash_dup_pairs": q_simhash_pairs,
     "embedding_dup_pairs": q_embedding_dup_pairs,
+    "embedding_dup_pairs_exact": q_embedding_dup_pairs_exact,
     "text_quality": q_text_quality,
     "langid": q_langid,
     "fingerprint": q_fingerprint,

@@ -11,6 +11,7 @@ from feasts_ray.ann import topk_cosine, topk_cosine_lsh
 from feasts_ray.dedup import (
     dedup_exact,
     embedding_dup_pairs,
+    embedding_dup_pairs_exact,
     exact_groups,
     minhash_dedup_pairs,
     simhash_dedup_pairs,
@@ -154,6 +155,56 @@ class TestEmbeddingDedup:
         got = set(zip(pairs["id_a"], pairs["id_b"]))
         assert {(i, 40 + i) for i in range(5)} <= got
         assert (pairs["cosine"] >= 0.98).all()
+
+
+class TestEmbeddingDedupExact:
+    def test_bitwise_vs_duckdb(self, ray_session):
+        """The exact all-pairs kernel's sim column is bit-identical to
+        DuckDB list_cosine_similarity (float32 sequential fold), and the
+        pair SET is exact (every id_a<id_b with sim >= t, no LSH miss)."""
+        import duckdb
+
+        rng = np.random.default_rng(3)
+        base = rng.standard_normal((60, 48))
+        dup = base[:6] + 0.4 * rng.standard_normal((6, 48))
+        m = np.concatenate([base, dup]).astype(np.float32)
+        tbl = pa.table({
+            "vec_id": pa.array(range(66), type=pa.int64()),
+            "embedding": pa.array([list(map(float, r)) for r in m],
+                                  type=pa.list_(pa.float32())),
+        })
+        got = embedding_dup_pairs_exact(
+            ray.data.from_arrow(tbl), threshold=0.5,
+            batch_size=17).to_pandas()  # odd batch: multi-batch path
+        con = duckdb.connect()
+        con.register("emb", tbl)
+        want = con.execute(
+            "SELECT a.vec_id id_a, b.vec_id id_b, "
+            "list_cosine_similarity(a.embedding, b.embedding) sim "
+            "FROM emb a JOIN emb b ON a.vec_id < b.vec_id "
+            "WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.5e0"
+        ).fetchdf()
+        g = got.sort_values(["id_a", "id_b"], ignore_index=True)
+        w = want.sort_values(["id_a", "id_b"], ignore_index=True)
+        assert len(g) == len(w) and len(g) >= 6
+        assert (g["id_a"].to_numpy() == w["id_a"].to_numpy()).all()
+        assert (g["id_b"].to_numpy() == w["id_b"].to_numpy()).all()
+        gs = g["sim"].to_numpy(np.float32).view(np.int32)
+        ws = w["sim"].to_numpy(np.float32).view(np.int32)
+        assert (gs == ws).all()
+
+    def test_empty_and_no_pairs(self, ray_session):
+        tbl = pa.table({
+            "vec_id": pa.array([0, 1], type=pa.int64()),
+            "embedding": pa.array([[1.0, 0.0], [0.0, 1.0]],
+                                  type=pa.list_(pa.float32())),
+        })
+        out = embedding_dup_pairs_exact(ray.data.from_arrow(tbl),
+                                        threshold=0.9)
+        # schema is stable even with zero rows (to_pandas drops columns
+        # of an all-empty Dataset — Ray quirk, so assert on the Dataset)
+        assert out.schema().names == ["id_a", "id_b", "sim"]
+        assert out.count() == 0
 
 
 class TestANN:
