@@ -118,7 +118,10 @@ def main_bench():
 
 
 def main_worker(num_cpus: int):
-    flag = run_flagship(num_cpus, "scaling", archive=False)
+    # GRAFT_AB_ARCHIVE=1 includes the verified token archive in the
+    # measured job (for A/B runs targeting codec/archive changes)
+    flag = run_flagship(num_cpus, "scaling",
+                        archive=os.environ.get("GRAFT_AB_ARCHIVE") == "1")
     print(json.dumps(flag))
     import ray
 
@@ -177,7 +180,8 @@ def main_ab(ref: str):
     the CURRENT tree, interleaved ref,cur,cur,ref in fresh processes so
     host phase drift cancels. BASELINE.md protocol: absolute BENCH_r{N}
     numbers are phase-dependent on this shared host; only this A/B is a
-    fair code-vs-code comparison."""
+    fair code-vs-code comparison. Set GRAFT_AB_ARCHIVE=1 to include the
+    verified token archive in both sides (codec-change A/Bs)."""
     import tempfile
 
     repo = os.path.dirname(os.path.abspath(__file__))
@@ -188,6 +192,11 @@ def main_ab(ref: str):
     wt = tempfile.mkdtemp(prefix="feasts_ray_ab_")
     subprocess.run(["git", "-C", repo, "worktree", "add", "--force",
                     "--detach", wt, ref], check=True, capture_output=True)
+    # the A/B measures the LIBRARY, not the harness: both sides run the
+    # CURRENT harness (older trees hardcode archive=False in --worker)
+    import shutil
+
+    shutil.copy2(os.path.join(repo, "bench.py"), os.path.join(wt, "bench.py"))
     try:
         runs: dict[str, list[float]] = {"ref": [], "cur": []}
         for tag, tree in (("ref", wt), ("cur", repo), ("cur", repo), ("ref", wt)):

@@ -101,6 +101,43 @@ def pack_codes_at(vals: "np.ndarray", nbits: "np.ndarray",
     return words.byteswap().view(np.uint8)[:nbytes].copy()
 
 
+def or_codes_sorted(words: "np.ndarray", vals: "np.ndarray",
+                    nbits: "np.ndarray", starts: "np.ndarray") -> None:
+    """OR codes into an existing big-endian uint64 ``words`` buffer, in
+    place. Requires: ``starts`` sorted ascending, codes disjoint, and
+    each val CLEAN in its low nbits (no dirty high bits — the
+    encode-side code constructors guarantee this). Sortedness makes each
+    word's contributions CONTIGUOUS, so accumulation is one
+    np.bitwise_or.reduceat instead of pack_codes_at's four float64
+    bincount rounds — ~2x faster for dense small-code streams."""
+    n = len(vals)
+    if n == 0:
+        return
+    U = np.uint64
+    starts = np.asarray(starts, dtype=np.int64)
+    w_idx = starts >> 6
+    end_off = (starts & 63).astype(np.uint64) + nbits.astype(np.uint64)
+    over = end_off > 64
+    nover = int(over.sum())
+    with np.errstate(over="ignore"):
+        c0 = np.where(over, vals >> (end_off - U(64)),
+                      vals << ((U(64) - end_off) & U(63)))
+    if nover:
+        with np.errstate(over="ignore"):
+            c1v = vals << ((U(128) - end_off) & U(63))
+        pos = np.arange(n) + np.cumsum(over) - over
+        idx = np.empty(n + nover, dtype=np.int64)
+        contrib = np.empty(n + nover, dtype=np.uint64)
+        idx[pos] = w_idx
+        contrib[pos] = c0
+        idx[pos[over] + 1] = w_idx[over] + 1
+        contrib[pos[over] + 1] = c1v[over]
+    else:
+        idx, contrib = w_idx, c0
+    bounds = np.concatenate([[0], np.flatnonzero(np.diff(idx)) + 1])
+    words[idx[bounds]] |= np.bitwise_or.reduceat(contrib, bounds)
+
+
 class BitWriter:
     __slots__ = ("_words", "_cur", "_nbits")
 

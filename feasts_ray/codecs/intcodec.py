@@ -57,12 +57,14 @@ def encode_ints(values: np.ndarray) -> bytes:
     if n == 2:
         return header
     dod = np.diff(d)
-    a = np.abs(dod)
+    # range check, not abs: np.abs(INT64_MIN) overflows back to INT64_MIN,
+    # which would misclassify the extreme dod as class 4 and let its
+    # 64-bit zigzag pollute the '11110' control prefix
     cls = np.where(dod == 0, 0,
           np.where((dod >= -63) & (dod <= 64), 1,
           np.where((dod >= -255) & (dod <= 256), 2,
           np.where((dod >= -2047) & (dod <= 2048), 3,
-          np.where(a < (1 << 31), 4, 5)))))
+          np.where((dod > -(1 << 31)) & (dod < (1 << 31)), 4, 5)))))
     du = dod.view(np.uint64)
     zz = (du << np.uint64(1)) ^ (dod >> np.int64(63)).view(np.uint64)  # zigzag
     m = len(dod)
@@ -91,23 +93,36 @@ def encode_ints(values: np.ndarray) -> bytes:
 
 
 def encode_ints_batch(flat: np.ndarray, offs: np.ndarray) -> list[bytes]:
+    """List-of-blobs facade over ``encode_ints_batch_packed`` (byte-
+    identical to calling ``encode_ints`` per doc)."""
+    buf, ds = encode_ints_batch_packed(flat, offs)
+    return [buf[ds[i]:ds[i + 1]].tobytes() for i in range(len(ds) - 1)]
+
+
+def encode_ints_batch_packed(
+        flat: np.ndarray, offs: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """Encode MANY dod streams in one vectorized pass: classification and
     code construction run over the concatenated second-difference array,
     and every doc's stream is packed into one shared buffer at its own
     byte-aligned offset (bitio.pack_codes_at). Byte-identical to calling
     ``encode_ints`` per doc.
 
+    Returns ``(buf, doc_start)``: ONE uint8 buffer holding every doc's
+    stream back-to-back and the (S+1,) byte boundaries — the archive
+    stage consumes this directly (zero per-doc slicing; the verify
+    decode and the Arrow binary column reuse the same buffer).
+
     ``flat`` is the concatenation of all docs' int64 values, ``offs`` the
     (S+1,) boundaries. Rare huge second differences (|dod| >= 2^31 — the
     '11111' spill class, impossible for token-id streams) fall back to
     the scalar encoder for just those docs."""
-    from .bitio import pack_codes_at
+    from .bitio import or_codes_sorted
 
     flat = np.asarray(flat, dtype=np.int64)
     offs = np.asarray(offs, dtype=np.int64)
     S = len(offs) - 1
     if S == 0:
-        return []
+        return np.zeros(0, dtype=np.uint8), np.zeros(1, dtype=np.int64)
     n = np.diff(offs)
     m = np.maximum(n - 2, 0)  # dod codes per doc
     doc_code_start = np.cumsum(m) - m
@@ -117,12 +132,11 @@ def encode_ints_batch(flat: np.ndarray, offs: np.ndarray) -> list[bytes]:
     j = base + within + 2
     with np.errstate(over="ignore"):
         dod = flat[j] - 2 * flat[j - 1] + flat[j - 2]
-    a = np.abs(dod)
     cls = np.where(dod == 0, 0,
           np.where((dod >= -63) & (dod <= 64), 1,
           np.where((dod >= -255) & (dod <= 256), 2,
           np.where((dod >= -2047) & (dod <= 2048), 3,
-          np.where(a < (1 << 31), 4, 5)))))
+          np.where((dod > -(1 << 31)) & (dod < (1 << 31)), 4, 5)))))
     if (cls == 5).any():
         # spill class: encode the affected docs with the scalar path
         bad_docs = np.unique(doc_of[cls == 5])
@@ -140,7 +154,9 @@ def encode_ints_batch(flat: np.ndarray, offs: np.ndarray) -> list[bytes]:
                 np.array([], dtype=np.int64))
             for i, b in zip(gi, encode_ints_batch(g_flat, g_offs)):
                 out[i] = b
-        return out  # type: ignore[return-value]
+        lens = np.fromiter((len(b) for b in out), dtype=np.int64, count=S)
+        ds = np.concatenate([[0], np.cumsum(lens)])
+        return np.frombuffer(b"".join(out), dtype=np.uint8), ds  # type: ignore[arg-type]
     du = dod.view(np.uint64)
     zz = (du << np.uint64(1)) ^ (dod >> np.int64(63)).view(np.uint64)
     mm = len(dod)
@@ -191,11 +207,14 @@ def encode_ints_batch(flat: np.ndarray, offs: np.ndarray) -> list[bytes]:
     code_base_bit = (doc_start[:-1] + header_bytes) * 8
     code_starts = (np.repeat(code_base_bit, m)
                    + (cs[:-1] - np.repeat(cs[doc_code_start], m)))
-    all_vals = np.concatenate([*h_vals, vals])
-    all_bits = np.concatenate([*h_bits, bits])
-    all_starts = np.concatenate([*h_starts, code_starts])
-    buf = pack_codes_at(all_vals, all_bits, all_starts, total)
-    return [buf[doc_start[i]:doc_start[i + 1]].tobytes() for i in range(S)]
+    # headers are word-aligned 64-bit fields owning exclusive words —
+    # direct scatter; dod codes are emitted in ascending bit order with
+    # clean high bits, so the one-reduceat sorted OR applies
+    words = np.zeros(total // 8, dtype=np.uint64)  # total % 8 == 0
+    for hv, hs in zip(h_vals, h_starts):
+        words[np.asarray(hs, dtype=np.int64) >> 6] = hv
+    or_codes_sorted(words, vals, bits, code_starts)
+    return words.byteswap().view(np.uint8), doc_start
 
 
 def _wrap64(x: int) -> int:
@@ -269,23 +288,68 @@ def decode_ints(data: bytes) -> np.ndarray:
     return out
 
 
-def decode_ints_batch(blobs: list[bytes]) -> tuple[np.ndarray, np.ndarray]:
-    """Decode MANY dod streams in vectorized lockstep: one round decodes
-    the next code of every still-active stream with pure numpy (window
-    gather + control-prefix classification). Rounds ~= max stream length;
-    work per round is O(#active). Returns (flat int64 values, offsets).
+# 32-entry decode tables indexed by the top-5 control bits of a code:
+# width, payload shift (from bit 63), payload mask, and bias. Classes 0-3
+# decode as ((peek >> sh) & mask) - bias; classes 4/5 (top5 >= 30) carry
+# zigzag payloads and are fixed up separately (mask 0 here).
+_W_TAB = np.empty(32, dtype=np.int64)
+_SH_TAB = np.zeros(32, dtype=np.uint64)
+_MASK_TAB = np.zeros(32, dtype=np.uint64)
+_BIAS_TAB = np.zeros(32, dtype=np.int64)
+_W_TAB[:16] = 1                                               # '0'
+_W_TAB[16:24], _SH_TAB[16:24] = 9, 55                         # '10' + 7
+_MASK_TAB[16:24], _BIAS_TAB[16:24] = 0x7F, 63
+_W_TAB[24:28], _SH_TAB[24:28] = 12, 52                        # '110' + 9
+_MASK_TAB[24:28], _BIAS_TAB[24:28] = 0x1FF, 255
+_W_TAB[28:30], _SH_TAB[28:30] = 16, 48                        # '1110' + 12
+_MASK_TAB[28:30], _BIAS_TAB[28:30] = 0xFFF, 2047
+_W_TAB[30] = 37                                               # '11110' + 32zz
+_W_TAB[31] = 69                                               # '11111' + 64zz
 
-    Exactly equivalent to ``decode_ints`` per blob (int64 wraparound
-    semantics match numpy's silent array overflow).
+
+def decode_ints_batch(blobs: list[bytes]) -> tuple[np.ndarray, np.ndarray]:
+    """Decode MANY dod streams in vectorized lockstep, MULTIPLE codes per
+    gather: each outer round loads a 128-bit window per active stream
+    (one fancy-indexed 16-byte gather), then an inner loop peels as many
+    variable-width codes as fit in the window with pure elementwise
+    numpy — for the token-stream regime (~9 bits/code) that's ~13 codes
+    per gather instead of the one-code-per-round shape, which makes the
+    gather (the expensive op) ~13x rarer. Returns (flat int64 values,
+    offsets). Exactly equivalent to ``decode_ints`` per blob (int64
+    wraparound semantics match numpy's silent array overflow).
     """
     S = len(blobs)
-    lens_b = np.fromiter((len(b) for b in blobs), dtype=np.int64, count=S)
-    base = np.concatenate([[0], np.cumsum(lens_b)])
-    buf = np.frombuffer(b"".join(blobs) + b"\x00" * 16, dtype=np.uint8)
     if S == 0:
         return np.array([], dtype=np.int64), np.array([0], dtype=np.int64)
+    lens_b = np.fromiter((len(b) for b in blobs), dtype=np.int64, count=S)
+    base = np.concatenate([[0], np.cumsum(lens_b)])
+    return decode_ints_batch_packed(
+        np.frombuffer(b"".join(blobs), dtype=np.uint8), base)
 
-    w8 = (np.uint64(1) << (np.uint64(8) * np.arange(7, -1, -1, dtype=np.uint64)))
+
+def decode_ints_batch_packed(
+        packed: np.ndarray, base: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Packed-form decoder: ``packed`` is one uint8 buffer of S streams
+    back-to-back, ``base`` the (S+1,) byte boundaries (the layout
+    ``encode_ints_batch_packed`` emits — no per-doc slicing or re-join).
+
+    Window-safety invariant: a code is consumed only when
+    ``woff + width <= 128``. Bits past the window enter the peek as
+    ZEROS (shift fill), and a zero mis-read of a control bit at position
+    ``woff + j >= 128`` yields a computed width ``>= j + 1``, so the fit
+    check ``woff + width <= 128`` would force ``woff + j < 128`` — a
+    contradiction. Hence every code that passes the check was decoded
+    from genuine window bits only.
+    """
+    S = len(base) - 1
+    if S == 0:
+        return np.array([], dtype=np.int64), np.array([0], dtype=np.int64)
+    base = np.asarray(base, dtype=np.int64)
+    buf = np.concatenate([np.asarray(packed, dtype=np.uint8),
+                          np.zeros(16, dtype=np.uint8)])
+
+    U = np.uint64
+    w8 = (U(1) << (U(8) * np.arange(7, -1, -1, dtype=np.uint64)))
 
     def _u64_at(byte_idx: np.ndarray) -> np.ndarray:
         g = buf[byte_idx[:, None] + np.arange(8)].astype(np.uint64)
@@ -296,11 +360,11 @@ def decode_ints_batch(blobs: list[bytes]) -> tuple[np.ndarray, np.ndarray]:
     flat = np.empty(int(offsets[-1]), dtype=np.int64)
 
     uz0 = _u64_at(base[:-1] + 8)
-    v = ((uz0 >> np.uint64(1)) ^ (np.uint64(0) - (uz0 & np.uint64(1)))).astype(np.int64)
+    v = ((uz0 >> U(1)) ^ (U(0) - (uz0 & U(1)))).astype(np.int64)
     has1 = n >= 1
     flat[offsets[:-1][has1]] = v[has1]
     uzd = _u64_at(base[:-1] + 16)
-    d = ((uzd >> np.uint64(1)) ^ (np.uint64(0) - (uzd & np.uint64(1)))).astype(np.int64)
+    d = ((uzd >> U(1)) ^ (U(0) - (uzd & U(1)))).astype(np.int64)
     has2 = n >= 2
     with np.errstate(over="ignore"):
         v = v + np.where(has2, d, 0)
@@ -310,43 +374,68 @@ def decode_ints_batch(blobs: list[bytes]) -> tuple[np.ndarray, np.ndarray]:
     out_idx = offsets[:-1] + 2
     remaining = np.maximum(n - 2, 0)
     active = remaining > 0
-    ext_w = (np.uint64(1) << (np.uint64(8) * np.arange(2, -1, -1, dtype=np.uint64)))
-    while active.any():
-        a = np.flatnonzero(active)
-        p = pos[a]
-        b0 = p >> 3
-        sh = (p & 7).astype(np.uint64)
-        hi = _u64_at(b0)
-        g3 = buf[b0[:, None] + np.arange(8, 11)].astype(np.uint64)
-        lo24 = (g3 * ext_w[None, :]).sum(axis=1, dtype=np.uint64)
-        win = (hi << sh) | (lo24 >> (np.uint64(24) - sh))
-        ext = ((lo24 << sh) >> np.uint64(8)) & np.uint64(0xFFFF)  # bits 64..79
-        c1 = (win >> np.uint64(63)) & np.uint64(1)
-        c2 = (win >> np.uint64(62)) & np.uint64(1)
-        c3 = (win >> np.uint64(61)) & np.uint64(1)
-        c4 = (win >> np.uint64(60)) & np.uint64(1)
-        c5 = (win >> np.uint64(59)) & np.uint64(1)
-        u32 = (win >> np.uint64(27)) & np.uint64(0xFFFFFFFF)
-        u64 = ((win & ((np.uint64(1) << np.uint64(59)) - np.uint64(1)))
-               << np.uint64(5)) | (ext >> np.uint64(11))
-        zz32 = ((u32 >> np.uint64(1)) ^ (np.uint64(0) - (u32 & np.uint64(1)))).astype(np.int64)
-        zz64 = ((u64 >> np.uint64(1)) ^ (np.uint64(0) - (u64 & np.uint64(1)))).astype(np.int64)
-        dod = np.where(c1 == 0, 0,
-              np.where(c2 == 0, ((win >> np.uint64(55)) & np.uint64(0x7F)).astype(np.int64) - 63,
-              np.where(c3 == 0, ((win >> np.uint64(52)) & np.uint64(0x1FF)).astype(np.int64) - 255,
-              np.where(c4 == 0, ((win >> np.uint64(48)) & np.uint64(0xFFF)).astype(np.int64) - 2047,
-              np.where(c5 == 0, zz32, zz64)))))
-        adv = np.where(c1 == 0, 1,
-              np.where(c2 == 0, 9,
-              np.where(c3 == 0, 12,
-              np.where(c4 == 0, 16,
-              np.where(c5 == 0, 37, 69)))))
-        with np.errstate(over="ignore"):
-            d[a] = d[a] + dod
-            v[a] = v[a] + d[a]
-        flat[out_idx[a]] = v[a]
-        out_idx[a] += 1
-        pos[a] = p + adv
-        remaining[a] -= 1
-        active = remaining > 0
+    M59 = (U(1) << U(59)) - U(1)
+    with np.errstate(over="ignore"):
+        while active.any():
+            a = np.flatnonzero(active)
+            p = pos[a]
+            b0 = p >> 3
+            g = buf[b0[:, None] + np.arange(16)].astype(np.uint64)
+            hi = (g[:, :8] * w8[None, :]).sum(axis=1, dtype=np.uint64)
+            lo = (g[:, 8:] * w8[None, :]).sum(axis=1, dtype=np.uint64)
+            woff = p & 7                # bit offset inside the 128-bit window
+            v_l, d_l = v[a], d[a]       # local state (scattered back at end)
+            oi_l, rem_l = out_idx[a], remaining[a]
+            live = np.arange(len(a))
+            while len(live):
+                wl = woff[live]
+                wu = wl.astype(np.uint64)
+                hi_l, lo_l = hi[live], lo[live]
+                lt64 = wl < 64
+                # bits [woff, woff+64), zero-filled past the window
+                # (shifts fill zeros; see invariant above)
+                peek = np.where(
+                    lt64,
+                    np.where(wl > 0,
+                             (hi_l << (wu & U(63)))
+                             | (lo_l >> ((U(64) - wu) & U(63))),
+                             hi_l),
+                    lo_l << ((wu - U(64)) & U(63)))
+                # table-driven width/payload on the top-5 control bits —
+                # one gather each replaces the per-class np.where chains
+                top5 = (peek >> U(59)).astype(np.int64)
+                w = _W_TAB[top5]
+                fits = wl + w <= 128
+                if not fits.all():
+                    if not fits.any():
+                        break
+                    live = live[fits]
+                    wl, wu, w = wl[fits], wu[fits], w[fits]
+                    peek, top5, lo_l = peek[fits], top5[fits], lo_l[fits]
+                    lt64 = lt64[fits]
+                dod = (((peek >> _SH_TAB[top5]) & _MASK_TAB[top5])
+                       .astype(np.int64) - _BIAS_TAB[top5])
+                rare = top5 >= 30       # classes 4/5: zigzag payloads
+                if rare.any():
+                    r = np.flatnonzero(rare)
+                    pk = peek[r]
+                    c5 = top5[r] == 31
+                    peek_lo = np.where(lt64[r], lo_l[r] << (wu[r] & U(63)),
+                                       U(0))
+                    u32 = (pk >> U(27)) & U(0xFFFFFFFF)
+                    u64 = ((pk & M59) << U(5)) | (peek_lo >> U(59))
+                    uu = np.where(c5, u64, u32)
+                    dod[r] = ((uu >> U(1))
+                              ^ (U(0) - (uu & U(1)))).astype(np.int64)
+                d_l[live] = d_l[live] + dod
+                v_l[live] = v_l[live] + d_l[live]
+                flat[oi_l[live]] = v_l[live]
+                oi_l[live] += 1
+                rem_l[live] -= 1
+                woff[live] = wl + w
+                live = live[rem_l[live] > 0]
+            v[a], d[a] = v_l, d_l
+            out_idx[a], remaining[a] = oi_l, rem_l
+            pos[a] = (b0 << 3) + woff
+            active[a] = rem_l > 0
     return flat, offsets

@@ -18,7 +18,10 @@ import pyarrow as pa
 
 import ray.data
 
-from ..codecs.intcodec import decode_ints_batch, encode_ints_batch
+from ..codecs.intcodec import (
+    decode_ints_batch_packed,
+    encode_ints_batch_packed,
+)
 
 
 def archive_tokens_batch(batch: pa.Table, tokens_col: str = "tokens",
@@ -28,33 +31,52 @@ def archive_tokens_batch(batch: pa.Table, tokens_col: str = "tokens",
         toks = toks.combine_chunks()
     offs = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
     flat = toks.values.to_numpy(zero_copy_only=False).astype(np.int64)
-    # lockstep vectorized encode of the whole batch (~8x the per-doc
-    # loop; byte-identical to encode_ints per doc)
-    blobs = encode_ints_batch(flat[offs[0]:offs[-1]] if len(batch) else flat,
-                              offs - offs[0])
+    # lockstep vectorized encode of the whole batch, PACKED form: one
+    # shared buffer + doc boundaries (byte-identical to encode_ints per
+    # doc); the verify decode and the Arrow binary column reuse the same
+    # buffer — no per-doc slicing, no re-join
+    buf, dstart = encode_ints_batch_packed(
+        flat[offs[0]:offs[-1]] if len(batch) else flat, offs - offs[0])
     raw_bytes = 4 * (int(offs[-1]) - int(offs[0])) if len(batch) else 0
     if verify and len(batch):
         # lockstep vectorized decode of the whole batch: flat values AND
         # per-doc boundaries must both match the source exactly
-        dec_flat, dec_offs = decode_ints_batch(blobs)
+        dec_flat, dec_offs = decode_ints_batch_packed(buf, dstart)
         src = flat[offs[0]:offs[-1]]
         if (not np.array_equal(dec_offs, offs - offs[0])
                 or not np.array_equal(dec_flat, src)):
             raise AssertionError("token-array roundtrip mismatch in batch")
     keep = [c for c in batch.column_names if c != tokens_col]
     out = batch.select(keep)
-    out = out.append_column("tokens_blob", pa.array(blobs, type=pa.binary()))
-    blob_bytes = sum(len(b) for b in blobs)
     n = len(batch)
+    # zero-copy Arrow binary column straight off the packed buffer
+    blob_arr = pa.Array.from_buffers(
+        pa.binary(), n,
+        [None, pa.py_buffer(dstart.astype(np.int32)), pa.py_buffer(buf)])
+    out = out.append_column("tokens_blob", blob_arr)
+    blob_bytes = int(dstart[-1])
     out = out.append_column("blob_bytes",
                             pa.array([blob_bytes] * n if n else [], type=pa.int64()))
     return out.append_column("raw_bytes",
                              pa.array([raw_bytes] * n if n else [], type=pa.int64()))
 
 
+def _binary_packed(arr: pa.Array) -> tuple[np.ndarray, np.ndarray]:
+    """(binary array) -> (packed uint8 buffer slice, (S+1,) boundaries)
+    without a per-blob to_pylist: reads the Arrow offsets/data buffers
+    directly (handles a sliced array via arr.offset)."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    nbuf, obuf, dbuf = arr.buffers()
+    offs = np.frombuffer(obuf, dtype=np.int32)[
+        arr.offset:arr.offset + len(arr) + 1].astype(np.int64)
+    data = np.frombuffer(dbuf, dtype=np.uint8)[offs[0]:offs[-1]]
+    return data, offs - offs[0]
+
+
 def restore_tokens_batch(batch: pa.Table, blob_col: str = "tokens_blob") -> pa.Table:
-    blobs = batch[blob_col].to_pylist()
-    flat64, offs64 = decode_ints_batch(blobs)
+    buf, base = _binary_packed(batch[blob_col])
+    flat64, offs64 = decode_ints_batch_packed(buf, base)
     flat = flat64.astype(np.int32)
     offs = offs64.astype(np.int32)
     tokens = pa.ListArray.from_arrays(pa.array(offs, type=pa.int32()),

@@ -84,6 +84,24 @@ def test_int_roundtrip_property(v):
     _roundtrip_ints(v)
 
 
+def test_int64_min_dod_regression():
+    """dod == INT64_MIN (second difference of [0, 2^62, 0]) used to be
+    misclassified as class 4 via an np.abs overflow, polluting the
+    '11110' control prefix — scalar + batch encode/decode all agree."""
+    from feasts_ray.codecs.intcodec import (
+        decode_ints, decode_ints_batch, encode_ints, encode_ints_batch)
+
+    for xs in ([0, 2**62, 0], [0, -(2**62), 0], [5, 2**62, -(2**62), 7],
+               [0, 2**31, 0], [0, -(2**31), 0]):  # class-4/5 boundary
+        a = np.array(xs, dtype=np.int64)
+        blob = encode_ints(a)
+        np.testing.assert_array_equal(decode_ints(blob), a)
+        bb = encode_ints_batch(a, np.array([0, len(a)]))
+        assert bb[0] == blob
+        flat, offs = decode_ints_batch([blob])
+        np.testing.assert_array_equal(flat, a)
+
+
 @settings(max_examples=200, deadline=None)
 @given(
     st.lists(
