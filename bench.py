@@ -198,6 +198,10 @@ def main_ab(ref: str):
 
     shutil.copy2(os.path.join(repo, "bench.py"), os.path.join(wt, "bench.py"))
     try:
+        # one discarded warmup run: the first fresh process after a quiet
+        # period pays one-time costs (page cache, object-store spinup)
+        # that would otherwise land entirely on whichever side goes first
+        _run_worker_in(repo, NUM_CPUS, n_docs)
         runs: dict[str, list[float]] = {"ref": [], "cur": []}
         for tag, tree in (("ref", wt), ("cur", repo), ("cur", repo), ("ref", wt)):
             runs[tag].append(_run_worker_in(tree, NUM_CPUS, n_docs)["points_per_sec"])

@@ -92,6 +92,16 @@ def encode_ints(values: np.ndarray) -> bytes:
     return header + pack_codes(vals, bits)
 
 
+# encode-side class tables (index = dod class 0..5): code width, payload
+# bias, and the control prefix pre-shifted over the payload. Class 5
+# never reaches the table path (spill fallback); class 4's payload is
+# zigzag, selected separately.
+_EBITS_TAB = np.array([1, 9, 12, 16, 37, 69], dtype=np.int64)
+_EBIAS_TAB = np.array([0, 63, 255, 2047, 0, 0], dtype=np.int64)
+_ECONST_TAB = np.array([0, 0b10 << 7, 0b110 << 9, 0b1110 << 12,
+                        0b11110 << 32, 0], dtype=np.uint64)
+
+
 def encode_ints_batch(flat: np.ndarray, offs: np.ndarray) -> list[bytes]:
     """List-of-blobs facade over ``encode_ints_batch_packed`` (byte-
     identical to calling ``encode_ints`` per doc)."""
@@ -126,12 +136,18 @@ def encode_ints_batch_packed(
     n = np.diff(offs)
     m = np.maximum(n - 2, 0)  # dod codes per doc
     doc_code_start = np.cumsum(m) - m
-    doc_of = np.repeat(np.arange(S), m)
-    base = np.repeat(offs[:-1], m)
-    within = np.arange(len(doc_of)) - np.repeat(doc_code_start, m)
-    j = base + within + 2
+    # positions of every element past the first two of its doc — a mask
+    # pass instead of three code-count-sized np.repeat allocations
+    mask = np.ones(len(flat), dtype=bool)
+    firsts = offs[:-1]
+    mask[firsts[n >= 1]] = False
+    mask[(firsts + 1)[n >= 2]] = False
+    j = np.flatnonzero(mask)
     with np.errstate(over="ignore"):
-        dod = flat[j] - 2 * flat[j - 1] + flat[j - 2]
+        # global second difference + ONE gather (flat[j-2..j] never
+        # crosses a doc boundary for these j)
+        dod = np.diff(flat, n=2)[j - 2] if len(flat) >= 2 else (
+            np.zeros(0, dtype=np.int64))
     cls = np.where(dod == 0, 0,
           np.where((dod >= -63) & (dod <= 64), 1,
           np.where((dod >= -255) & (dod <= 256), 2,
@@ -139,6 +155,7 @@ def encode_ints_batch_packed(
           np.where((dod > -(1 << 31)) & (dod < (1 << 31)), 4, 5)))))
     if (cls == 5).any():
         # spill class: encode the affected docs with the scalar path
+        doc_of = np.repeat(np.arange(S), m)  # only needed on this path
         bad_docs = np.unique(doc_of[cls == 5])
         good = np.ones(S, dtype=bool)
         good[bad_docs] = False
@@ -159,18 +176,15 @@ def encode_ints_batch_packed(
         return np.frombuffer(b"".join(out), dtype=np.uint8), ds  # type: ignore[arg-type]
     du = dod.view(np.uint64)
     zz = (du << np.uint64(1)) ^ (dod >> np.int64(63)).view(np.uint64)
-    mm = len(dod)
-    vals = np.empty(mm, dtype=np.uint64)
-    bits = np.empty(mm, dtype=np.int64)
-    vals[cls == 0] = 0;                               bits[cls == 0] = 1
-    s = cls == 1
-    vals[s] = ((0b10 << 7) | (dod[s] + 63)).astype(np.uint64);    bits[s] = 9
-    s = cls == 2
-    vals[s] = ((0b110 << 9) | (dod[s] + 255)).astype(np.uint64);  bits[s] = 12
-    s = cls == 3
-    vals[s] = ((0b1110 << 12) | (dod[s] + 2047)).astype(np.uint64); bits[s] = 16
-    s = cls == 4
-    vals[s] = (np.uint64(0b11110) << np.uint64(32)) | zz[s];      bits[s] = 37
+    # table-driven code construction (no boolean-mask scatters): code =
+    # control-prefix constant | biased payload; class 4's zigzag payload
+    # is selected by the where (classes 0-3 are bias codes, class 5 is
+    # handled above)
+    bits = _EBITS_TAB[cls]
+    with np.errstate(over="ignore"):
+        pay = np.where(cls == 4, zz & np.uint64(0xFFFFFFFF),
+                       (dod + _EBIAS_TAB[cls]).view(np.uint64))
+    vals = _ECONST_TAB[cls] | pay
     # layout: per-doc [n:64][zz(v0):64][zz(d0):64][codes padded to words]
     cs = np.concatenate([[0], np.cumsum(bits)])
     bit_sum = cs[doc_code_start + m] - cs[doc_code_start]
@@ -205,8 +219,8 @@ def encode_ints_batch_packed(
     h_bits.append(np.full(int(has2.sum()), 64, dtype=np.int64))
     h_starts.append((doc_start[:-1] * 8 + 128)[has2])
     code_base_bit = (doc_start[:-1] + header_bytes) * 8
-    code_starts = (np.repeat(code_base_bit, m)
-                   + (cs[:-1] - np.repeat(cs[doc_code_start], m)))
+    code_starts = (cs[:-1]
+                   + np.repeat(code_base_bit - cs[doc_code_start], m))
     # headers are word-aligned 64-bit fields owning exclusive words —
     # direct scatter; dod codes are emitted in ascending bit order with
     # clean high bits, so the one-reduceat sorted OR applies

@@ -50,6 +50,9 @@ def archive_tokens_batch(batch: pa.Table, tokens_col: str = "tokens",
     out = batch.select(keep)
     n = len(batch)
     # zero-copy Arrow binary column straight off the packed buffer
+    if int(dstart[-1]) >= 2**31:  # pa.binary() offsets are int32
+        raise ValueError("archive batch exceeds 2 GiB of blobs; "
+                         "lower batch_size")
     blob_arr = pa.Array.from_buffers(
         pa.binary(), n,
         [None, pa.py_buffer(dstart.astype(np.int32)), pa.py_buffer(buf)])

@@ -65,3 +65,24 @@ def test_archive_restore_full_equality():
     # compression accounting columns present and sane
     a = archived.take(5)
     assert all(r["blob_bytes"] > 0 and r["raw_bytes"] > 0 for r in a)
+
+
+def test_archive_batch_sliced_and_empty():
+    """The packed zero-copy paths handle a SLICED Arrow batch (nonzero
+    arr.offset — Ray block slicing produces these) and empty batches."""
+    from feasts_ray.stages.token_archive import (
+        archive_tokens_batch, restore_tokens_batch)
+    from feasts_ray.synth import token_chunk
+
+    t = token_chunk(0, 64)
+    out = archive_tokens_batch(t)
+    # restore from a SLICE of the archived table (binary array offset > 0)
+    sl = out.slice(10, 30)
+    r = restore_tokens_batch(sl.combine_chunks())
+    want = t.slice(10, 30)["tokens"].combine_chunks()
+    assert r["tokens"].combine_chunks().equals(want)
+    # empty batch round-trips with a stable schema
+    e = archive_tokens_batch(t.slice(0, 0))
+    assert e.num_rows == 0 and "tokens_blob" in e.column_names
+    re = restore_tokens_batch(e)
+    assert re.num_rows == 0 and "tokens" in re.column_names
