@@ -9,11 +9,15 @@ Scale shape:
   2. ONE shuffle: groupby (band_id, band_hash); buckets with >1 doc emit
      candidate pairs (pair list is capped per bucket to bound giant-bucket
      blowup; cap documented in the output).
-  3. verify stage — exact n-gram Jaccard per candidate pair, fully
-     distributed: distinct candidate ids (hash agg) -> corpus semi-join
-     (shingle sets computed for candidate docs only) -> two hash joins
-     attach sh_a/sh_b to each pair -> in-kernel Jaccard + threshold
-     filter. No pair list or shingle map ever materializes on the driver.
+  3. verify stage — exact n-gram Jaccard per candidate pair, ADAPTIVE:
+     when the candidate docs' shingle payload fits a broadcast budget
+     (default 256 MB) the pack rides ONE ray.put and every pair verifies
+     in a single map_batches (zero attach shuffles; only a tiny
+     post-verify dedup groupby remains). Past the budget — heavy
+     duplication at 100 TB — the fully distributed path runs: two
+     bounded-group hash co-groups attach sh_a/sh_b to each pair, then
+     in-kernel Jaccard. Either way no unbounded pair list or shingle map
+     ever materializes on the driver (the budget is the explicit bound).
 """
 
 from __future__ import annotations
@@ -117,6 +121,48 @@ class ShingleSetBatch:
 _MIX = np.uint64(0x9E3779B97F4A7C15)
 
 
+def _collect_shingle_pack(shingles: "ray.data.Dataset", id_col: str,
+                          budget_bytes: int):
+    """Stream the (id, blob) shingle Dataset into (sorted ids, offsets,
+    packed int64 values) for the broadcast fast path. Returns None as
+    soon as the accumulated payload exceeds ``budget_bytes`` — the
+    caller then takes the fully distributed attach path, so the driver
+    never holds more than the budget."""
+    ids_c, blobs_c, total = [], [], 0
+    for b in shingles.iter_batches(batch_format="pyarrow"):
+        ids_c.append(b[id_col].to_numpy(zero_copy_only=False).astype(np.int64))
+        col = b["shingles"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        # large_binary buffers: int64 byte offsets + packed blob data —
+        # every blob is a multiple of 8 bytes (sorted int64 hashes), so
+        # the data buffer is one contiguous int64 view
+        _, obuf, dbuf = col.buffers()
+        boffs = np.frombuffer(obuf, dtype=np.int64)[
+            col.offset:col.offset + len(col) + 1]
+        lens = np.diff(boffs) // 8
+        vals = np.frombuffer(dbuf, dtype="<i8", count=int(lens.sum()),
+                             offset=int(boffs[0]))
+        blobs_c.append((vals, lens))
+        total += vals.nbytes
+        if total > budget_bytes:
+            return None
+    if not ids_c:
+        return (np.array([], dtype=np.int64), np.array([0], dtype=np.int64),
+                np.array([], dtype=np.int64))
+    ids = np.concatenate(ids_c)
+    lens = np.concatenate([l for _, l in blobs_c])
+    packed = np.concatenate([v for v, _ in blobs_c])
+    order = np.argsort(ids, kind="stable")
+    ids = ids[order]
+    starts = np.concatenate([[0], np.cumsum(lens)])
+    offs = np.concatenate([[0], np.cumsum(lens[order])])
+    out = np.empty(len(packed), dtype=np.int64)
+    for j, i in enumerate(order):  # gather blobs into sorted-id order
+        out[offs[j]:offs[j + 1]] = packed[starts[i]:starts[i + 1]]
+    return ids, offs, out
+
+
 def _attach_blobs(pairs: "ray.data.Dataset", shingles: "ray.data.Dataset",
                   key_col: str, out_col: str, id_col: str,
                   carry_cols: list[str], num_groups: int = 64,
@@ -190,6 +236,46 @@ def _attach_blobs(pairs: "ray.data.Dataset", shingles: "ray.data.Dataset",
     return tagged.groupby("_g").map_groups(_merge, batch_format="pyarrow")
 
 
+class _BroadcastJaccard:
+    """Verify kernel for the bounded-candidate fast path: the candidate
+    docs' shingle sets ride ONE ray.put as (sorted ids, offsets, packed
+    int64 values) and each pair batch verifies against zero-copy slices
+    of the shared pack — no attach shuffle at all. Only used when the
+    pack fits the broadcast budget; past that the distributed co-group
+    attach path runs instead."""
+
+    def __init__(self, pack_ref):
+        self.ids, self.offs, self.packed = (
+            ray.get(pack_ref) if isinstance(pack_ref, ray.ObjectRef)
+            else pack_ref)
+
+    def _rows(self, id_arr: np.ndarray) -> np.ndarray:
+        pos = np.searchsorted(self.ids, id_arr)
+        if (pos >= len(self.ids)).any() or (self.ids[pos] != id_arr).any():
+            raise KeyError("candidate id missing from broadcast shingle pack")
+        return pos
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        if n == 0:
+            return pa.table({"id_a": pa.array([], type=pa.int64()),
+                             "id_b": pa.array([], type=pa.int64()),
+                             "jaccard": pa.array([], type=pa.float64())})
+        ia = batch["id_a"].to_numpy(zero_copy_only=False)
+        ib = batch["id_b"].to_numpy(zero_copy_only=False)
+        ra, rb = self._rows(ia), self._rows(ib)
+        offs, packed = self.offs, self.packed
+        jac = np.empty(n)
+        for i in range(n):
+            a_ = packed[offs[ra[i]]:offs[ra[i] + 1]]
+            b_ = packed[offs[rb[i]]:offs[rb[i] + 1]]
+            inter = len(np.intersect1d(a_, b_, assume_unique=True))
+            union = len(a_) + len(b_) - inter
+            jac[i] = inter / union if union else 0.0
+        return pa.table({"id_a": batch["id_a"], "id_b": batch["id_b"],
+                         "jaccard": pa.array(jac, type=pa.float64())})
+
+
 def _jaccard_verify_batch(batch: pa.Table, threshold: float) -> pa.Table:
     """(id_a, id_b, sh_a, sh_b) -> pairs with exact Jaccard >= threshold.
     Shingle blobs decode zero-copy to sorted unique int64 arrays, so each
@@ -225,6 +311,7 @@ def minhash_dedup_pairs(
     max_bucket: int = 200,
     batch_size: int = 256,
     concurrency=(1, 8),
+    broadcast_budget: int = 256 << 20,
 ) -> "ray.data.Dataset":
     """Near-dup pairs (id_a < id_b) with exact n-gram Jaccard >= threshold.
 
@@ -274,7 +361,32 @@ def minhash_dedup_pairs(
         fn_constructor_args=(text_col, id_col, k, ray.put(wanted)),
         batch_format="pyarrow", batch_size=batch_size,
         concurrency=concurrency,
-    ).materialize()  # consumed by both attach rounds
+    ).materialize()  # consumed by the verify path (either variant)
+    # Adaptive verify. FAST PATH (candidate shingle payload fits the
+    # broadcast budget): stream the (id, blob) rows into ONE packed
+    # int64 buffer, ray.put it, and verify every pair in a single
+    # map_batches — zero attach shuffles; the only remaining all-to-all
+    # is a tiny post-verify dedup over the (near-dup-sized) survivor
+    # set. SCALE PATH (payload exceeds the budget — heavy duplication at
+    # 100 TB): the fully distributed two-co-group attach, where no node
+    # ever holds more than its groups.
+    pack = _collect_shingle_pack(shingles, id_col, broadcast_budget)
+    if pack is not None:
+        def _thresh(b: pa.Table) -> pa.Table:
+            keep = b["jaccard"].to_numpy(zero_copy_only=False) >= threshold
+            return b.filter(pa.array(keep))
+
+        verified = pairs.map_batches(
+            _BroadcastJaccard, fn_constructor_args=(ray.put(pack),),
+            batch_format="pyarrow", batch_size=4096,
+            concurrency=concurrency,
+        ).map_batches(_thresh, batch_format="pyarrow")
+        # bands emit duplicate (a, b) rows; dedup AFTER the threshold
+        # filter, when the set is near-dup-sized
+        from ray.data.aggregate import Max
+
+        return verified.groupby(["id_a", "id_b"]).aggregate(
+            Max("jaccard", alias_name="jaccard"))
     ja = _attach_blobs(pairs, shingles, "id_a", "sh_a", id_col,
                        carry_cols=["id_a", "id_b"], dedup_pairs=True)
     jb = _attach_blobs(ja, shingles, "id_b", "sh_b", id_col,

@@ -124,6 +124,23 @@ class TestMinHash:
         assert isinstance(out, ray.data.Dataset)
         assert len(out.to_pandas()) == 0
 
+    def test_broadcast_and_attach_paths_agree(self, ray_session):
+        """The bounded-candidate broadcast verify (default) and the
+        fully distributed co-group attach verify (broadcast_budget=0
+        forces it) return the identical pair set and jaccard values."""
+        texts = [" ".join(BASE * 4), " ".join(_mutate(BASE * 4, 3, 2)),
+                 " ".join(BASE * 4)]  # 0~1 near-dup, 0==2 exact
+        texts += [" ".join(f"z{i}y{j}" for j in range(60)) for i in range(6)]
+        fast = minhash_dedup_pairs(_doc_ds(texts), threshold=0.4).to_pandas()
+        slow = minhash_dedup_pairs(_doc_ds(texts), threshold=0.4,
+                                   broadcast_budget=0).to_pandas()
+        f = fast.sort_values(["id_a", "id_b"], ignore_index=True)
+        s = slow.sort_values(["id_a", "id_b"], ignore_index=True)
+        assert len(f) == len(s) >= 3
+        assert (f["id_a"].to_numpy() == s["id_a"].to_numpy()).all()
+        assert (f["id_b"].to_numpy() == s["id_b"].to_numpy()).all()
+        assert (f["jaccard"].to_numpy() == s["jaccard"].to_numpy()).all()
+
 
 class TestSimHash:
     def test_identical_docs_zero_hamming(self, ray_session):
