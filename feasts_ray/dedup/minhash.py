@@ -124,10 +124,15 @@ _MIX = np.uint64(0x9E3779B97F4A7C15)
 def _collect_shingle_pack(shingles: "ray.data.Dataset", id_col: str,
                           budget_bytes: int):
     """Stream the (id, blob) shingle Dataset into (sorted ids, offsets,
-    packed int64 values) for the broadcast fast path. Returns None as
-    soon as the accumulated payload exceeds ``budget_bytes`` — the
-    caller then takes the fully distributed attach path, so the driver
-    never holds more than the budget."""
+    packed int64 values) for the broadcast fast path. Returns None when
+    the payload exceeds ``budget_bytes`` — the caller then takes the
+    fully distributed attach path. Cheap pre-check first: ``shingles``
+    is materialized, so size_bytes() answers without pulling a single
+    block to the driver; the in-stream check is the exact backstop.
+    Transient driver memory on the accepted path is ~2x the payload
+    (chunk views + the sorted gather output)."""
+    if shingles.size_bytes() > budget_bytes:
+        return None
     ids_c, blobs_c, total = [], [], 0
     for b in shingles.iter_batches(batch_format="pyarrow"):
         ids_c.append(b[id_col].to_numpy(zero_copy_only=False).astype(np.int64))
@@ -153,14 +158,18 @@ def _collect_shingle_pack(shingles: "ray.data.Dataset", id_col: str,
     ids = np.concatenate(ids_c)
     lens = np.concatenate([l for _, l in blobs_c])
     packed = np.concatenate([v for v, _ in blobs_c])
+    del ids_c, blobs_c
     order = np.argsort(ids, kind="stable")
     ids = ids[order]
     starts = np.concatenate([[0], np.cumsum(lens)])
     offs = np.concatenate([[0], np.cumsum(lens[order])])
-    out = np.empty(len(packed), dtype=np.int64)
-    for j, i in enumerate(order):  # gather blobs into sorted-id order
-        out[offs[j]:offs[j + 1]] = packed[starts[i]:starts[i + 1]]
-    return ids, offs, out
+    # vectorized gather into sorted-id order: element i of blob j maps to
+    # packed[starts[order[j]] + i] — one C-speed fancy index, no per-doc
+    # Python loop (O(#candidate docs) interpreter iterations otherwise)
+    lo = lens[order]
+    idx = (np.repeat(starts[order] - offs[:-1], lo)
+           + np.arange(int(offs[-1]), dtype=np.int64))
+    return ids, offs, packed[idx]
 
 
 def _attach_blobs(pairs: "ray.data.Dataset", shingles: "ray.data.Dataset",
@@ -315,17 +324,22 @@ def minhash_dedup_pairs(
 ) -> "ray.data.Dataset":
     """Near-dup pairs (id_a < id_b) with exact n-gram Jaccard >= threshold.
 
-    Distributed end-to-end — no driver-side pair list or shingle map:
-      bands -> bounded-group candidate pairs (Dataset, hash-deduped)
-      -> candidate-id array broadcast (ray.put; 8 B per candidate doc,
-         the only driver-side structure)
+    Shared front: bands -> bounded-group candidate pairs (Dataset)
+      -> candidate-id array broadcast (ray.put; 8 B per candidate doc)
       -> corpus SCAN computes shingle sets for candidate docs only
-         (vectorized searchsorted filter; the corpus is never shuffled)
-      -> two bounded-group hash co-groups attach sh_a / sh_b to pairs
-      -> in-kernel exact-Jaccard verify + threshold filter.
-    The verified pair Dataset is the return value; the candidate pair
-    set and every shingle blob live in the (spillable) object store,
-    shuffled — never collected to one node.
+         (vectorized searchsorted filter; the corpus is never shuffled).
+    Adaptive verify (see module docstring):
+      FAST PATH (shingle payload <= ``broadcast_budget``, default
+      256 MB): pair-dedup groupby -> ray.put shingle pack -> single
+      map_batches exact-Jaccard + threshold. The driver transiently
+      holds ~2x the payload while building the pack — size driver
+      memory for 2 * broadcast_budget, or lower the budget.
+      SCALE PATH (payload over budget — detected via the materialized
+      Dataset's size_bytes() before any block reaches the driver): two
+      bounded-group hash co-groups attach sh_a / sh_b to pairs, then
+      in-kernel verify; nothing shingle-sized ever lands on the driver.
+    Either way the verified pair Dataset is the return value and the
+    candidate pair set lives in the (spillable) object store.
     """
     from .pairs import emit_candidate_pairs_ds
 
@@ -336,9 +350,11 @@ def minhash_dedup_pairs(
         batch_size=batch_size,
         concurrency=concurrency,
     )
-    # materialize: `pairs` feeds the id sweep and the attach rounds;
+    # materialize: `pairs` feeds the id sweep and the verify stage;
     # without it the band+shuffle pipeline re-executes per consumer.
-    # dedup=False: attach round A dedups in-group for free.
+    # dedup=False: each verify path dedups where it is cheapest (fast
+    # path: int-pair groupby before the verify; scale path: in-group
+    # during attach round A).
     pairs = emit_candidate_pairs_ds(bands, ["band", "band_hash"], id_col,
                                     max_bucket=max_bucket,
                                     dedup=False).materialize()
@@ -372,21 +388,24 @@ def minhash_dedup_pairs(
     # ever holds more than its groups.
     pack = _collect_shingle_pack(shingles, id_col, broadcast_budget)
     if pack is not None:
+        # bands emit up to n_bands duplicate rows per true pair (exact
+        # dups collide in EVERY band), so dedup BEFORE the verify — one
+        # light int-pair groupby — or the O(|A|+|B|) intersect would run
+        # n_bands times per duplicate pair
+        from ray.data.aggregate import Count
+
+        uniq = pairs.groupby(["id_a", "id_b"]).aggregate(
+            Count(alias_name="_nb")).drop_columns(["_nb"])
+
         def _thresh(b: pa.Table) -> pa.Table:
             keep = b["jaccard"].to_numpy(zero_copy_only=False) >= threshold
             return b.filter(pa.array(keep))
 
-        verified = pairs.map_batches(
+        return uniq.map_batches(
             _BroadcastJaccard, fn_constructor_args=(ray.put(pack),),
             batch_format="pyarrow", batch_size=4096,
             concurrency=concurrency,
         ).map_batches(_thresh, batch_format="pyarrow")
-        # bands emit duplicate (a, b) rows; dedup AFTER the threshold
-        # filter, when the set is near-dup-sized
-        from ray.data.aggregate import Max
-
-        return verified.groupby(["id_a", "id_b"]).aggregate(
-            Max("jaccard", alias_name="jaccard"))
     ja = _attach_blobs(pairs, shingles, "id_a", "sh_a", id_col,
                        carry_cols=["id_a", "id_b"], dedup_pairs=True)
     jb = _attach_blobs(ja, shingles, "id_b", "sh_b", id_col,

@@ -70,8 +70,16 @@ def _binary_packed(arr: pa.Array) -> tuple[np.ndarray, np.ndarray]:
     directly (handles a sliced array via arr.offset)."""
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
+    # offsets width depends on the Arrow type — reading large_binary's
+    # int64 offsets as int32 would silently produce garbage boundaries
+    if arr.type == pa.binary():
+        odt = np.int32
+    elif arr.type == pa.large_binary():
+        odt = np.int64
+    else:
+        raise TypeError(f"expected (large_)binary blobs, got {arr.type}")
     nbuf, obuf, dbuf = arr.buffers()
-    offs = np.frombuffer(obuf, dtype=np.int32)[
+    offs = np.frombuffer(obuf, dtype=odt)[
         arr.offset:arr.offset + len(arr) + 1].astype(np.int64)
     data = np.frombuffer(dbuf, dtype=np.uint8)[offs[0]:offs[-1]]
     return data, offs - offs[0]
