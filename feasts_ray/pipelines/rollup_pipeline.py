@@ -166,7 +166,13 @@ def run_rollup(
 
             cpus = (int(_ray.cluster_resources().get("CPU", 8))
                     if _ray.is_initialized() else 8)
-            nblk = max(cpus, ckpt.dir_bytes(prev_points) // (128 << 20))
+            prev_bytes = ckpt.dir_bytes(prev_points)
+            # tiny-tier fast path: when the prior tier's points fit well
+            # under one block, the groupby all-to-all is pure fixed
+            # latency — run_tier(single_block=True) applies the same
+            # kernel inside ONE coalesced block instead (zero shuffle)
+            single = prev_bytes < (32 << 20)
+            nblk = 1 if single else max(cpus, prev_bytes // (128 << 20))
             ds = ray.data.read_parquet(
                 str(prev_points),
                 columns=[cfg.series_key, "bucket", "count", "sum", "min", "max"],
@@ -191,6 +197,7 @@ def run_rollup(
             spans or {}, gap_fill=tier_gap_fill,
             blobs_dir=str(blobs_dir) if encode else None,
             key_col=cfg.series_key,
+            single_block=(k > 0 and single),
         )
         # The next tier re-reads this tier's parquet. Measured:
         # materializing points for in-memory reuse UN-fuses the write

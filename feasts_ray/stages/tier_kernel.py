@@ -212,9 +212,17 @@ def run_tier(
     blobs_dir: str | None,
     key_col: str = "source",
     concurrency=(1, 16),
+    single_block: bool = False,
 ) -> "ray.data.Dataset":
     """partials (key,bucket,count,sum,min,max) -> final tier points; the
-    ONE shuffle is groupby(key, segment) with bounded groups."""
+    ONE shuffle is groupby(key, segment) with bounded groups.
+
+    ``single_block=True`` is the tiny-tier fast path: coarse cascade
+    tiers re-aggregate a few MB of the prior tier's points, where the
+    groupby's all-to-all is pure fixed latency (~1 s/tier). The caller
+    asserts smallness (bytes threshold on the prior tier's output);
+    the IDENTICAL kernel then runs per (key, segment) group inside one
+    coalesced block — same output, zero shuffle."""
     seg_span = segment_points * unit_s
     seeded = partials
     if gap_fill:
@@ -229,6 +237,25 @@ def run_tier(
     kernel = TierSegmentKernel(tier_name, unit_s, seg_span,
                                _put_once(spans) if gap_fill else {},
                                gap_fill, blobs_dir, key_col)
+    if single_block:
+        def _whole(df: pd.DataFrame) -> pd.DataFrame:
+            if df.empty:
+                return pd.DataFrame({
+                    key_col: pd.Series(dtype=object),
+                    "bucket": pd.Series(dtype=np.int64),
+                    "count": pd.Series(dtype=np.int64),
+                    "sum": pd.Series(dtype=np.int64),
+                    "min": pd.Series(dtype=np.float64),
+                    "max": pd.Series(dtype=np.float64),
+                    "mean": pd.Series(dtype=np.float64),
+                })
+            return pd.concat(
+                [kernel(g) for _, g in
+                 df.groupby([key_col, "segment"], sort=False)],
+                ignore_index=True)
+
+        return with_seg.repartition(1).map_batches(
+            _whole, batch_format="pandas", batch_size=None)
     return with_seg.groupby([key_col, "segment"]).map_groups(
         kernel.__call__, batch_format="pandas",
     )
