@@ -148,3 +148,30 @@ def test_spans_broadcast_not_in_closure(ray_session):
     df["min"] = df["sum"]
     df["max"] = df["sum"]
     _compare(_run(df, 60, gap_fill=True), _oracle(df, 60, gap_fill=True))
+
+
+def test_single_block_path_matches_distributed(ray_session):
+    """run_tier(single_block=True) — the tiny-tier zero-shuffle fast
+    path — produces the IDENTICAL point set as the distributed groupby
+    path, gap-filled and not, including blob-free float semantics."""
+    rng = np.random.default_rng(7)
+    df = pd.DataFrame({
+        "source": rng.choice(["p", "q", "r"], 4000),
+        "bucket": rng.integers(0, 2000, 4000) * 60,
+        "count": 1, "sum": rng.integers(1, 90, 4000),
+    })
+    df["min"] = df["sum"]
+    df["max"] = df["sum"]
+    for gap_fill in (False, True):
+        ds = _partials_ds(df)
+        spans = spans_from_partials(ds, key_col="source") if gap_fill else {}
+        dist = run_tier(ds, "t", 60, 64, spans, gap_fill=gap_fill,
+                        blobs_dir=None, key_col="source"
+                        ).to_pandas().sort_values(
+            ["source", "bucket"], ignore_index=True)
+        single = run_tier(_partials_ds(df), "t", 60, 64, spans,
+                          gap_fill=gap_fill, blobs_dir=None,
+                          key_col="source", single_block=True
+                          ).to_pandas().sort_values(
+            ["source", "bucket"], ignore_index=True)
+        _compare(single, dist)
