@@ -100,6 +100,33 @@ series AS (
   FROM dense d LEFT JOIN agg a ON a.event_type = d.event_type AND a.bucket = d.bucket)
 """.format(sec=_EV_SEC.format(u=3600))
 
+_TSDISPLAY_1H = """
+WITH {series},
+stats AS (SELECT event_type, COUNT(*) AS n, SUM(x) AS s, SUM(x*x) AS ss FROM series GROUP BY event_type),
+lags AS (
+  SELECT a.event_type, k.lag AS lag, SUM(a.x * b.x) AS sxy,
+         SUM(a.x) AS h, SUM(b.x) AS t, COUNT(*) AS cnt
+  FROM series a
+  JOIN (SELECT range AS lag FROM range(1, 25)) k ON TRUE
+  JOIN series b ON b.event_type = a.event_type AND b.bucket = a.bucket + k.lag * 3600
+  GROUP BY a.event_type, k.lag),
+p1 AS (SELECT event_type, 'series' AS panel, bucket AS px,
+         CAST(x AS DOUBLE) AS py FROM series),
+p2 AS (SELECT l.event_type, 'acf' AS panel, l.lag AS px,
+  ((l.sxy - (CAST(st.s AS DOUBLE) / st.n) * (l.h + l.t))
+    + (l.cnt * (CAST(st.s AS DOUBLE) / st.n)) * (CAST(st.s AS DOUBLE) / st.n))
+  / (st.ss - st.s * (CAST(st.s AS DOUBLE) / st.n)) AS py
+  FROM lags l JOIN stats st ON st.event_type = l.event_type),
+p3 AS (SELECT event_type, 'season' AS panel, (bucket % 86400) // 3600 AS px,
+         CAST(SUM(x) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS py
+       FROM series GROUP BY event_type, (bucket % 86400) // 3600)
+SELECT event_type, panel, px AS x, py AS y FROM p1
+UNION ALL SELECT event_type, panel, px, py FROM p2
+UNION ALL SELECT event_type, panel, px, py FROM p3
+""".format(series=_SERIES_1H)
+
+
+
 # ACF table (cf stage): same exact-power-sum expression as _ACF_1H plus
 # the stage's num_obs column.
 _ACF_TABLE_1H = """
@@ -491,6 +518,8 @@ def oracle_sql() -> dict[str, str]:
     from feasts_ray.oracle.unitroot_sql import unitroot_sql
     from feasts_ray.oracle.stl_sql import feat_stl_sql, nsdiffs_sql, stl_sql
     from feasts_ray.oracle.x11_sql import x11_additive_sql
+    from feasts_ray.oracle.arma_sql import (
+        arma_roots_sql, irf_sql, tsresiduals_sql)
 
     return {
         "feat_acf_1h": feat_acf_sql(_SERIES_1H, period=24),
@@ -549,6 +578,15 @@ FROM r
         "feat_stl_1h": feat_stl_sql(_SERIES_1H, period=24, s_window=11),
         # nsdiffs: the 0.64 seasonal-strength rule on bit-exact strengths
         "nsdiffs_1h": nsdiffs_sql(_SERIES_1H, period=24, s_window=11),
+        # gg_arma / gg_irf data layers: DL on the exact power-sum ACF,
+        # quadratic-formula roots / recursive-CTE psi (oracle/arma_sql.py)
+        "arma_roots_1h": arma_roots_sql(_SERIES_1H),
+        "irf_1h": irf_sql(_SERIES_1H, h_max=24),
+        # gg_tsresiduals data layer: AR(3) innovation residuals
+        "tsresiduals_1h": tsresiduals_sql(_SERIES_1H),
+        # gg_tsdisplay data layer: series + exact ACF + hour-of-day
+        # seasonal means as one long (event_type, panel, x, y) table
+        "tsdisplay_1h": _TSDISPLAY_1H,
         "langid": _LANGID,
         # md5-LE word hashes make SimHash / the FNV rolling fingerprint
         # exact-integer SQL (oracle/simhash_sql.py). The simhash oracle

@@ -573,6 +573,146 @@ def q_pacf_table_1h(sf_dir: str):
                       ["event_type"], time_col="bucket", lag_max=24)
 
 
+def q_arma_roots_1h(sf_dir: str):
+    """gg_arma data layer (reference R/graphics.R): inverse AR(2)
+    characteristic roots per key, coefficients fitted by sequential
+    Durbin-Levinson on the exact integer-power-sum ACF — bit-exact vs
+    the quadratic-formula DuckDB oracle (oracle/arma_sql.py)."""
+    from ..functions.acf import acf_exact_int
+    from ..functions.arma import ar2_inverse_roots, ar_coefs_seq
+
+    def _kernel(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("bucket", kind="mergesort")
+        x = g["value"].to_numpy(np.float64).astype(np.int64)
+        rho = acf_exact_int(x, 3)
+        phi = ar_coefs_seq(rho, 2)
+        roots = ar2_inverse_roots(phi[0], phi[1])
+        return pd.DataFrame({
+            "event_type": [g["event_type"].iloc[0]] * 2,
+            "root": np.array([1, 2], dtype=np.int64),
+            "re": np.array([r[0] for r in roots]),
+            "im": np.array([r[1] for r in roots]),
+        })
+
+    return _hourly_count_series(sf_dir).groupby("event_type").map_groups(
+        _kernel, batch_format="pandas")
+
+
+def q_irf_1h(sf_dir: str):
+    """gg_irf data layer: AR(3) impulse responses (psi weights h=0..24)
+    per key — the psi recursion's three-term tree is mirrored by a
+    recursive-CTE DuckDB oracle (oracle/arma_sql.py), bit-exact."""
+    from ..functions.acf import acf_exact_int
+    from ..functions.arma import ar_coefs_seq, ar_psi_weights
+
+    def _kernel(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("bucket", kind="mergesort")
+        x = g["value"].to_numpy(np.float64).astype(np.int64)
+        rho = acf_exact_int(x, 3)
+        phi = ar_coefs_seq(rho, 3)
+        psi = ar_psi_weights(phi, 24)
+        return pd.DataFrame({
+            "event_type": [g["event_type"].iloc[0]] * 25,
+            "h": np.arange(25, dtype=np.int64),
+            "irf": psi,
+        })
+
+    return _hourly_count_series(sf_dir).groupby("event_type").map_groups(
+        _kernel, batch_format="pandas")
+
+
+def q_tsdisplay_1h(sf_dir: str):
+    """gg_tsdisplay data layer (reference R/graphics.R): three panels in
+    one long table — the gap-filled hourly series, its exact-power-sum
+    ACF (lags 1..24), and the hour-of-day seasonal means — columns
+    (event_type, panel, x, y); every y rides an already-bit-exact
+    expression, so the union oracle is bit-exact too."""
+    series = _hourly_count_series(sf_dir)
+
+    def _series_panel(b: pa.Table) -> pa.Table:
+        n = len(b)
+        return pa.table({
+            "event_type": b["event_type"],
+            "panel": pa.array(["series"] * n),
+            "x": b["bucket"].cast(pa.int64()),
+            "y": b["value"],
+        })
+
+    p_series = series.map_batches(_series_panel, batch_format="pyarrow")
+
+    def _acf_panel(b: pa.Table) -> pa.Table:
+        n = len(b)
+        return pa.table({
+            "event_type": b["event_type"],
+            "panel": pa.array(["acf"] * n),
+            "x": b["lag"].cast(pa.int64()),
+            "y": b["acf"],
+        })
+
+    p_acf = ACF_table(_hourly_count_series(sf_dir), "value", ["event_type"],
+                      time_col="bucket", lag_max=24).map_batches(
+        _acf_panel, batch_format="pyarrow")
+
+    def _season_partial(b: pa.Table) -> pa.Table:
+        df = pa.table({
+            "event_type": b["event_type"],
+            "hod": pa.array((b["bucket"].to_numpy(zero_copy_only=False)
+                             % 86400) // 3600, type=pa.int64()),
+            "c": pa.array(b["value"].to_numpy(zero_copy_only=False)
+                          .astype(np.int64)),
+        }).to_pandas()
+        g = df.groupby(["event_type", "hod"], sort=False)["c"]
+        out = g.agg(s="sum", n="count").reset_index()
+        return pa.Table.from_pandas(out, preserve_index=False
+                                    ).replace_schema_metadata(None)
+
+    def _season_final(b: pa.Table) -> pa.Table:
+        s = b["s"].to_numpy(zero_copy_only=False).astype(np.float64)
+        n = b["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table({
+            "event_type": b["event_type"],
+            "panel": pa.array(["season"] * len(b)),
+            "x": b["hod"].cast(pa.int64()),
+            "y": pa.array(s / n, type=pa.float64()),
+        })
+
+    p_season = (series.map_batches(_season_partial, batch_format="pyarrow")
+                .groupby(["event_type", "hod"])
+                .aggregate(Sum("s", alias_name="s"), Sum("n", alias_name="n"))
+                .map_batches(_season_final, batch_format="pyarrow"))
+    return p_series.union(p_acf).union(p_season)
+
+
+def q_tsresiduals_1h(sf_dir: str):
+    """gg_tsresiduals data layer: innovation residuals of the AR(3) fit
+    (DL on the exact ACF, demeaned) per key — the residual expression
+    tree ((xc - a1*xc1) - a2*xc2) - a3*xc3 is mirrored by the DuckDB
+    oracle (oracle/arma_sql.py), bit-exact. The residual ACF / Ljung-Box
+    panels reuse the generic ACF / portmanteau stages (suite-pinned)."""
+    from ..functions.acf import acf_exact_int
+    from ..functions.arma import ar_coefs_seq
+
+    def _kernel(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("bucket", kind="mergesort")
+        x = g["value"].to_numpy(np.float64).astype(np.int64)
+        n = len(x)
+        rho = acf_exact_int(x, 3)
+        a1, a2, a3 = ar_coefs_seq(rho, 3)
+        m = int(x.sum()) / n
+        xc = x - m
+        r = xc[3:] - a1 * xc[2:-1]
+        r = r - a2 * xc[1:-2]
+        r = r - a3 * xc[:-3]
+        return pd.DataFrame({
+            "event_type": [g["event_type"].iloc[0]] * (n - 3),
+            "bucket": g["bucket"].to_numpy(np.int64)[3:],
+            "resid": r,
+        })
+
+    return _hourly_count_series(sf_dir).groupby("event_type").map_groups(
+        _kernel, batch_format="pandas")
+
+
 def _hourly_count_series(sf_dir: str):
     """Gap-filled hourly event-count series (no NaN: gaps are 0 counts —
     STL requires a complete series, R/stl.R:52-54)."""
@@ -798,6 +938,10 @@ ALL_QUERIES = {
     "arch_lm_1h": q_arch_lm_1h,
     "acf_table_1h": q_acf_table_1h,
     "pacf_table_1h": q_pacf_table_1h,
+    "arma_roots_1h": q_arma_roots_1h,
+    "irf_1h": q_irf_1h,
+    "tsdisplay_1h": q_tsdisplay_1h,
+    "tsresiduals_1h": q_tsresiduals_1h,
     "stl_1h": q_stl_1h,
     "classical_1h": q_classical_1h,
     "ccf_1h": q_ccf_1h,
