@@ -627,7 +627,9 @@ def q_tsdisplay_1h(sf_dir: str):
     ACF (lags 1..24), and the hour-of-day seasonal means — columns
     (event_type, panel, x, y); every y rides an already-bit-exact
     expression, so the union oracle is bit-exact too."""
-    series = _hourly_count_series(sf_dir)
+    # three consumers (series/acf/season panels): materialize the tiny
+    # gap-filled series once instead of re-running the events rollup 3x
+    series = _hourly_count_series(sf_dir).materialize()
 
     def _series_panel(b: pa.Table) -> pa.Table:
         n = len(b)
@@ -649,7 +651,7 @@ def q_tsdisplay_1h(sf_dir: str):
             "y": b["acf"],
         })
 
-    p_acf = ACF_table(_hourly_count_series(sf_dir), "value", ["event_type"],
+    p_acf = ACF_table(series, "value", ["event_type"],
                       time_col="bucket", lag_max=24).map_batches(
         _acf_panel, batch_format="pyarrow")
 
