@@ -286,6 +286,13 @@ def connected_components(edges: "ray.data.Dataset",
         # convergence probe: tiny driver aggregate over the int8 flag
         if not labels.sum("chg"):
             break
+    else:
+        # Non-converged labels are WRONG (not the component min), never
+        # return them as if they were a correct assignment. With pointer
+        # jumping, 16 rounds cover component diameters up to ~2^16.
+        raise RuntimeError(
+            f"connected_components did not converge in {max_rounds} "
+            "rounds (labels still changing); raise max_rounds")
     return labels.map_batches(_strip, batch_format="pyarrow").union(singles)
 
 

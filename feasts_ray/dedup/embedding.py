@@ -80,8 +80,6 @@ class _ExactPairKernel:
     float32 BLAS matmul is only a SCREEN (threshold - margin); survivors
     are recomputed with the exact fold before the >= threshold cut."""
 
-    _MARGIN = 1e-3  # >> float32 matmul-vs-sequential-fold drift at dim<=4096
-
     def __init__(self, emb_col: str, id_col: str, corpus_ref,
                  threshold: float):
         self.emb_col = emb_col
@@ -93,6 +91,14 @@ class _ExactPairKernel:
         self.cnrm = np.sqrt(np.cumsum(mat * mat, axis=1,
                                       dtype=np.float32)[:, -1])
         self.threshold = threshold
+        # Screen slack must dominate the worst-case relative drift between
+        # the BLAS float32 matmul and the sequential float32 fold, which
+        # grows linearly with dim (~dim * eps32 per accumulation chain);
+        # a fixed constant would silently drop qualifying pairs at high
+        # dim. 16x safety factor; floor keeps the historical 1e-3 slack.
+        dim = mat.shape[1] if mat.ndim == 2 else 0
+        self._margin = max(1e-3,
+                           16.0 * dim * float(np.finfo(np.float32).eps))
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         bmat = _emb_matrix(batch, self.emb_col).astype(np.float32)
@@ -108,7 +114,7 @@ class _ExactPairKernel:
                                  dtype=np.float32)[:, -1])
         with np.errstate(divide="ignore", invalid="ignore"):
             screen = (bmat @ self.cmat.T) / np.outer(bnrm, self.cnrm)
-        cand = (screen >= self.threshold - self._MARGIN) & (
+        cand = (screen >= self.threshold - self._margin) & (
             bids[:, None] < self.cids[None, :])
         bi, cj = np.nonzero(cand)
         if len(bi) == 0:

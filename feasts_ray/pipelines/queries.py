@@ -582,6 +582,11 @@ def q_arma_roots_1h(sf_dir: str):
     from ..functions.arma import ar2_inverse_roots, ar_coefs_seq
 
     def _kernel(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 4:  # acf_exact_int needs n > lag_max=3
+            return pd.DataFrame({"event_type": pd.Series(dtype=object),
+                                 "root": pd.Series(dtype=np.int64),
+                                 "re": pd.Series(dtype=np.float64),
+                                 "im": pd.Series(dtype=np.float64)})
         g = g.sort_values("bucket", kind="mergesort")
         x = g["value"].to_numpy(np.float64).astype(np.int64)
         rho = acf_exact_int(x, 3)
@@ -606,6 +611,10 @@ def q_irf_1h(sf_dir: str):
     from ..functions.arma import ar_coefs_seq, ar_psi_weights
 
     def _kernel(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 4:  # acf_exact_int needs n > lag_max=3
+            return pd.DataFrame({"event_type": pd.Series(dtype=object),
+                                 "h": pd.Series(dtype=np.int64),
+                                 "irf": pd.Series(dtype=np.float64)})
         g = g.sort_values("bucket", kind="mergesort")
         x = g["value"].to_numpy(np.float64).astype(np.int64)
         rho = acf_exact_int(x, 3)
@@ -695,6 +704,10 @@ def q_tsresiduals_1h(sf_dir: str):
     from ..functions.arma import ar_coefs_seq
 
     def _kernel(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 4:  # n-3 residual rows need n >= 4
+            return pd.DataFrame({"event_type": pd.Series(dtype=object),
+                                 "bucket": pd.Series(dtype=np.int64),
+                                 "resid": pd.Series(dtype=np.float64)})
         g = g.sort_values("bucket", kind="mergesort")
         x = g["value"].to_numpy(np.float64).astype(np.int64)
         n = len(x)
@@ -900,6 +913,14 @@ def q_lag_pairs_1h(sf_dir: str):
 
 
 ALL_QUERIES = {
+    # Never-yet-driver-sampled queries sort FIRST: the round-3 driver
+    # checked only the first 50 of 54 registered queries, skipping
+    # exactly the tail of this dict (x11_1h's SQL oracle has never
+    # produced a hard driver signal — VERDICT r03 item 1).
+    "x11_1h": q_x11_1h,
+    "seasonal_subseries_1h": q_seasonal_subseries_1h,
+    "seasonal_overlay_1h": q_seasonal_overlay_1h,
+    "lag_pairs_1h": q_lag_pairs_1h,
     "rollup_1m": q_rollup_1m,
     "rollup_1h_cascade": q_rollup_1h_cascade,
     "gapfill_1h": q_gapfill_1h,
@@ -950,8 +971,4 @@ ALL_QUERIES = {
     "cointegration_1h": q_cointegration_1h,
     "rolling_24h": q_rolling_24h,
     "anomalies_1h": q_anomalies_1h,
-    "seasonal_subseries_1h": q_seasonal_subseries_1h,
-    "seasonal_overlay_1h": q_seasonal_overlay_1h,
-    "x11_1h": q_x11_1h,
-    "lag_pairs_1h": q_lag_pairs_1h,
 }

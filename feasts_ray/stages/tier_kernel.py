@@ -36,6 +36,11 @@ import ray.data
 from ..codecs import encode_ints, encode_nullable_floats, encode_nullable_ints
 
 _BROADCAST_CACHE: dict = {}
+# Only the CURRENT run's spans ref is ever resolved again, but Ray worker
+# processes outlive a run — an unbounded cache would accumulate one spans
+# dict per run_tier invocation forever. A tiny LRU (a few in-flight tiers
+# may interleave in one process) bounds worker memory.
+_BROADCAST_CACHE_MAX = 4
 
 
 def _resolve_broadcast(ref):
@@ -44,7 +49,12 @@ def _resolve_broadcast(ref):
     group. Pass-through for plain objects (tests, driver-side use)."""
     if isinstance(ref, ray.ObjectRef):
         key = ref.hex()
-        if key not in _BROADCAST_CACHE:
+        if key in _BROADCAST_CACHE:
+            # move-to-end = LRU recency (dicts preserve insertion order)
+            _BROADCAST_CACHE[key] = _BROADCAST_CACHE.pop(key)
+        else:
+            while len(_BROADCAST_CACHE) >= _BROADCAST_CACHE_MAX:
+                _BROADCAST_CACHE.pop(next(iter(_BROADCAST_CACHE)))
             _BROADCAST_CACHE[key] = ray.get(ref)
         return _BROADCAST_CACHE[key]
     return ref

@@ -70,6 +70,14 @@ def _binary_packed(arr: pa.Array) -> tuple[np.ndarray, np.ndarray]:
     directly (handles a sliced array via arr.offset)."""
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
+    # A null blob has a zero-length offsets slot the decoder would
+    # happily decode into a wrong EMPTY doc — surface the corruption
+    # instead of silently absorbing it (the validity buffer is otherwise
+    # ignored below).
+    if arr.null_count:
+        raise ValueError(
+            f"{arr.null_count} null blob row(s) in archive column; "
+            "token blobs must be non-null")
     # offsets width depends on the Arrow type — reading large_binary's
     # int64 offsets as int32 would silently produce garbage boundaries
     if arr.type == pa.binary():

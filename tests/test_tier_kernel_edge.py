@@ -150,6 +150,21 @@ def test_spans_broadcast_not_in_closure(ray_session):
     _compare(_run(df, 60, gap_fill=True), _oracle(df, 60, gap_fill=True))
 
 
+def test_broadcast_cache_bounded(ray_session):
+    """The per-process broadcast cache is a tiny LRU: long-lived Ray
+    workers must not accumulate one spans dict per pipeline run."""
+    import ray as _ray
+
+    from feasts_ray.stages import tier_kernel as tk
+
+    refs = [_ray.put({"k": i}) for i in range(tk._BROADCAST_CACHE_MAX + 3)]
+    for r in refs:
+        assert tk._resolve_broadcast(r)["k"] is not None
+    assert len(tk._BROADCAST_CACHE) <= tk._BROADCAST_CACHE_MAX
+    # most-recent entry survives and still resolves from cache
+    assert tk._resolve_broadcast(refs[-1])["k"] == len(refs) - 1
+
+
 def test_single_block_path_matches_distributed(ray_session):
     """run_tier(single_block=True) — the tiny-tier zero-shuffle fast
     path — produces the IDENTICAL point set as the distributed groupby

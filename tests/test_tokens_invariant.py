@@ -67,6 +67,20 @@ def test_archive_restore_full_equality():
     assert all(r["blob_bytes"] > 0 and r["raw_bytes"] > 0 for r in a)
 
 
+def test_restore_rejects_null_blobs():
+    """A null blob row must raise, not silently decode as an empty doc
+    (the decoder ignores the validity buffer and would read a zero-length
+    offsets slot as a wrong empty token array)."""
+    import pytest
+
+    from feasts_ray.stages.token_archive import restore_tokens_batch
+
+    t = pa.table({"doc_id": pa.array([1, 2], type=pa.int64()),
+                  "tokens_blob": pa.array([b"\x00", None], type=pa.binary())})
+    with pytest.raises(ValueError, match="null blob"):
+        restore_tokens_batch(t)
+
+
 def test_archive_batch_sliced_and_empty():
     """The packed zero-copy paths handle a SLICED Arrow batch (nonzero
     arr.offset — Ray block slicing produces these) and empty batches."""
