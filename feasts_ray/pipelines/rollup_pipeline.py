@@ -110,6 +110,55 @@ def run_token_archive(input_path: str, out_dir: str, lineage: str) -> dict:
     return ckpt.load_manifest(arch_dir)
 
 
+def run_token_features_and_archive(input_path: str, out_dir: str,
+                                   lineage: str) -> dict[str, dict]:
+    """Fused single-scan variant of run_token_features + run_token_archive:
+    both stages are per-doc and need the large tokens column, so a fresh
+    run reads the corpus ONCE and computes both (see stages/doc_fused.py).
+    If either stage is already checkpointed, only the other runs (via its
+    standalone runner) — resume semantics are unchanged."""
+    from ..stages.doc_fused import fused_doc_batch
+
+    feat_dir = Path(out_dir) / "features"
+    arch_dir = Path(out_dir) / "tokens_archive"
+    feat_done = ckpt.is_complete(feat_dir, lineage)
+    arch_done = ckpt.is_complete(arch_dir, lineage)
+    if feat_done or arch_done:
+        return {
+            "features": (ckpt.load_manifest(feat_dir) if feat_done
+                         else run_token_features(input_path, out_dir, lineage)),
+            "tokens_archive": (ckpt.load_manifest(arch_dir) if arch_done
+                               else run_token_archive(input_path, out_dir,
+                                                      lineage)),
+        }
+    points_dir = feat_dir / "points"
+    blobs_dir = arch_dir / "blobs"
+    for d in (points_dir, blobs_dir):
+        if d.exists():
+            shutil.rmtree(d)
+    t0 = time.perf_counter()
+    ds = ray.data.read_parquet(input_path, columns=["doc_id", "tokens",
+                                                    "n_tok", "source"])
+    ds.map_batches(
+        fused_doc_batch, batch_format="pyarrow", batch_size=4096,
+        fn_kwargs={"features_dir": str(points_dir)},
+    ).write_parquet(str(blobs_dir))
+    wall = time.perf_counter() - t0
+    feat_rows = pads.dataset(str(points_dir)).count_rows()
+    arch_rows = pads.dataset(str(blobs_dir)).count_rows()
+    m_feat = {"tier": "features", "lineage": lineage, "rows_out": feat_rows,
+              "points": feat_rows, "wall_s": wall, "fused_scan": True,
+              "input": input_path}
+    m_arch = {"tier": "tokens_archive", "lineage": lineage,
+              "rows_out": arch_rows, "points": arch_rows,
+              "bytes_blobs": ckpt.dir_bytes(blobs_dir), "wall_s": wall,
+              "fused_scan": True, "input": input_path}
+    ckpt.save_manifest(feat_dir, m_feat)
+    ckpt.save_manifest(arch_dir, m_arch)
+    return {"features": ckpt.load_manifest(feat_dir),
+            "tokens_archive": ckpt.load_manifest(arch_dir)}
+
+
 def run_rollup(
     input_path: str,
     out_dir: str,
@@ -231,8 +280,12 @@ def run_rollup(
         ckpt.save_manifest(points_dir.parent, m)
         metrics[tier.name] = ckpt.load_manifest(points_dir.parent)
         prev_points = points_dir
-    if token_features:
+    if token_features and token_archive:
+        # both per-doc stages need the tokens column: one fused scan
+        metrics.update(
+            run_token_features_and_archive(input_path, out_dir, lineage))
+    elif token_features:
         metrics["features"] = run_token_features(input_path, out_dir, lineage)
-    if token_archive:
+    elif token_archive:
         metrics["tokens_archive"] = run_token_archive(input_path, out_dir, lineage)
     return metrics

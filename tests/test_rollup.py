@@ -76,6 +76,57 @@ def test_gap_fill_dense_domain(rolled):
     assert (got["count"] == 0).any(), "synthetic blackouts should produce gap rows"
 
 
+def test_fused_doc_stage_matches_standalone(tmp_path):
+    """run_rollup(token_features=True, token_archive=True) takes the
+    fused single-scan path; its feature table must be bit-identical to
+    the standalone stage and its archive must restore exactly."""
+    import pyarrow.dataset as pads
+    import ray.data
+
+    from feasts_ray.stages.token_archive import restore_tokens
+    from feasts_ray.stages.token_features import token_feature_table
+
+    path = ensure_token_table(3000)
+    out = str(tmp_path / "fused")
+    metrics = run_rollup(path, out, token_features=True, token_archive=True)
+    assert metrics["features"].get("fused_scan") is True
+    assert metrics["tokens_archive"].get("fused_scan") is True
+    assert metrics["features"]["points"] == 3000
+    assert metrics["tokens_archive"]["points"] == 3000
+
+    got = (pads.dataset(f"{out}/features/points").to_table().to_pandas()
+           .sort_values("doc_id", ignore_index=True))
+    ds = ray.data.read_parquet(path, columns=["doc_id", "tokens", "source"])
+    exp = (token_feature_table(ds).to_pandas()
+           .sort_values("doc_id", ignore_index=True))
+    pd.testing.assert_frame_equal(got[exp.columns], exp, check_exact=True)
+
+    arch = ray.data.read_parquet(f"{out}/tokens_archive/blobs")
+    restored = restore_tokens(arch).to_pandas().set_index("doc_id")
+    orig = ray.data.read_parquet(path, columns=["doc_id", "tokens"]
+                                 ).to_pandas().set_index("doc_id")
+    assert len(restored) == len(orig) == 3000
+    for did in orig.index[:100]:
+        np.testing.assert_array_equal(np.asarray(restored.loc[did, "tokens"]),
+                                      np.asarray(orig.loc[did, "tokens"]))
+
+    # resume: a second call must skip both (manifests untouched)
+    metrics2 = run_rollup(path, out, token_features=True, token_archive=True)
+    for k in ("features", "tokens_archive"):
+        assert metrics2[k]["completed_at"] == metrics[k]["completed_at"]
+
+    # partial resume: drop the archive manifest — only the archive reruns,
+    # the features manifest is untouched
+    import os
+
+    os.remove(f"{out}/tokens_archive/_CHECKPOINT.json")
+    metrics3 = run_rollup(path, out, token_features=True, token_archive=True)
+    assert (metrics3["features"]["completed_at"]
+            == metrics["features"]["completed_at"])
+    assert metrics3["tokens_archive"]["points"] == 3000
+    assert metrics3["tokens_archive"].get("fused_scan") is None
+
+
 def test_resume_skips_completed_tiers(rolled):
     metrics1, _ = rolled
     path = ensure_token_table(N_DOCS)
