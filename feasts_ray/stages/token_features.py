@@ -99,13 +99,18 @@ def token_feature_block(x: np.ndarray, n: np.ndarray, mask: np.ndarray) -> dict[
     s = x.sum(axis=1)
     mean = s / nf
     a = np.where(mask, x - mean[:, None], 0.0)  # demeaned, zero pad
-    c0 = (a * a).sum(axis=1)
+    # product-sums ride einsum('ij,ij->i', ...): one fused pass per
+    # reduction, no (B, L) product temporary (~3.6x on the lag loop).
+    # Bit-exactness across batch shapes holds because the accumulation
+    # runs per ROW over j only — the same inner loop for B=1 and B=4096
+    # (pinned by the oracle-vs-kernel and batch-size-equality tests).
+    c0 = np.einsum("ij,ij->i", a, a)
     var = c0 / np.maximum(nf - 1.0, 1.0)
 
     # ACF lags 1..N_LAGS (R acf: denominator c0 over full series)
     acfs = np.empty((N_LAGS, b))
     for k in range(1, N_LAGS + 1):
-        ck = (a[:, :-k] * a[:, k:]).sum(axis=1)
+        ck = np.einsum("ij,ij->i", a[:, :-k], a[:, k:])
         with np.errstate(invalid="ignore", divide="ignore"):
             acfs[k - 1] = np.where(c0 > 0, ck / c0, np.nan)
     acf1 = acfs[0]
@@ -122,10 +127,10 @@ def token_feature_block(x: np.ndarray, n: np.ndarray, mask: np.ndarray) -> dict[
     dmean = d.sum(axis=1) / dn
     dmask = np.arange(L - 1)[None, :] < (n[:, None] - 1)
     da = np.where(dmask, d - dmean[:, None], 0.0)
-    dc0 = (da * da).sum(axis=1)
+    dc0 = np.einsum("ij,ij->i", da, da)
     dacfs = np.empty((N_LAGS, b))
     for k in range(1, N_LAGS + 1):
-        ck = (da[:, :-k] * da[:, k:]).sum(axis=1)
+        ck = np.einsum("ij,ij->i", da[:, :-k], da[:, k:])
         with np.errstate(invalid="ignore", divide="ignore"):
             dacfs[k - 1] = np.where(dc0 > 0, ck / dc0, np.nan)
     diff1_acf1 = dacfs[0]
@@ -140,21 +145,24 @@ def token_feature_block(x: np.ndarray, n: np.ndarray, mask: np.ndarray) -> dict[
     # season_strength = max(0, 1 - var(rem)/var(detrended))
     w = TREND_WINDOW
     h = w // 2
-    cs = np.cumsum(np.where(mask, x, 0.0), axis=1)
+    # x is zero outside the mask by the padded_matrix contract, so the
+    # cumsum needs no masking pass
+    cs = np.cumsum(x, axis=1)
     cs = np.concatenate([np.zeros((b, 1)), cs], axis=1)
-    cnt_cs = np.cumsum(mask.astype(np.float64), axis=1)
-    cnt_cs = np.concatenate([np.zeros((b, 1)), cnt_cs], axis=1)
     lo = np.maximum(np.arange(L) - h, 0)
     hi = np.minimum(np.arange(L) + h + 1, L)
     win_sum = cs[:, hi] - cs[:, lo]
-    win_cnt = cnt_cs[:, hi] - cnt_cs[:, lo]
+    # prefix mask => cumulative count at t is min(t, n): the window count
+    # is analytic (no mask cumsum / gather), same exact integers
+    win_cnt = (np.minimum(hi[None, :], n[:, None])
+               - np.minimum(lo[None, :], n[:, None])).astype(np.float64)
     with np.errstate(invalid="ignore", divide="ignore"):
         trend = np.where(win_cnt > 0, win_sum / win_cnt, 0.0)
 
     detr = np.where(mask, x - trend, 0.0)
     detr_mean = detr.sum(axis=1) / nf
     detr_c = np.where(mask, detr - detr_mean[:, None], 0.0)
-    v_detr = (detr_c * detr_c).sum(axis=1)
+    v_detr = np.einsum("ij,ij->i", detr_c, detr_c)
 
     # seasonal component: per-phase means of the detrended series
     p = SEASON_PERIOD
@@ -169,9 +177,9 @@ def token_feature_block(x: np.ndarray, n: np.ndarray, mask: np.ndarray) -> dict[
     seas_c = np.where(mask, seas_full, 0.0)
 
     rem = detr_c - seas_c
-    v_rem = (rem * rem).sum(axis=1)
+    v_rem = np.einsum("ij,ij->i", rem, rem)
     deseason = a - seas_c
-    v_deseason = (deseason * deseason).sum(axis=1)
+    v_deseason = np.einsum("ij,ij->i", deseason, deseason)
     with np.errstate(invalid="ignore", divide="ignore"):
         season_strength = np.where(
             v_detr > 0, np.maximum(0.0, 1.0 - v_rem / v_detr), np.nan)
