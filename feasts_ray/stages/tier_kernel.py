@@ -150,10 +150,27 @@ class TierSegmentKernel:
         key = group[self.key_col].iloc[0]
         seg = int(group["segment"].iloc[0]) if "segment" in group else \
             int(group["bucket"].iloc[0] // self.seg_span)
-        # merge duplicate buckets (partials + skeleton seeds): vectorized
-        g = group.groupby("bucket", sort=True)
-        merged = g.agg(count=("count", "sum"), sum=("sum", "sum"),
-                       min=("min", "min"), max=("max", "max"))
+        # merge duplicate buckets (partials + skeleton seeds): one numpy
+        # sort + reduceat per group instead of a pandas groupby/agg (the
+        # per-group pandas machinery dominated the kernel at small group
+        # sizes). Exactness: int64 add.reduceat for count/sum; fmin/fmax
+        # skip NaN like pandas' skipna min/max (all-NaN group -> NaN).
+        bkt = group["bucket"].to_numpy(dtype=np.int64)
+        order = np.argsort(bkt, kind="stable")
+        b_s = bkt[order]
+        first = np.empty(len(b_s), dtype=bool)
+        first[0] = True
+        first[1:] = b_s[1:] != b_s[:-1]
+        starts = np.flatnonzero(first)
+        buckets = b_s[starts]
+        cnt = np.add.reduceat(group["count"].to_numpy(dtype=np.int64)[order],
+                              starts)
+        s = np.add.reduceat(group["sum"].to_numpy(dtype=np.int64)[order],
+                            starts)
+        mn_in = group["min"].to_numpy(dtype=np.float64, na_value=np.nan)[order]
+        mx_in = group["max"].to_numpy(dtype=np.float64, na_value=np.nan)[order]
+        mn = np.fmin.reduceat(mn_in, starts)
+        mx = np.fmax.reduceat(mx_in, starts)
         if self.gap_fill:
             lo, hi = self.spans[key]
             lo = (lo // self.unit_s) * self.unit_s
@@ -162,24 +179,27 @@ class TierSegmentKernel:
             dense = np.arange(dom_lo, dom_hi + 1, self.unit_s, dtype=np.int64)
             # clip to tier flooring (dom_lo may not be on-grid relative to lo)
             dense = dense[(dense - lo) % self.unit_s == 0] if self.unit_s > 1 else dense
-            merged = merged.reindex(dense)
-            merged["count"] = merged["count"].fillna(0).astype(np.int64)
-            merged["sum"] = merged["sum"].fillna(0).astype(np.int64)
-        merged = merged.sort_index()
-        buckets = merged.index.to_numpy(dtype=np.int64)
-        cnt = merged["count"].to_numpy(dtype=np.int64)
-        s = merged["sum"].to_numpy(dtype=np.int64)
+            # reindex: keep ONLY dense buckets; gaps get count=sum=0,
+            # min/max NaN (pandas .reindex semantics)
+            pos = np.searchsorted(buckets, dense)
+            pos_c = np.minimum(pos, max(len(buckets) - 1, 0))
+            hit = buckets[pos_c] == dense
+            cnt = np.where(hit, cnt[pos_c], 0)
+            s = np.where(hit, s[pos_c], 0)
+            mn = np.where(hit, mn[pos_c], np.nan)
+            mx = np.where(hit, mx[pos_c], np.nan)
+            buckets = dense
         with np.errstate(invalid="ignore", divide="ignore"):
             mean = np.where(cnt > 0, s / cnt.astype(np.float64), np.nan)
-        mn = merged["min"].to_numpy(dtype=np.float64, na_value=np.nan)
-        mx = merged["max"].to_numpy(dtype=np.float64, na_value=np.nan)
         if self.blobs_dir is not None:
             self._write_blob(key, seg, buckets, cnt, s, mn, mx, mean)
+        # historical output dtype semantics (Int64 -> to_numpy(na_value=
+        # nan)): float64 when the column has any null, plain int64 when not
         out = pd.DataFrame({
             self.key_col: np.repeat(key, len(buckets)),
             "bucket": buckets, "count": cnt, "sum": s,
-            "min": merged["min"].astype("Int64").to_numpy(na_value=np.nan),
-            "max": merged["max"].astype("Int64").to_numpy(na_value=np.nan),
+            "min": mn if np.isnan(mn).any() else mn.astype(np.int64),
+            "max": mx if np.isnan(mx).any() else mx.astype(np.int64),
             "mean": mean,
         })
         return out
