@@ -186,8 +186,11 @@ def run_rollup(
         if ckpt.is_complete(points_dir.parent, lineage):
             m = ckpt.load_manifest(points_dir.parent)
             metrics[tier.name] = m
-            if spans is None and "spans" in m:
-                spans = {s: tuple(v) for s, v in m["spans"].items()}
+            if spans is None:
+                # run-level parquet sidecar (written once per run) — NOT
+                # inlined into each manifest: at 10^7 sources the inline
+                # JSON dict made every manifest a huge driver-side parse
+                spans = ckpt.load_spans(out_dir, lineage)
             prev_points = points_dir
             continue
         # stale partial output from a crashed attempt: clear before rerun
@@ -239,6 +242,7 @@ def run_rollup(
         if spans is None and tier_gap_fill:
             partials = ds.materialize()
             spans = spans_from_partials(partials, key_col=cfg.series_key)
+            ckpt.save_spans(out_dir, spans, lineage)
         else:
             partials = ds
         points = run_tier(
@@ -263,6 +267,7 @@ def run_rollup(
                 ray.data.read_parquet(str(points_dir),
                                       columns=[cfg.series_key, "bucket"]),
                 key_col=cfg.series_key)
+            ckpt.save_spans(out_dir, spans, lineage)
         rows, watermark = _points_stats(points_dir)
         blob_bytes = ckpt.dir_bytes(blobs_dir) if encode else 0
         wall = time.perf_counter() - t0
@@ -275,7 +280,7 @@ def run_rollup(
             "watermark": watermark,
             "wall_s": wall,
             "input": input_path if k == 0 else str(prev_points),
-            "spans": {s: list(v) for s, v in spans.items()},
+            "n_sources": len(spans),
         }
         ckpt.save_manifest(points_dir.parent, m)
         metrics[tier.name] = ckpt.load_manifest(points_dir.parent)

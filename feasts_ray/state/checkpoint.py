@@ -58,6 +58,53 @@ def save_manifest(tier_dir: str | Path, payload: dict[str, Any]) -> None:
     os.replace(tmp, p)
 
 
+SPANS_NAME = "_SPANS.parquet"
+
+
+def save_spans(out_dir: str | Path, spans: dict[str, tuple[int, int]],
+               lineage: str) -> None:
+    """Run-level spans sidecar: per-key (lo, hi) bucket domain as a
+    columnar parquet file instead of JSON inlined into every tier
+    manifest — at 10^7 sources the inline dict made each manifest a
+    hundreds-of-MB driver-side JSON parse; the sidecar is one compact
+    binary file written ONCE per run. Atomic (tmp + os.replace);
+    lineage rides the parquet schema metadata."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    p = Path(out_dir) / SPANS_NAME
+    p.parent.mkdir(parents=True, exist_ok=True)
+    keys = list(spans.keys())
+    t = pa.table({
+        "key": pa.array(keys),
+        "lo": pa.array([spans[k][0] for k in keys], type=pa.int64()),
+        "hi": pa.array([spans[k][1] for k in keys], type=pa.int64()),
+    }).replace_schema_metadata({"lineage": lineage})
+    tmp = str(p) + ".tmp"
+    pq.write_table(t, tmp)
+    os.replace(tmp, p)
+
+
+def load_spans(out_dir: str | Path,
+               lineage: str) -> dict[str, tuple[int, int]] | None:
+    import pyarrow.parquet as pq
+
+    p = Path(out_dir) / SPANS_NAME
+    if not p.exists():
+        return None
+    try:
+        t = pq.read_table(p)
+    except OSError:
+        return None
+    meta = t.schema.metadata or {}
+    if meta.get(b"lineage", b"").decode() != lineage:
+        return None
+    lo = t["lo"].to_numpy(zero_copy_only=False)
+    hi = t["hi"].to_numpy(zero_copy_only=False)
+    return {k: (int(lo[i]), int(hi[i]))
+            for i, k in enumerate(t["key"].to_pylist())}
+
+
 def dir_bytes(d: str | Path) -> int:
     total = 0
     for root, _dirs, files in os.walk(d):

@@ -127,6 +127,25 @@ def test_fused_doc_stage_matches_standalone(tmp_path):
     assert metrics3["tokens_archive"].get("fused_scan") is None
 
 
+def test_spans_sidecar_roundtrip_1e6_sources(tmp_path):
+    """Resume metadata stays bounded at many sources: the spans table is
+    a run-level parquet sidecar (written once), not JSON inlined into
+    every manifest. Roundtrip 10^6 keys; lineage mismatch returns None."""
+    import time
+
+    from feasts_ray.state import checkpoint as ckpt
+
+    spans = {f"src{i:07d}": (i * 60, i * 60 + 86400) for i in range(1_000_000)}
+    t0 = time.perf_counter()
+    ckpt.save_spans(tmp_path, spans, "abc123")
+    got = ckpt.load_spans(tmp_path, "abc123")
+    wall = time.perf_counter() - t0
+    assert got == spans
+    assert wall < 30.0
+    assert ckpt.load_spans(tmp_path, "other") is None
+    assert ckpt.load_spans(tmp_path / "missing", "abc123") is None
+
+
 def test_resume_skips_completed_tiers(rolled):
     metrics1, _ = rolled
     path = ensure_token_table(N_DOCS)
@@ -135,3 +154,18 @@ def test_resume_skips_completed_tiers(rolled):
         assert metrics2[tier]["completed_at"] == metrics1[tier]["completed_at"]
         assert metrics2[tier]["points"] == metrics1[tier]["points"]
         assert metrics2[tier]["watermark"] == metrics1[tier]["watermark"]
+
+
+def test_resume_uses_spans_sidecar(rolled):
+    """A resumed run whose later gap-filled tier must re-run picks the
+    spans up from the parquet sidecar and produces identical points.
+    (Runs LAST in this module: it mutates the shared OUT fixture.)"""
+    import os
+
+    path = ensure_token_table(N_DOCS)
+    assert os.path.exists(f"{OUT}/_SPANS.parquet")
+    before = _read_points("1m")
+    # simulate a crash after the raw tier: wipe the 1m manifest
+    os.remove(f"{OUT}/tier=1m/_CHECKPOINT.json")
+    run_rollup(path, OUT)
+    pd.testing.assert_frame_equal(_read_points("1m"), before, check_exact=True)
