@@ -529,8 +529,14 @@ def shift_kl_max(x: np.ndarray, period: int = 1, size: int | None = None) -> dic
     floor = float(norm_pdf(np.array([38.0]))[0])
     # densities[g, t] = max(dnorm(xgrid[g]; x[t], bw), dnorm(38))
     dens = np.maximum(norm_pdf(xgrid[:, None], mean=x[None, :], sd=bw), floor)
-    # trailing rolling mean over t for each grid row
-    rmean = np.vstack([_roll_mean_trailing(dens[g], size) for g in range(gw)])
+    # trailing rolling mean over t for each grid row, computed DIRECTLY
+    # per window (like R's slider::slide_dbl(mean)): a cumsum-difference
+    # rolling mean catastrophically cancels to exact 0 when a window of
+    # ~1e-300 floor densities sits inside a cumsum of O(1) values, which
+    # then makes log(b) = -inf and kl = inf (seen on WWWusage)
+    rmean = np.empty_like(dens)
+    for t in range(n):
+        rmean[:, t] = dens[:, max(0, t - size + 1):t + 1].mean(axis=1)
     a = rmean[:, : n - size]
     b = rmean[:, size:]
     with np.errstate(invalid="ignore", divide="ignore"):

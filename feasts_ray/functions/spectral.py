@@ -43,9 +43,15 @@ def ar_burg(x: np.ndarray, order_max: int | None = None) -> tuple[np.ndarray, fl
         if m > 1:
             cur[: m - 1] = prev - k * prev[::-1]
         f_new = fm - k * bm
-        b_new = bm - k * fm
+        b_new = bm - k * fm  # b_m(t) for t = m..n-1
         f[m:] = f_new
-        b[m - 1 : n - 1] = b_new  # next stage reads b[m:n-1] == b_new[1:]
+        # position t holds b_m(t): stage m+1 then reads b[m:n-1] =
+        # b_m(t-1) for t = m+1..n-1. (Storing b_new shifted one left —
+        # the previous code — fed b_m(t) where b_m(t-1) was needed; the
+        # recursion collapsed var_pred toward 0 and AIC kept selecting
+        # explosive max-order fits. Caught by the WWWusage golden:
+        # entropy 0.495 vs the reference's published 0.461.)
+        b[m:n] = b_new
         var_pred *= 1.0 - k * k
         variances.append(var_pred)
         coef_by_order.append(cur)
