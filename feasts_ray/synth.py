@@ -83,13 +83,29 @@ def synth_path(n_docs: int, max_len: int = 512, root: str = "/tmp/feasts_ray_syn
     return Path(root) / f"docs_n{n_docs}_L{max_len}"
 
 
+def _write_part(args: tuple) -> None:
+    f, docs_per_file, n_docs, max_len, tmp = args
+    lo, hi = f * docs_per_file, min((f + 1) * docs_per_file, n_docs)
+    # small row groups so Ray's parquet reader can parallelize within
+    # a file (single-row-group files cap read parallelism at #files)
+    pq.write_table(token_chunk(lo, hi, max_len),
+                   Path(tmp) / f"part-{f:05d}.parquet", row_group_size=8192)
+
+
 def ensure_token_table(
     n_docs: int,
     max_len: int = 512,
     docs_per_file: int = 50_000,
     root: str = "/tmp/feasts_ray_synth",
+    workers: int | None = None,
 ) -> str:
-    """Write (or reuse) the deterministic token table; returns the directory."""
+    """Write (or reuse) the deterministic token table; returns the directory.
+
+    Every value is a pure function of (doc index, position), so part files
+    are independent and generation fans out over a process pool — bytes are
+    identical at any worker count (default: half the cores for tables big
+    enough to care, serial below 1M docs).
+    """
     out = synth_path(n_docs, max_len, root)
     manifest = out / "_MANIFEST.json"
     if manifest.exists():
@@ -106,12 +122,18 @@ def ensure_token_table(
         shutil.rmtree(tmp)
     tmp.mkdir(parents=True, exist_ok=True)
     nfiles = max(1, (n_docs + docs_per_file - 1) // docs_per_file)
-    for f in range(nfiles):
-        lo, hi = f * docs_per_file, min((f + 1) * docs_per_file, n_docs)
-        # small row groups so Ray's parquet reader can parallelize within
-        # a file (single-row-group files cap read parallelism at #files)
-        pq.write_table(token_chunk(lo, hi, max_len), tmp / f"part-{f:05d}.parquet",
-                       row_group_size=8192)
+    if workers is None:
+        workers = 1 if n_docs < 1_000_000 else max(1, (os.cpu_count() or 2) // 2)
+    jobs = [(f, docs_per_file, n_docs, max_len, str(tmp)) for f in range(nfiles)]
+    if workers <= 1:
+        for job in jobs:
+            _write_part(job)
+    else:
+        from concurrent.futures import ProcessPoolExecutor
+
+        with ProcessPoolExecutor(max_workers=workers) as pool:
+            # list() drains the iterator so worker exceptions propagate
+            list(pool.map(_write_part, jobs, chunksize=4))
     (tmp / "_MANIFEST.json").write_text(
         json.dumps({"n_docs": n_docs, "max_len": max_len, "files": nfiles})
     )
