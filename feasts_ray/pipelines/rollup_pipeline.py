@@ -38,7 +38,28 @@ from ..state import checkpoint as ckpt
 
 
 def read_token_table(input_path: str, columns=("doc_id", "n_tok", "source")) -> "ray.data.Dataset":
-    return ray.data.read_parquet(input_path, columns=list(columns))
+    """Read the token table with blocks sized for the downstream shuffle.
+
+    Ray's default read task count (~200) is fine for a pure map pipeline
+    but poisons the raw tier's groupby: the sort all-to-all creates
+    O(map_blocks x reduce_partitions) block slices, so 200 input blocks
+    cost ~40k slice objects of pure scheduling overhead. Coalescing to
+    max(cpus, file_bytes/128MB) blocks cut the 24M-doc raw tier from
+    35.5 s to 15.6 s at 16 CPUs (sort wall 32 s -> ~6 s); the same
+    sizing rule the cascade tiers already use on their re-reads.
+    """
+    import os
+
+    cpus = (int(ray.cluster_resources().get("CPU", 8))
+            if ray.is_initialized() else 8)
+    try:
+        total = sum(os.path.getsize(os.path.join(input_path, f))
+                    for f in os.listdir(input_path) if f.endswith(".parquet"))
+    except (OSError, NotADirectoryError):
+        total = 0
+    nblk = max(cpus, total // (128 << 20))
+    return ray.data.read_parquet(input_path, columns=list(columns),
+                                 override_num_blocks=nblk)
 
 
 def _tier_dirs(out_dir: str, tier_name: str) -> tuple[Path, Path]:
