@@ -169,3 +169,19 @@ def test_resume_uses_spans_sidecar(rolled):
     os.remove(f"{OUT}/tier=1m/_CHECKPOINT.json")
     run_rollup(path, OUT)
     pd.testing.assert_frame_equal(_read_points("1m"), before, check_exact=True)
+
+
+def test_read_token_table_coalesces_blocks():
+    """The raw read must size blocks for the downstream shuffle: block
+    count is bounded by max(cpus, file_bytes/128MB), never Ray's ~200
+    read-task default (200 map blocks x 200 reduce partitions of sort
+    slices dominated the raw tier wall at 24M docs)."""
+    import ray
+
+    from feasts_ray.pipelines.rollup_pipeline import read_token_table
+
+    path = ensure_token_table(N_DOCS)
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    got = read_token_table(path).materialize().num_blocks()
+    # tiny input: bytes/128MB == 0, so the floor (one block per CPU) rules
+    assert got <= cpus
