@@ -160,11 +160,13 @@ def run_token_features_and_archive(input_path: str, out_dir: str,
     t0 = time.perf_counter()
     ds = ray.data.read_parquet(input_path, columns=["doc_id", "tokens",
                                                     "n_tok", "source"])
-    # batch_size swept on real synth batches: 16384 gives 3.0M tok/s/core
-    # vs 2.4M at 4096 (per-batch fixed costs incl. the feature side-write
-    # amortize); 32768 collapses to 1.7M (cache/allocator cliff)
+    # batch_size: a SINGLE-CORE sweep preferred 16384 (3.0M vs 2.4M
+    # tok/s/core at 4096), but at full 32-way concurrency the interleaved
+    # A/B showed 16384 at 0.6x — 32 workers x ~67MB padded matrices
+    # thrash the shared L3. Size for concurrent cache residency, not
+    # single-core throughput.
     ds.map_batches(
-        fused_doc_batch, batch_format="pyarrow", batch_size=16384,
+        fused_doc_batch, batch_format="pyarrow", batch_size=4096,
         fn_kwargs={"features_dir": str(points_dir)},
     ).write_parquet(str(blobs_dir))
     wall = time.perf_counter() - t0
