@@ -164,9 +164,11 @@ def run_token_features_and_archive(input_path: str, out_dir: str,
     # tok/s/core at 4096), but at full 32-way concurrency the interleaved
     # A/B showed 16384 at 0.6x — 32 workers x ~67MB padded matrices
     # thrash the shared L3. Size for concurrent cache residency, not
-    # single-core throughput.
+    # single-core throughput. 32-way sweep on 12M docs: 1024 47-56 s
+    # (2x feature side-write files + fixed costs), 2048 37-40 s (best),
+    # 4096 41.4 s, 8192 42.2 s, 16384 44.8 s.
     ds.map_batches(
-        fused_doc_batch, batch_format="pyarrow", batch_size=4096,
+        fused_doc_batch, batch_format="pyarrow", batch_size=2048,
         fn_kwargs={"features_dir": str(points_dir)},
     ).write_parquet(str(blobs_dir))
     wall = time.perf_counter() - t0

@@ -243,9 +243,13 @@ def token_feature_table(
     ds: "ray.data.Dataset",
     tokens_col: str = "tokens",
     id_cols: tuple[str, ...] = ("doc_id", "source"),
-    batch_size: int = 1024,
+    batch_size: int = 2048,
 ) -> "ray.data.Dataset":
-    """Zero-shuffle per-doc feature extraction over the token column."""
+    """Zero-shuffle per-doc feature extraction over the token column.
+
+    batch_size swept at 32-way concurrency on 12M docs (results are
+    batch-shape independent, so this is purely a perf knob): 512/1024
+    ~20.3 s, 2048 18.0 s, 4096 18.1 s — 2048 adopted."""
     return ds.map_batches(
         token_feature_batch,
         batch_format="pyarrow",
