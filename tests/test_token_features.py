@@ -104,3 +104,22 @@ def test_long_docs_capped_consistently(ray_session):
     assert out["tok_mean"].iloc[0] == ref["tok_mean"][0]
     expect_mean = float(np.mean(np.arange(PAD_LEN, dtype=np.float64)))
     assert out["tok_mean"].iloc[0] == expect_mean
+
+
+def test_tile_invariance():
+    """Row tiling is a pure perf knob: any tile_elems gives identical
+    bits (features are per-row; the tile only changes which rows share a
+    matrix)."""
+    from feasts_ray.stages.token_features import token_feature_batch
+    from feasts_ray.synth import token_chunk
+
+    batch = token_chunk(0, 700)
+    ref = token_feature_batch(batch, tile_elems=1 << 30)   # one tile
+    for te in (1, 4096, 64 * 1024):
+        t = token_feature_batch(batch, tile_elems=te)
+        for c in FEATURE_COLS:
+            a = ref[c].to_numpy(zero_copy_only=False)
+            b = t[c].to_numpy(zero_copy_only=False)
+            same = (a.view(np.int64) == b.view(np.int64)) | (
+                np.isnan(a) & np.isnan(b))
+            assert same.all(), f"tile_elems={te} col={c}"
