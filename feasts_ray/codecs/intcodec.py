@@ -110,7 +110,8 @@ def encode_ints_batch(flat: np.ndarray, offs: np.ndarray) -> list[bytes]:
 
 
 def encode_ints_batch_packed(
-        flat: np.ndarray, offs: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        flat: np.ndarray, offs: np.ndarray,
+        tile_docs: int = 256) -> tuple[np.ndarray, np.ndarray]:
     """Encode MANY dod streams in one vectorized pass: classification and
     code construction run over the concatenated second-difference array,
     and every doc's stream is packed into one shared buffer at its own
@@ -125,7 +126,16 @@ def encode_ints_batch_packed(
     ``flat`` is the concatenation of all docs' int64 values, ``offs`` the
     (S+1,) boundaries. Rare huge second differences (|dod| >= 2^31 — the
     '11111' spill class, impossible for token-id streams) fall back to
-    the scalar encoder for just those docs."""
+    the scalar encoder for just those docs.
+
+    Batches larger than ``tile_docs`` are encoded in doc tiles and the
+    per-tile buffers concatenated — byte-identical by construction (every
+    doc's stream depends only on its own values), and ~1.7x faster at
+    2048-doc batches: the encoder makes ~15 passes over code-count-sized
+    temporaries, and a 256-doc tile keeps them L2-resident (interleaved
+    single-core A/B: 43.4 -> 25.3 ms on 2048 synth docs; the VERIFY
+    decode stays whole-batch — the lockstep decoder needs many active
+    streams, tiling it measured 0.3x)."""
     from .bitio import or_codes_sorted
 
     flat = np.asarray(flat, dtype=np.int64)
@@ -133,6 +143,17 @@ def encode_ints_batch_packed(
     S = len(offs) - 1
     if S == 0:
         return np.zeros(0, dtype=np.uint8), np.zeros(1, dtype=np.int64)
+    if S > tile_docs:
+        bufs, dss, tot = [], [], 0
+        for s in range(0, S, tile_docs):
+            e = min(s + tile_docs, S)
+            buf, ds = encode_ints_batch_packed(
+                flat[offs[s]:offs[e]], offs[s:e + 1] - offs[s], tile_docs)
+            bufs.append(buf)
+            dss.append(ds[1:] + tot)
+            tot += int(ds[-1])
+        return (np.concatenate(bufs),
+                np.concatenate([[0]] + dss).astype(np.int64))
     n = np.diff(offs)
     m = np.maximum(n - 2, 0)  # dod codes per doc
     doc_code_start = np.cumsum(m) - m

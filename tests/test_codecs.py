@@ -181,3 +181,23 @@ def test_encode_ints_batch_byte_identical():
     for i, d in enumerate(docs):
         assert blobs[i] == encode_ints(d)
         np.testing.assert_array_equal(decode_ints(blobs[i]), d)
+
+
+def test_encode_tile_byte_identity():
+    """Encode tiling is a pure perf knob: any tile_docs yields the same
+    packed bytes and boundaries (each doc's stream depends only on its
+    own values)."""
+    import numpy as np
+
+    from feasts_ray.codecs.intcodec import encode_ints_batch_packed
+    from feasts_ray.synth import token_chunk
+
+    batch = token_chunk(0, 700)
+    toks = batch["tokens"].combine_chunks()
+    offs = toks.offsets.to_numpy().astype(np.int64)
+    flat = toks.values.to_numpy().astype(np.int64)
+    ref_buf, ref_ds = encode_ints_batch_packed(flat, offs, tile_docs=1 << 30)
+    for td in (1, 7, 256, 699, 700):
+        buf, ds = encode_ints_batch_packed(flat, offs, tile_docs=td)
+        assert np.array_equal(buf, ref_buf), td
+        assert np.array_equal(ds, ref_ds), td
