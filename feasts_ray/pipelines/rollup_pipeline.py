@@ -160,15 +160,17 @@ def run_token_features_and_archive(input_path: str, out_dir: str,
     t0 = time.perf_counter()
     ds = ray.data.read_parquet(input_path, columns=["doc_id", "tokens",
                                                     "n_tok", "source"])
-    # batch_size: a SINGLE-CORE sweep preferred 16384 (3.0M vs 2.4M
-    # tok/s/core at 4096), but at full 32-way concurrency the interleaved
-    # A/B showed 16384 at 0.6x — 32 workers x ~67MB padded matrices
-    # thrash the shared L3. Size for concurrent cache residency, not
-    # single-core throughput. 32-way sweep on 12M docs: 1024 47-56 s
-    # (2x feature side-write files + fixed costs), 2048 37-40 s (best),
-    # 4096 41.4 s, 8192 42.2 s, 16384 44.8 s.
+    # batch_size: BEFORE the kernels tiled internally, big batches
+    # thrashed the shared L3 (16384 measured 0.6x at 32-way) and the
+    # interleaved sweep picked 2048. With the feature kernel in 512 KB
+    # row tiles and the dod encoder in 256-doc tiles, the cache penalty
+    # is gone and bigger batches amortize per-batch costs + widen the
+    # lockstep verify-decoder's vectors: 3-round alternating 32-way
+    # sweep on 12M docs: 2048 32.0/33.5/33.9 s, 4096 28.8/30.4/31.7 s,
+    # 8192 25.7/31.7/26.7 s (fastest or tied every round); 16384 was
+    # no better than 8192 in the wider sweep.
     ds.map_batches(
-        fused_doc_batch, batch_format="pyarrow", batch_size=2048,
+        fused_doc_batch, batch_format="pyarrow", batch_size=8192,
         fn_kwargs={"features_dir": str(points_dir)},
     ).write_parquet(str(blobs_dir))
     wall = time.perf_counter() - t0
