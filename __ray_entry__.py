@@ -341,10 +341,14 @@ JOIN shift s ON s.event_type = i.event_type
 """.format(series=_SERIES_1H)
 
 
-# GPT-2-style pre-tokenizer count. The engine's Python regex uses a
-# \\s+(?!\\S) branch RE2 lacks; for token COUNTS the lookahead-free
-# pattern is equivalent (the lookahead only moves one trailing space
-# between adjacent tokens, never changing how many there are).
+# GPT-2-style pre-tokenizer count. Kernel and oracle share the SAME
+# lookahead-free RE2 pattern (the engine counts via Arrow's RE2
+# count_substring_regex), so they agree by construction. NOTE the
+# GPT-2 lookahead variant is NOT count-equivalent: a whitespace run
+# >= 2 ending in a non-space whitespace char (e.g. "a \tb") splits in
+# two under the lookahead — the engine defines its count by this RE2
+# pattern instead (test_bpe_count_matches_duckdb pins kernel==oracle
+# on adversarial strings).
 _BPE_COUNTS = (
     "SELECT doc_id, CAST(len(regexp_extract_all(text, "
     "'''(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^\\sA-Za-z0-9]+|\\s+'"

@@ -19,9 +19,25 @@ from ray.data.aggregate import Count, Min
 def add_content_hash(batch: pa.Table, text_col: str = "text",
                      out_col: str = "text_md5") -> pa.Table:
     """MD5 hex digest per row (hashing is inherently per-row; the loop body
-    is C). For UTF-8 text the digest matches SQL ``md5(text)``."""
-    texts = batch[text_col].to_pylist()
-    digests = [hashlib.md5(t.encode("utf-8")).hexdigest() for t in texts]
+    is C). For UTF-8 text the digest matches SQL ``md5(text)``.
+
+    The digest reads each row's bytes straight off the Arrow string
+    values buffer (memoryview slices) — Arrow strings ARE UTF-8, so no
+    Python str materialization or re-encode happens per row."""
+    import numpy as np
+
+    arr = batch[text_col]
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if arr.null_count:
+        arr = arr.fill_null("")
+    bufs = arr.buffers()
+    off_width = 8 if pa.types.is_large_string(arr.type) else 4
+    offs = np.frombuffer(bufs[1], dtype=np.int64 if off_width == 8 else np.int32,
+                         count=arr.offset + len(arr) + 1)[arr.offset:]
+    mv = memoryview(bufs[2])
+    digests = [hashlib.md5(mv[offs[i]:offs[i + 1]]).hexdigest()
+               for i in range(len(arr))]
     return batch.append_column(out_col, pa.array(digests, type=pa.string()))
 
 

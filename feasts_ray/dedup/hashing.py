@@ -46,6 +46,60 @@ def tokenize_batch(texts: list[str]) -> tuple[np.ndarray, np.ndarray, np.ndarray
     return whash, offsets, counts
 
 
+def hash_words_arrow(arr) -> np.ndarray:
+    """``hash_words`` over an Arrow string array: digests read each
+    word's bytes straight off the UTF-8 values buffer (no Python str /
+    re-encode per word). Identical values to ``hash_words``."""
+    import pyarrow as pa
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    bufs = arr.buffers()
+    dt = np.int64 if pa.types.is_large_string(arr.type) else np.int32
+    offs = np.frombuffer(bufs[1], dtype=dt,
+                         count=arr.offset + len(arr) + 1)[arr.offset:]
+    mv = memoryview(bufs[2])
+    out = np.empty(len(arr), dtype=np.uint64)
+    md5 = hashlib.md5
+    for i in range(len(arr)):
+        out[i] = int.from_bytes(md5(mv[offs[i]:offs[i + 1]]).digest()[:8],
+                                "little")
+    return out
+
+
+def tokenize_arrow(arr) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Arrow-native ``tokenize_batch``: same (word-hash flat array,
+    offsets, counts) triple computed without materializing Python
+    strings per doc. ``pc.utf8_split_whitespace`` with empty tokens
+    dropped is exactly ``str.split()`` — verified over every Unicode
+    BMP codepoint + astral samples (test_tokenize_arrow_matches_split);
+    the vocabulary is built by ``dictionary_encode`` (C) and only the
+    UNIQUE words cross into Python for the md5 digest."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    n = len(arr)
+    if arr.null_count:
+        arr = arr.fill_null("")
+    parts = pc.utf8_split_whitespace(arr)
+    lens = pc.list_value_length(parts).to_numpy(zero_copy_only=False)
+    flat = pc.list_flatten(parts)
+    parents = np.repeat(np.arange(n, dtype=np.int64),
+                        lens.astype(np.int64))
+    keep = pc.not_equal(flat, "")
+    keep_np = keep.to_numpy(zero_copy_only=False)
+    flat = flat.filter(keep)
+    counts = np.bincount(parents[keep_np], minlength=n).astype(np.int64)
+    offsets = np.concatenate([[0], np.cumsum(counts)])
+    if len(flat) == 0:
+        return np.array([], dtype=np.uint64), offsets, counts
+    enc = flat.dictionary_encode()
+    idx = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    return hash_words_arrow(enc.dictionary)[idx], offsets, counts
+
+
 def shingle_hashes(word_hashes: np.ndarray, k: int) -> np.ndarray:
     """k-word shingle hashes (vectorized polynomial combine, uint64)."""
     n = len(word_hashes)
@@ -60,6 +114,38 @@ def shingle_hashes(word_hashes: np.ndarray, k: int) -> np.ndarray:
     for j in range(k):  # k is tiny (3-5); inner ops are vectorized
         acc = (acc * mult + h[j : n - k + 1 + j]) & np.uint64(_MASK64)
     return acc
+
+
+def shingle_hashes_batch(
+        whash: np.ndarray, offsets: np.ndarray,
+        k: int) -> tuple[np.ndarray, np.ndarray]:
+    """Batched ``shingle_hashes``: shingle streams for MANY docs in one
+    flat pass — (flat shingle hashes, (B+1,) output offsets). The k-term
+    polynomial fold runs j-ascending over the whole batch (k vectorized
+    passes total instead of one Python call per doc); short docs
+    (0 < n < k) fold their n words only (the per-doc kernel's k=n
+    fallback) via the ``j < k_i`` mask, so every doc's values are
+    bit-identical to ``shingle_hashes`` on its own slice."""
+    offsets = np.asarray(offsets, dtype=np.int64)
+    counts = np.diff(offsets)
+    ks = np.minimum(counts, k)                       # per-doc fold length
+    out_counts = np.where(counts > 0, counts - ks + 1, 0)
+    out_offs = np.concatenate([[0], np.cumsum(out_counts)])
+    total = int(out_offs[-1])
+    if total == 0:
+        return np.array([], dtype=np.uint64), out_offs
+    doc_of = np.repeat(np.arange(len(counts)), out_counts)
+    intra = np.arange(total) - out_offs[:-1][doc_of]
+    start = offsets[:-1][doc_of] + intra             # word index of shingle head
+    kk = ks[doc_of]
+    h = whash.astype(np.uint64)
+    mult = np.uint64(0x9E3779B97F4A7C15)
+    acc = np.zeros(total, dtype=np.uint64)
+    last = len(h) - 1
+    for j in range(int(ks.max())):
+        m = kk > j
+        acc = np.where(m, acc * mult + h[np.minimum(start + j, last)], acc)
+    return acc, out_offs
 
 
 def minhash_signature(shingles: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:

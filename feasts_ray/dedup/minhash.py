@@ -32,8 +32,8 @@ from .hashing import (
     band_hashes_batch,
     minhash_signature_batch,
     perm_params,
-    shingle_hashes,
-    tokenize_batch,
+    shingle_hashes_batch,
+    tokenize_arrow,
 )
 
 
@@ -51,25 +51,19 @@ class BandEmitter:
         self.n_bands = n_bands
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch[self.text_col].to_pylist()
         ids = batch[self.id_col].to_numpy(zero_copy_only=False)
-        n = len(texts)
+        n = len(ids)
         if n == 0:
             return pa.table({
                 self.id_col: pa.array([], type=batch[self.id_col].type),
                 "band": pa.array([], type=pa.int64()),
                 "band_hash": pa.array([], type=pa.int64()),
             })
-        whash, offsets, _ = tokenize_batch(texts)
-        # per-doc shingle streams (vectorized inside), then ONE batch-wide
-        # permutation grid + reduceat for all signatures and a vectorized
-        # band mix — no per-doc Python in the hash math
-        sh_list = [shingle_hashes(whash[offsets[i]:offsets[i + 1]], self.k)
-                   for i in range(n)]
-        counts = np.fromiter((len(s) for s in sh_list), dtype=np.int64, count=n)
-        starts = np.concatenate([[0], np.cumsum(counts)])
-        flat = (np.concatenate(sh_list) if starts[-1]
-                else np.array([], dtype=np.uint64))
+        whash, offsets, _ = tokenize_arrow(batch[self.text_col])
+        # ONE flat batched shingle fold, then ONE batch-wide permutation
+        # grid + reduceat for all signatures and a vectorized band mix —
+        # no per-doc Python in the hash math
+        flat, starts = shingle_hashes_batch(whash, offsets, self.k)
         sigs = minhash_signature_batch(flat, starts, self.a, self.b)
         bh = band_hashes_batch(sigs, self.n_bands)
         return pa.table({
@@ -107,15 +101,30 @@ class ShingleSetBatch:
                 self.id_col: pa.array([], type=batch[self.id_col].type),
                 "shingles": pa.array([], type=pa.large_binary()),
             })
-        texts = [t for t, m in zip(batch[self.text_col].to_pylist(), mask) if m]
-        whash, offsets, _ = tokenize_batch(texts)
-        blobs = [
-            np.unique(shingle_hashes(whash[offsets[j]:offsets[j + 1]], self.k))
-            .astype("<i8").tobytes()
-            for j in range(len(texts))
-        ]
+        col = batch[self.text_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        whash, offsets, _ = tokenize_arrow(col.filter(pa.array(mask)))
+        nd = int(mask.sum())
+        # flat batched shingles -> per-doc sorted-unique via ONE lexsort
+        # over (doc, hash) + adjacent-dedupe (identical values/order to
+        # np.unique per doc), then the large_binary column is built from
+        # the flat "<i8" buffer + byte offsets — zero per-doc Python
+        sh, soffs = shingle_hashes_batch(whash, offsets, self.k)
+        doc_of = np.repeat(np.arange(nd), np.diff(soffs))
+        order = np.lexsort((sh, doc_of))
+        sh_s, doc_s = sh[order], doc_of[order]
+        keep = np.ones(len(sh_s), dtype=bool)
+        keep[1:] = (sh_s[1:] != sh_s[:-1]) | (doc_s[1:] != doc_s[:-1])
+        sh_u, doc_u = sh_s[keep], doc_s[keep]
+        u_offs = np.concatenate(
+            [[0], np.cumsum(np.bincount(doc_u, minlength=nd))])
+        blobs = pa.LargeBinaryArray.from_buffers(
+            pa.large_binary(), nd,
+            [None, pa.py_buffer((u_offs * 8).astype(np.int64).tobytes()),
+             pa.py_buffer(sh_u.astype("<i8").tobytes())])
         return pa.table({self.id_col: pa.array(ids[mask]),
-                         "shingles": pa.array(blobs, type=pa.large_binary())})
+                         "shingles": blobs})
 
 
 _MIX = np.uint64(0x9E3779B97F4A7C15)

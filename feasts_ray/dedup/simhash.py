@@ -16,7 +16,7 @@ import pyarrow as pa
 
 import ray.data
 
-from .hashing import tokenize_batch
+from .hashing import tokenize_arrow
 
 
 def simhash64(word_hashes: np.ndarray) -> np.uint64:
@@ -69,10 +69,9 @@ class SimHashEmitter:
         self.n_chunks = n_chunks
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch[self.text_col].to_pylist()
         ids = batch[self.id_col].to_numpy(zero_copy_only=False)
-        whash, offsets, counts = tokenize_batch(texts)
-        n = len(texts)
+        whash, offsets, counts = tokenize_arrow(batch[self.text_col])
+        n = len(ids)
         doc_of = np.repeat(np.arange(n, dtype=np.int64), counts)
         sh = simhash64_batch(whash, doc_of, n)
         # variable-width chunks: pigeonhole needs only n_chunks pieces,

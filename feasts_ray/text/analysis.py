@@ -51,20 +51,32 @@ def add_token_counts(batch: pa.Table, text_col: str = "text") -> pa.Table:
 
 
 class BpeishTokenCounter:
-    """Actor-pool kernel: GPT-2-style pre-tokenizer regex count (the regex
-    is compiled once per actor in __init__)."""
+    """Actor-pool kernel: GPT-2-style pre-tokenizer regex count.
 
-    PATTERN = r"'(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+(?!\S)|\s+"
+    The count is DEFINED by ``PATTERN`` under RE2 (``pc.count_substring_
+    regex`` — vectorized C, the same engine DuckDB's oracle uses, so
+    kernel and oracle agree by construction on every input). This is the
+    lookahead-free variant of the GPT-2 pattern: the ``\\s+(?!\\S)``
+    branch RE2 lacks only changes COUNTS for whitespace runs >= 2 whose
+    last char is a non-space whitespace (e.g. ``"a \\tb"``: GPT-2 splits
+    the run in two), plus RE2's ``\\s`` is ASCII while Python's is
+    Unicode — both deviations documented and pinned by test against the
+    DuckDB oracle on adversarial strings."""
+
+    PATTERN = r"'(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+"
 
     def __init__(self, text_col: str = "text"):
         self.text_col = text_col
-        self.rx = re.compile(self.PATTERN)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch[self.text_col].to_pylist()
-        counts = np.fromiter((len(self.rx.findall(t)) for t in texts),
-                             dtype=np.int64, count=len(texts))
-        return batch.append_column("n_bpe_tokens", pa.array(counts, type=pa.int64()))
+        col = batch[self.text_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if col.null_count:
+            col = col.fill_null("")
+        counts = pc.count_substring_regex(col, self.PATTERN)
+        return batch.append_column(
+            "n_bpe_tokens", pc.cast(counts, pa.int64()))
 
 
 def _stopword_hits(words: pa.ListArray, profile: set[str]) -> tuple[np.ndarray, np.ndarray]:
@@ -158,16 +170,20 @@ def add_langid(batch: pa.Table, text_col: str = "text") -> pa.Table:
 
 def add_fingerprint(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """64-bit rolling polynomial fingerprint of the word-hash sequence."""
-    from ..dedup.hashing import tokenize_batch
+    from ..dedup.hashing import tokenize_arrow
 
-    texts = batch[text_col].to_pylist()
-    whash, offsets, _ = tokenize_batch(texts)
-    MASK = (1 << 64) - 1
-    fps = np.empty(len(texts), dtype=np.uint64)
-    for i in range(len(texts)):
-        acc = 0xCBF29CE484222325
-        for h in whash[offsets[i]:offsets[i + 1]].tolist():  # Python ints: no overflow
-            acc = ((acc * 0x100000001B3) & MASK) ^ h
-        fps[i] = np.uint64(acc)
+    whash, offsets, counts = tokenize_arrow(batch[text_col])
+    nd = len(offsets) - 1
+    # the FNV fold runs j-ascending across ALL docs at once: uint64
+    # wraparound IS the `& MASK` of the scalar fold, so each doc's value
+    # is bit-identical to the sequential Python-int version (and to the
+    # SQL oracle's HUGEINT-mod fold)
+    fps = np.full(nd, 0xCBF29CE484222325, dtype=np.uint64)
+    prime = np.uint64(0x100000001B3)
+    starts = offsets[:-1]
+    with np.errstate(over="ignore"):
+        for j in range(int(counts.max()) if nd else 0):
+            m = counts > j
+            fps[m] = (fps[m] * prime) ^ whash[starts[m] + j]
     return batch.append_column(
         "fingerprint", pa.array(fps.astype(np.int64), type=pa.int64()))

@@ -92,6 +92,81 @@ class TestMinHash:
         for i, s in enumerate(shingle_lists):
             np.testing.assert_array_equal(batch_sigs[i], minhash_signature(s, a, b))
 
+    def test_tokenize_arrow_matches_split(self):
+        """tokenize_arrow (utf8_split_whitespace + empty-drop) must equal
+        tokenize_batch (str.split) — including leading/trailing/interior
+        whitespace runs, exotic Unicode whitespace, nulls-as-empty, and
+        chunked columns. The full-BMP codepoint sweep was run offline
+        (zero diffs); this pins the regimes + a codepoint sample."""
+        import pyarrow as pa
+
+        from feasts_ray.dedup.hashing import tokenize_arrow
+
+        ws_sample = ["\t", "\n", "\x0b", "\x1c", "\x85", "\xa0",
+                     " ", " ", "　"]
+        texts = ["", "  ", " a", "a ", "  a  b  ", "\r\na b\r\n", "one"]
+        texts += [f"a{w}b{w}{w}c" for w in ws_sample]
+        rng = np.random.default_rng(9)
+        words = [f"w{i}" for i in range(7)]
+        texts += [" ".join(rng.choice(words, size=int(rng.integers(0, 9))))
+                  for _ in range(40)]
+        w1, o1, c1 = tokenize_batch(texts)
+        for col in (pa.array(texts),
+                    pa.chunked_array([pa.array(texts[:11]),
+                                      pa.array(texts[11:])])):
+            w2, o2, c2 = tokenize_arrow(col)
+            np.testing.assert_array_equal(w1, w2)
+            np.testing.assert_array_equal(o1, o2)
+            np.testing.assert_array_equal(c1, c2)
+        # null text behaves as empty doc
+        w3, o3, _ = tokenize_arrow(pa.array(["a b", None, "c"]))
+        wr, orr, _ = tokenize_batch(["a b", "", "c"])
+        np.testing.assert_array_equal(w3, wr)
+        np.testing.assert_array_equal(o3, orr)
+
+    def test_batch_shingles_match_scalar(self):
+        """shingle_hashes_batch must be bit-identical to the per-doc
+        kernel for every doc length regime: empty, shorter-than-k (the
+        k=n whole-doc fallback), exactly k, and long."""
+        from feasts_ray.dedup.hashing import shingle_hashes_batch
+
+        rng = np.random.default_rng(3)
+        words = [f"w{i}" for i in range(9)]
+        texts = ["", "one", "one two", " ".join(BASE * 2)] + [
+            " ".join(rng.choice(words, size=int(rng.integers(0, 14))))
+            for _ in range(60)
+        ]
+        whash, offsets, _ = tokenize_batch(texts)
+        for k in (2, 3, 5):
+            flat, offs = shingle_hashes_batch(whash, offsets, k)
+            assert offs[-1] == len(flat)
+            for i in range(len(texts)):
+                np.testing.assert_array_equal(
+                    flat[offs[i]:offs[i + 1]],
+                    shingle_hashes(whash[offsets[i]:offsets[i + 1]], k))
+
+    def test_shingle_set_batch_blobs_sorted_unique(self):
+        """ShingleSetBatch's lexsort+from_buffers path must emit exactly
+        np.unique(shingle_hashes(doc)) little-endian bytes per doc."""
+        import pyarrow as pa
+
+        from feasts_ray.dedup.minhash import ShingleSetBatch
+
+        rng = np.random.default_rng(5)
+        words = [f"w{i}" for i in range(6)]
+        texts = [" ".join(rng.choice(words, size=int(rng.integers(0, 12))))
+                 for _ in range(80)]
+        ids = np.arange(80, dtype=np.int64)
+        wanted = np.sort(ids[::2])
+        batch = pa.table({"doc_id": pa.array(ids), "text": pa.array(texts)})
+        out = ShingleSetBatch("text", "doc_id", 3, wanted)(batch)
+        sel = [int(i) for i in ids if int(i) in set(wanted.tolist())]
+        whash, offsets, _ = tokenize_batch([texts[i] for i in sel])
+        ref = [np.unique(shingle_hashes(whash[offsets[j]:offsets[j + 1]], 3))
+               .astype("<i8").tobytes() for j in range(len(sel))]
+        assert out["doc_id"].to_pylist() == sel
+        assert out["shingles"].to_pylist() == ref
+
     def test_batch_signature_all_empty(self):
         from feasts_ray.dedup.hashing import MERSENNE31, minhash_signature_batch
 
@@ -300,6 +375,35 @@ class TestTextAnalysis:
                              batch_format="pyarrow", concurrency=1).to_pandas()
         assert (out["n_bpe_tokens"] > 0).all()
         assert out.sort_values("doc_id")["n_bpe_tokens"].iloc[0] == 3
+
+    def test_bpe_count_matches_duckdb(self):
+        """Kernel and DuckDB oracle share the same RE2 engine/pattern —
+        counts must agree on adversarial whitespace/apostrophe strings
+        (incl. the 'a \\tb' multi-whitespace case where the GPT-2
+        lookahead variant would differ)."""
+        import random
+        import string
+
+        import duckdb
+
+        rng = random.Random(0)
+        alpha = string.ascii_letters + string.digits + "  \t\n'.,!?-_#$%"
+        texts = ["".join(rng.choice(alpha)
+                         for _ in range(rng.randint(0, 200)))
+                 for _ in range(500)]
+        texts += ["", " ", "   ", "a  \tb", "x \t\ny", "it's we've i'll",
+                  "trailing   ", "  leading", "'s", "a1b2 c3"]
+        batch = pa.table({"doc_id": pa.array(range(len(texts))),
+                          "text": pa.array(texts)})
+        got = BpeishTokenCounter("text")(batch)["n_bpe_tokens"].to_pylist()
+        con = duckdb.connect()
+        con.register("documents", batch)
+        ref = [r[0] for r in con.execute(
+            "SELECT CAST(len(regexp_extract_all(text, "
+            "'''(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+"
+            "| ?[^\\sA-Za-z0-9]+|\\s+')) AS BIGINT) "
+            "FROM documents ORDER BY doc_id").fetchall()]
+        assert got == ref
 
     def test_quality_and_langid(self, ray_session):
         en = "the cat is in the hat and it is a good day for the dog"
