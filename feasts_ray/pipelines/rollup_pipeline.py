@@ -37,6 +37,21 @@ from ..stages.tier_kernel import run_tier, spans_from_partials
 from ..state import checkpoint as ckpt
 
 
+def _input_bytes(input_path: str) -> int:
+    import os
+
+    try:
+        return sum(os.path.getsize(os.path.join(input_path, f))
+                   for f in os.listdir(input_path) if f.endswith(".parquet"))
+    except (OSError, NotADirectoryError):
+        return 0
+
+
+def _cluster_cpus() -> int:
+    return (int(ray.cluster_resources().get("CPU", 8))
+            if ray.is_initialized() else 8)
+
+
 def read_token_table(input_path: str, columns=("doc_id", "n_tok", "source")) -> "ray.data.Dataset":
     """Read the token table with blocks sized for the downstream shuffle.
 
@@ -48,16 +63,7 @@ def read_token_table(input_path: str, columns=("doc_id", "n_tok", "source")) -> 
     35.5 s to 15.6 s at 16 CPUs (sort wall 32 s -> ~6 s); the same
     sizing rule the cascade tiers already use on their re-reads.
     """
-    import os
-
-    cpus = (int(ray.cluster_resources().get("CPU", 8))
-            if ray.is_initialized() else 8)
-    try:
-        total = sum(os.path.getsize(os.path.join(input_path, f))
-                    for f in os.listdir(input_path) if f.endswith(".parquet"))
-    except (OSError, NotADirectoryError):
-        total = 0
-    nblk = max(cpus, total // (128 << 20))
+    nblk = max(_cluster_cpus(), _input_bytes(input_path) // (128 << 20))
     return ray.data.read_parquet(input_path, columns=list(columns),
                                  override_num_blocks=nblk)
 
@@ -238,6 +244,22 @@ def run_rollup(
                 fn_kwargs={"unit_s": tier.unit_s, "value_col": cfg.value_col,
                            "key_col": cfg.series_key},
             )
+            # Coalesce the partials before the sort: read blocks scale
+            # with INPUT bytes (good for read/agg parallelism) but the
+            # sort's block-slice count is O(blocks^2) pure scheduling —
+            # at 192M docs (224 read blocks) that term alone was ~100 s
+            # of the raw tier's wall at 16 CPUs. The partials are ~3x
+            # smaller than the token table, so re-blocking them to
+            # ~128 MB (floor 2/CPU) costs one cheap split-concat pass
+            # and shrinks the sort matrix ~25x. Kernel output is
+            # order-independent (integer-sum merges), so points are
+            # bit-identical (pinned by the oracle suite).
+            cpus = _cluster_cpus()
+            tbytes = _input_bytes(input_path)
+            read_nblk = max(cpus, tbytes // (128 << 20))
+            sort_nblk = max(2 * cpus, tbytes // (384 << 20))
+            if sort_nblk < read_nblk:
+                ds = ds.repartition(sort_nblk)
         else:
             assert prev_points is not None
             # Size read blocks to ~128 MB (floor: one per CPU): the finer

@@ -24,16 +24,18 @@ sys.path.insert(0, {repo!r})
 from feasts_ray.synth import ensure_token_table
 from feasts_ray.pipelines.rollup_pipeline import run_rollup
 path = ensure_token_table(12000)
-run_rollup(path, {out!r})
+run_rollup(path, {out!r}, token_features={feats}, token_archive={feats})
 print("DONE")
 ray.shutdown()
 """
 
 
-def _run_job(out: str, kill_after: float | None = None) -> bool:
+def _run_job(out: str, kill_after: float | None = None,
+             feats: bool = False) -> bool:
     """Run the rollup job in a subprocess; optionally SIGKILL it.
     Returns True if the job completed."""
-    p = subprocess.Popen([sys.executable, "-c", JOB.format(repo=str(REPO), out=out)],
+    p = subprocess.Popen([sys.executable, "-c",
+                          JOB.format(repo=str(REPO), out=out, feats=feats)],
                          stdout=subprocess.PIPE, stderr=subprocess.DEVNULL,
                          text=True)
     if kill_after is None:
@@ -82,3 +84,29 @@ def test_kill_resume_byte_identical(tmp_path):
         for path_str, before in manifests_after_kill.items():
             after = json.loads(Path(path_str).read_text())
             assert after["completed_at"] == before["completed_at"]
+
+
+@pytest.mark.slow
+def test_kill_resume_fused_features_archive(tmp_path):
+    """Kill mid-run with the FUSED features+archive scan on: the resume
+    must converge to the same feature table and the same restorable
+    token archive as an uninterrupted run (partial side-written feature
+    files from the killed attempt must not leak duplicate rows)."""
+    ref_out = str(tmp_path / "ref")
+    resumed_out = str(tmp_path / "resumed")
+    assert _run_job(ref_out, feats=True), "uninterrupted run failed"
+    _run_job(resumed_out, kill_after=8.0, feats=True)
+    assert _run_job(resumed_out, feats=True), "resume run failed"
+
+    for sub, sort_cols in (("features/points", ["doc_id"]),
+                           ("tokens_archive/blobs", ["doc_id"])):
+        ref = (pads.dataset(str(Path(ref_out) / sub)).to_table()
+               .to_pandas().sort_values(sort_cols, ignore_index=True))
+        got = (pads.dataset(str(Path(resumed_out) / sub)).to_table()
+               .to_pandas().sort_values(sort_cols, ignore_index=True))
+        assert len(got) == len(ref) == 12000
+        pd.testing.assert_frame_equal(
+            got.sort_index(axis=1), ref.sort_index(axis=1),
+            check_exact=True)
+    for tier in ("tier=raw", "tier=1m", "tier=1h", "tier=1d"):
+        assert (Path(resumed_out) / tier / "points").exists()
