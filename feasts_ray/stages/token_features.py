@@ -122,10 +122,11 @@ def token_feature_block(x: np.ndarray, n: np.ndarray, mask: np.ndarray) -> dict[
     pacf5_ss = _pacf_ss_from_acfs(acfs, b)
 
     # diff1 series: d_t = x_{t+1} - x_t for t < n-1 (zero elsewhere)
-    d = np.where(mask[:, 1:], x[:, 1:] - x[:, :-1], 0.0)
+    # dmask[:, j] = j < n-1 = (j+1) < n = mask[:, 1:] — reuse, don't rebuild
+    dmask = mask[:, 1:]
+    d = np.where(dmask, x[:, 1:] - x[:, :-1], 0.0)
     dn = np.maximum(n - 1, 1).astype(np.float64)
     dmean = d.sum(axis=1) / dn
-    dmask = np.arange(L - 1)[None, :] < (n[:, None] - 1)
     da = np.where(dmask, d - dmean[:, None], 0.0)
     dc0 = np.einsum("ij,ij->i", da, da)
     dacfs = np.empty((N_LAGS, b))
@@ -147,17 +148,25 @@ def token_feature_block(x: np.ndarray, n: np.ndarray, mask: np.ndarray) -> dict[
     h = w // 2
     # x is zero outside the mask by the padded_matrix contract, so the
     # cumsum needs no masking pass
-    cs = np.cumsum(x, axis=1)
-    cs = np.concatenate([np.zeros((b, 1)), cs], axis=1)
+    cs = np.empty((b, L + 1))
+    cs[:, 0] = 0.0
+    np.cumsum(x, axis=1, out=cs[:, 1:])
     lo = np.maximum(np.arange(L) - h, 0)
     hi = np.minimum(np.arange(L) + h + 1, L)
-    win_sum = cs[:, hi] - cs[:, lo]
+    # win_sum[:, t] = cs[:, hi[t]] - cs[:, lo[t]]; hi/lo are clipped
+    # shifts, so the gathers are plain slices (bit-identical values,
+    # no (b, L) fancy-index pass): hi[t] = t+h+1 for t < L-h else L;
+    # lo[t] = t-h for t >= h else 0 (cs[:, 0] == 0 -> no subtraction)
+    win_sum = np.empty((b, L))
+    win_sum[:, :L - h] = cs[:, h + 1:]
+    win_sum[:, L - h:] = cs[:, L:L + 1]
+    win_sum[:, h:] -= cs[:, :L - h]
     # prefix mask => cumulative count at t is min(t, n): the window count
     # is analytic (no mask cumsum / gather), same exact integers
     win_cnt = (np.minimum(hi[None, :], n[:, None])
                - np.minimum(lo[None, :], n[:, None])).astype(np.float64)
-    with np.errstate(invalid="ignore", divide="ignore"):
-        trend = np.where(win_cnt > 0, win_sum / win_cnt, 0.0)
+    trend = np.zeros((b, L))
+    np.divide(win_sum, win_cnt, out=trend, where=win_cnt > 0.0)
 
     detr = np.where(mask, x - trend, 0.0)
     detr_mean = detr.sum(axis=1) / nf
@@ -170,8 +179,10 @@ def token_feature_block(x: np.ndarray, n: np.ndarray, mask: np.ndarray) -> dict[
     dc = detr_c[:, : ncyc * p].reshape(b, ncyc, p)
     mc = mask[:, : ncyc * p].reshape(b, ncyc, p)
     cyc_cnt = mc.sum(axis=1).astype(np.float64)            # (b, p)
+    # detr_c is exactly 0.0 wherever mc is False (np.where above), so
+    # (dc * mc) == dc element-for-element — skip the (b, ncyc, p) product
     with np.errstate(invalid="ignore", divide="ignore"):
-        phase_mean = np.where(cyc_cnt > 0, (dc * mc).sum(axis=1) / cyc_cnt, 0.0)
+        phase_mean = np.where(cyc_cnt > 0, dc.sum(axis=1) / cyc_cnt, 0.0)
     seas_full = np.zeros((b, L))
     seas_full[:, : ncyc * p] = np.tile(phase_mean, (1, ncyc))
     seas_c = np.where(mask, seas_full, 0.0)
