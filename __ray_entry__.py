@@ -460,6 +460,13 @@ JOIN sizes sb ON sb.doc_id = i.id_b
 WHERE CAST(i.ni AS DOUBLE) / CAST(sa.m + sb.m - i.ni AS DOUBLE) >= 0.35
 """
 
+# Same exact-Jaccard SQL at the prefix-filter query's threshold. For
+# ngram_jaccard_dup_pairs this oracle needs NO recall assumption at all:
+# the engine's prefix-filtered candidate generation is exhaustive by the
+# Chaudhuri/Bayardo prefix lemma (feasts_ray/dedup/ngram.py), so the
+# match is exact by construction, not by banding probability.
+_NGRAM_PAIRS = _MINHASH_PAIRS.replace(">= 0.35", ">= 0.4")
+
 # Near-dup cluster assignment: the exact-Jaccard pair set (same CTEs as
 # _MINHASH_PAIRS) -> connected components by UNROLLED min-label
 # propagation (8 rounds >= any component diameter in this corpus; the
@@ -729,6 +736,7 @@ JOIN series p ON p.event_type = s.event_type AND p.bucket = s.bucket - k.lag * 3
             "(CAST(SUM(cents) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) / 100.0 AS mean_val "
             "FROM sec GROUP BY l_returnflag, bucket"),
         "minhash_dup_pairs": _MINHASH_PAIRS,
+        "ngram_jaccard_dup_pairs": _NGRAM_PAIRS,
         "minhash_dedup_docs": _MINHASH_DEDUP_DOCS,
         "dedup_exact": (
             "SELECT md5(text) AS text_md5, MIN(doc_id) AS survivor_id, "

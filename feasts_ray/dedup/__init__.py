@@ -8,7 +8,8 @@ shuffle keyed by the (band/bucket) hash.
 
 from .cluster import connected_components, minhash_dedup_docs
 from .exact import dedup_exact, exact_groups
-from .minhash import minhash_dedup_pairs, ngram_jaccard_pairs
+from .minhash import minhash_dedup_pairs, ngram_jaccard_pairs_lsh
+from .ngram import ngram_jaccard_pairs
 from .simhash import simhash_dedup_pairs
 from .embedding import embedding_dup_pairs, embedding_dup_pairs_exact
 
@@ -19,6 +20,7 @@ __all__ = [
     "minhash_dedup_docs",
     "minhash_dedup_pairs",
     "ngram_jaccard_pairs",
+    "ngram_jaccard_pairs_lsh",
     "simhash_dedup_pairs",
     "embedding_dup_pairs",
     "embedding_dup_pairs_exact",

@@ -416,6 +416,30 @@ def minhash_dedup_pairs(
     pairs = emit_candidate_pairs_ds(bands, ["band", "band_hash"], id_col,
                                     max_bucket=max_bucket,
                                     dedup=False).materialize()
+    return exact_jaccard_verify(pairs, ds, text_col=text_col, id_col=id_col,
+                                k=k, threshold=threshold,
+                                batch_size=batch_size,
+                                concurrency=concurrency,
+                                broadcast_budget=broadcast_budget)
+
+
+def exact_jaccard_verify(
+    pairs: "ray.data.Dataset",
+    ds: "ray.data.Dataset",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.5,
+    batch_size: int = 256,
+    concurrency=(1, 8),
+    broadcast_budget: int = 256 << 20,
+) -> "ray.data.Dataset":
+    """Shared exact-Jaccard verify tail: a MATERIALIZED candidate-pair
+    Dataset (id_a, id_b — possibly with duplicates) + the corpus ->
+    verified pairs with the true n-gram Jaccard >= threshold. Candidate
+    generation is the caller's (LSH bands, prefix filter, ...); the
+    adaptive broadcast-vs-co-group strategy is documented on
+    ``minhash_dedup_pairs``."""
     # distinct candidate ids: streamed per-batch uniques -> one sorted
     # array (ints only; the pair ROWS stay in the object store)
     chunks = [np.array([], dtype=np.int64)]
@@ -472,7 +496,7 @@ def minhash_dedup_pairs(
                           fn_kwargs={"threshold": threshold})
 
 
-def ngram_jaccard_pairs(
+def ngram_jaccard_pairs_lsh(
     ds: "ray.data.Dataset",
     text_col: str = "text",
     id_col: str = "doc_id",
@@ -480,9 +504,9 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     **kwargs,
 ) -> "ray.data.Dataset":
-    """Exact word-n-gram Jaccard near-dup pairs. Candidate generation is
-    MinHash+LSH (recall tuned by num_perm/n_bands kwargs); every candidate
-    is verified with the EXACT shingle-set Jaccard, so precision is exact
-    and the returned `jaccard` column is the true similarity."""
+    """n-gram Jaccard pairs with MinHash+LSH candidate generation
+    (probabilistic recall tuned by num_perm/n_bands; exact precision via
+    the verify). For recall EXACT by construction, use
+    ``dedup.ngram.ngram_jaccard_pairs`` (prefix-filtered all-pairs)."""
     return minhash_dedup_pairs(ds, text_col=text_col, id_col=id_col, k=k,
                                threshold=threshold, **kwargs)

@@ -31,12 +31,13 @@ def _mix_cols(batch: pa.Table, cols: list[str]) -> np.ndarray:
 
 class _RunPairKernel:
     def __init__(self, bucket_cols, id_col, carry_cols, max_bucket,
-                 post_filter=None):
+                 post_filter=None, overflow: str = "truncate"):
         self.bucket_cols = list(bucket_cols)
         self.id_col = id_col
         self.carry_cols = list(carry_cols)
         self.max_bucket = max_bucket
         self.post_filter = post_filter
+        self.overflow = overflow
 
     def __call__(self, group: pd.DataFrame) -> pd.DataFrame:
         df = group.drop_duplicates(subset=[*self.bucket_cols, self.id_col])
@@ -58,6 +59,14 @@ class _RunPairKernel:
             if n < 2:
                 continue
             if n > self.max_bucket:
+                if self.overflow == "error":
+                    # exact-recall callers (prefix-filtered n-gram
+                    # Jaccard) must never silently drop pairs
+                    raise RuntimeError(
+                        f"candidate bucket of size {n} exceeds "
+                        f"max_bucket={self.max_bucket}; a shingle this "
+                        "common defeats the prefix filter — raise "
+                        "max_bucket or pre-drop stopword shingles")
                 e = s + self.max_bucket
                 n = self.max_bucket
             ia, ib = np.triu_indices(n, k=1)
@@ -108,13 +117,14 @@ def emit_candidate_pairs(
 
 
 def _candidate_pairs_raw(ds, bucket_cols, id_col, carry_cols, num_groups,
-                         max_bucket, post_filter) -> "ray.data.Dataset":
+                         max_bucket, post_filter,
+                         overflow: str = "truncate") -> "ray.data.Dataset":
     def _add_group(batch: pa.Table) -> pa.Table:
         g = (_mix_cols(batch, list(bucket_cols)) % np.uint64(num_groups)).astype(np.int64)
         return batch.append_column("pgroup", pa.array(g, type=pa.int64()))
 
     kernel = _RunPairKernel(bucket_cols, id_col, carry_cols, max_bucket,
-                            post_filter)
+                            post_filter, overflow)
     return ds.map_batches(_add_group, batch_format="pyarrow").groupby(
         "pgroup").map_groups(kernel.__call__, batch_format="pandas")
 
@@ -126,14 +136,17 @@ def emit_candidate_pairs_ds(
     num_groups: int = 128,
     max_bucket: int = 500,
     dedup: bool = True,
+    overflow: str = "truncate",
 ) -> "ray.data.Dataset":
     """Distributed variant: candidate pairs as a Dataset of (id_a, id_b)
     — nothing ever lands on the driver. With ``dedup`` (default) pairs
     are globally deduped by a hash groupby; pass dedup=False when a
     downstream stage already groups by a function of id_a and can dedup
-    there for free (saves one all-to-all — see dedup/minhash.py)."""
+    there for free (saves one all-to-all — see dedup/minhash.py).
+    ``overflow="error"`` raises instead of truncating oversized buckets
+    (exact-recall callers)."""
     raw = _candidate_pairs_raw(ds, bucket_cols, id_col, (), num_groups,
-                               max_bucket, None)
+                               max_bucket, None, overflow)
     if not dedup:
         return raw
     from ray.data.aggregate import Count

@@ -301,6 +301,16 @@ def q_minhash_pairs(sf_dir: str):
     return minhash_dedup_pairs(_documents(sf_dir), threshold=0.35)
 
 
+def q_ngram_jaccard_dup_pairs(sf_dir: str):
+    """All pairs with exact word-3-gram Jaccard >= 0.4 — recall exact by
+    the prefix-filter lemma (no LSH banding probability), precision exact
+    via the shared verify. The only dedup pair query whose oracle match
+    needs zero probabilistic assumptions (feasts_ray/dedup/ngram.py)."""
+    from feasts_ray.dedup.ngram import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_documents(sf_dir), threshold=0.4)
+
+
 def q_minhash_dedup_docs(sf_dir: str):
     """Near-dup CLUSTER assignment: (doc_id, cluster_id = min id of the
     doc's near-dup component at Jaccard >= 0.35) for every document —
@@ -917,6 +927,7 @@ ALL_QUERIES = {
     # checked only the first 50 of 54 registered queries, skipping
     # exactly the tail of this dict (x11_1h's SQL oracle has never
     # produced a hard driver signal — VERDICT r03 item 1).
+    "ngram_jaccard_dup_pairs": q_ngram_jaccard_dup_pairs,
     "x11_1h": q_x11_1h,
     "seasonal_subseries_1h": q_seasonal_subseries_1h,
     "seasonal_overlay_1h": q_seasonal_overlay_1h,

@@ -619,3 +619,85 @@ class TestNearDupClustering:
             "doc_id": _pa.array(list(range(n)), type=_pa.int64())}))
         lab = connected_components(edges, nodes, max_rounds=6).to_pandas()
         assert (lab["label"] == 0).all()
+
+
+class TestNgramJaccardExact:
+    """Prefix-filtered exact all-pairs (dedup/ngram.py): recall must be
+    exact BY CONSTRUCTION, including borderline pairs an LSH banding
+    scheme catches only probabilistically."""
+
+    @staticmethod
+    def _corpus(n_base=40, n_borderline=12, seed=7):
+        """Docs with planted pairs whose true 3-gram Jaccard straddles
+        the 0.4 threshold (word-overlap fractions swept 0.35..0.75)."""
+        rng = np.random.default_rng(seed)
+        vocab = [f"w{i:04d}" for i in range(5000)]
+        texts, ids = [], []
+        did = 0
+        for i in range(n_base):
+            ws = rng.choice(vocab, size=60, replace=False)
+            texts.append(" ".join(ws)); ids.append(did); did += 1
+        for i in range(n_borderline):
+            base = texts[i].split()
+            keep = int(len(base) * (0.35 + 0.4 * i / max(n_borderline - 1, 1)))
+            mut = list(base)
+            repl = rng.choice(vocab, size=len(base) - keep, replace=False)
+            for j, w in zip(range(keep, len(base)), repl):
+                mut[j] = w
+            texts.append(" ".join(mut)); ids.append(did); did += 1
+        return pa.table({"doc_id": pa.array(ids, type=pa.int64()),
+                         "text": pa.array(texts)})
+
+    @staticmethod
+    def _brute_pairs(tbl, threshold, k=3):
+        from feasts_ray.dedup.hashing import (shingle_hashes_batch,
+                                              tokenize_arrow)
+        whash, offsets, _ = tokenize_arrow(tbl["text"].combine_chunks())
+        sh, soffs = shingle_hashes_batch(whash, offsets, k)
+        sets = [np.unique(sh[soffs[i]:soffs[i + 1]]) for i in range(len(tbl))]
+        ids = tbl["doc_id"].to_numpy(zero_copy_only=False)
+        out = []
+        for i in range(len(sets)):
+            for j in range(i + 1, len(sets)):
+                ni = len(np.intersect1d(sets[i], sets[j], assume_unique=True))
+                un = len(sets[i]) + len(sets[j]) - ni
+                jac = ni / un if un else 0.0
+                if jac >= threshold:
+                    a, b = sorted((int(ids[i]), int(ids[j])))
+                    out.append((a, b, jac))
+        return sorted(out)
+
+    def test_exact_recall_and_precision_borderline(self, ray_session):
+        from feasts_ray.dedup.ngram import ngram_jaccard_pairs
+
+        tbl = self._corpus()
+        exp = self._brute_pairs(tbl, 0.4)
+        assert len(exp) >= 4  # planted sweep must produce >=0.4 pairs
+        got = (ngram_jaccard_pairs(ray.data.from_arrow(tbl), threshold=0.4)
+               .to_pandas().sort_values(["id_a", "id_b"], ignore_index=True))
+        assert [(a, b) for a, b, _ in exp] == list(
+            zip(got["id_a"], got["id_b"]))
+        for (_, _, j), gj in zip(exp, got["jaccard"]):
+            assert np.float64(j).view(np.int64) == np.float64(gj).view(np.int64)
+
+    def test_prefix_rows_bounded(self):
+        """Prefix emission must emit ~(1 - t/(1+t)) of each doc's
+        shingles, never the full set."""
+        from feasts_ray.dedup.ngram import PrefixEmitter
+
+        tbl = self._corpus(n_base=10, n_borderline=0)
+        out = PrefixEmitter("text", "doc_id", 3, 0.5)(tbl)
+        n_sh = sum(len(t.split()) - 2 for t in tbl["text"].to_pylist())
+        # t'=1/3 -> prefix ~= 2/3 of each set (+1); well under the total
+        assert len(out) < 0.75 * n_sh
+        assert len(out) > 0.5 * n_sh
+
+    def test_overflow_error_not_silent_truncation(self, ray_session):
+        from feasts_ray.dedup.ngram import ngram_jaccard_pairs
+
+        texts = ["alpha beta gamma " + f"tail{i}" for i in range(40)]
+        tbl = pa.table({"doc_id": pa.array(range(40), type=pa.int64()),
+                        "text": pa.array(texts)})
+        with pytest.raises(Exception, match="max_bucket"):
+            ngram_jaccard_pairs(ray.data.from_arrow(tbl), threshold=0.4,
+                                max_bucket=5).materialize()
