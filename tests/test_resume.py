@@ -110,3 +110,19 @@ def test_kill_resume_fused_features_archive(tmp_path):
             check_exact=True)
     for tier in ("tier=raw", "tier=1m", "tier=1h", "tier=1d"):
         assert (Path(resumed_out) / tier / "points").exists()
+
+
+def test_spans_sidecar_million_keys(tmp_path):
+    """Resume metadata must stay manageable at 10^6 sources (VERDICT r03
+    item 7): the parquet sidecar round-trips a million-key span table
+    byte-identically and stays compact on disk (no inline-JSON blowup)."""
+    from feasts_ray.state import checkpoint as ckpt
+
+    n = 1_000_000
+    spans = {f"src{i:07d}": (i * 3600, i * 3600 + 86_400) for i in range(n)}
+    ckpt.save_spans(tmp_path, spans, "lineage-v1")
+    p = tmp_path / ckpt.SPANS_NAME
+    assert p.stat().st_size < 20 << 20  # compact columnar, not JSON
+    back = ckpt.load_spans(tmp_path, "lineage-v1")
+    assert back == spans
+    assert ckpt.load_spans(tmp_path, "other-lineage") is None  # stale guard
