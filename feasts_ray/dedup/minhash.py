@@ -28,6 +28,7 @@ import pyarrow as pa
 import ray
 import ray.data
 
+from ..state.broadcast import put_once, resolve_broadcast
 from .hashing import (
     band_hashes_batch,
     minhash_signature_batch,
@@ -37,94 +38,81 @@ from .hashing import (
 )
 
 
-class BandEmitter:
-    """Actor-pool kernel: text -> (doc_id, band, band_hash) rows.
+def band_emit_batch(batch: pa.Table, *, text_col: str, id_col: str, k: int,
+                    a: np.ndarray, b: np.ndarray, n_bands: int) -> pa.Table:
+    """Task-pool kernel: text -> (doc_id, band, band_hash) rows.
 
-    Permutation parameters are built once per actor in __init__."""
-
-    def __init__(self, text_col: str, id_col: str, k: int, num_perm: int,
-                 n_bands: int, seed: int):
-        self.text_col = text_col
-        self.id_col = id_col
-        self.k = k
-        self.a, self.b = perm_params(num_perm, seed)
-        self.n_bands = n_bands
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
-        n = len(ids)
-        if n == 0:
-            return pa.table({
-                self.id_col: pa.array([], type=batch[self.id_col].type),
-                "band": pa.array([], type=pa.int64()),
-                "band_hash": pa.array([], type=pa.int64()),
-            })
-        whash, offsets, _ = tokenize_arrow(batch[self.text_col])
-        # ONE flat batched shingle fold, then ONE batch-wide permutation
-        # grid + reduceat for all signatures and a vectorized band mix —
-        # no per-doc Python in the hash math
-        flat, starts = shingle_hashes_batch(whash, offsets, self.k)
-        sigs = minhash_signature_batch(flat, starts, self.a, self.b)
-        bh = band_hashes_batch(sigs, self.n_bands)
+    A plain function, not an actor class: the permutation parameters
+    (two ~1 KB uint64 arrays) ride fn_kwargs, so the stage scales
+    elastically with the cluster instead of being capped by an actor
+    pool — on a 256-node cluster an actor cap WOULD be the bottleneck,
+    and on small runs pool spin-up dominated the stage wall."""
+    ids = batch[id_col].to_numpy(zero_copy_only=False)
+    n = len(ids)
+    if n == 0:
         return pa.table({
-            self.id_col: pa.array(np.repeat(ids, self.n_bands)),
-            "band": pa.array(np.tile(np.arange(self.n_bands, dtype=np.int64), n)),
-            "band_hash": pa.array(bh.reshape(-1).astype(np.int64)),
+            id_col: pa.array([], type=batch[id_col].type),
+            "band": pa.array([], type=pa.int64()),
+            "band_hash": pa.array([], type=pa.int64()),
         })
+    whash, offsets, _ = tokenize_arrow(batch[text_col])
+    # ONE flat batched shingle fold, then ONE batch-wide permutation
+    # grid + reduceat for all signatures and a vectorized band mix —
+    # no per-doc Python in the hash math
+    flat, starts = shingle_hashes_batch(whash, offsets, k)
+    sigs = minhash_signature_batch(flat, starts, a, b)
+    bh = band_hashes_batch(sigs, n_bands)
+    return pa.table({
+        id_col: pa.array(np.repeat(ids, n_bands)),
+        "band": pa.array(np.tile(np.arange(n_bands, dtype=np.int64), n)),
+        "band_hash": pa.array(bh.reshape(-1).astype(np.int64)),
+    })
 
 
-class ShingleSetBatch:
+def shingle_set_batch(batch: pa.Table, *, text_col: str, id_col: str, k: int,
+                      wanted_ref) -> pa.Table:
     """Verify pre-pass kernel: (id, text) rows -> (id, sorted unique
     shingle-hash set packed as little-endian int64 bytes) for CANDIDATE
     docs only. The sorted candidate-id array (8 B/id, small) is broadcast
-    once via ray.put and resolved once per actor in __init__ — the corpus
+    once via ray.put and resolved once per worker process — the corpus
     is scanned (never shuffled) and non-candidate rows are dropped at the
     batch with a vectorized searchsorted."""
-
-    def __init__(self, text_col: str, id_col: str, k: int, wanted_ref):
-        self.text_col = text_col
-        self.id_col = id_col
-        self.k = k
-        self.wanted = (ray.get(wanted_ref)
-                       if isinstance(wanted_ref, ray.ObjectRef) else wanted_ref)
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
-        if len(self.wanted):
-            pos = np.clip(np.searchsorted(self.wanted, ids), 0,
-                          len(self.wanted) - 1)
-            mask = self.wanted[pos] == ids
-        else:
-            mask = np.zeros(len(ids), dtype=bool)
-        if not mask.any():
-            return pa.table({
-                self.id_col: pa.array([], type=batch[self.id_col].type),
-                "shingles": pa.array([], type=pa.large_binary()),
-            })
-        col = batch[self.text_col]
-        if isinstance(col, pa.ChunkedArray):
-            col = col.combine_chunks()
-        whash, offsets, _ = tokenize_arrow(col.filter(pa.array(mask)))
-        nd = int(mask.sum())
-        # flat batched shingles -> per-doc sorted-unique via ONE lexsort
-        # over (doc, hash) + adjacent-dedupe (identical values/order to
-        # np.unique per doc), then the large_binary column is built from
-        # the flat "<i8" buffer + byte offsets — zero per-doc Python
-        sh, soffs = shingle_hashes_batch(whash, offsets, self.k)
-        doc_of = np.repeat(np.arange(nd), np.diff(soffs))
-        order = np.lexsort((sh, doc_of))
-        sh_s, doc_s = sh[order], doc_of[order]
-        keep = np.ones(len(sh_s), dtype=bool)
-        keep[1:] = (sh_s[1:] != sh_s[:-1]) | (doc_s[1:] != doc_s[:-1])
-        sh_u, doc_u = sh_s[keep], doc_s[keep]
-        u_offs = np.concatenate(
-            [[0], np.cumsum(np.bincount(doc_u, minlength=nd))])
-        blobs = pa.LargeBinaryArray.from_buffers(
-            pa.large_binary(), nd,
-            [None, pa.py_buffer((u_offs * 8).astype(np.int64).tobytes()),
-             pa.py_buffer(sh_u.astype("<i8").tobytes())])
-        return pa.table({self.id_col: pa.array(ids[mask]),
-                         "shingles": blobs})
+    wanted = resolve_broadcast(wanted_ref)
+    ids = batch[id_col].to_numpy(zero_copy_only=False)
+    if len(wanted):
+        pos = np.clip(np.searchsorted(wanted, ids), 0, len(wanted) - 1)
+        mask = wanted[pos] == ids
+    else:
+        mask = np.zeros(len(ids), dtype=bool)
+    if not mask.any():
+        return pa.table({
+            id_col: pa.array([], type=batch[id_col].type),
+            "shingles": pa.array([], type=pa.large_binary()),
+        })
+    col = batch[text_col]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    whash, offsets, _ = tokenize_arrow(col.filter(pa.array(mask)))
+    nd = int(mask.sum())
+    # flat batched shingles -> per-doc sorted-unique via ONE lexsort
+    # over (doc, hash) + adjacent-dedupe (identical values/order to
+    # np.unique per doc), then the large_binary column is built from
+    # the flat "<i8" buffer + byte offsets — zero per-doc Python
+    sh, soffs = shingle_hashes_batch(whash, offsets, k)
+    doc_of = np.repeat(np.arange(nd), np.diff(soffs))
+    order = np.lexsort((sh, doc_of))
+    sh_s, doc_s = sh[order], doc_of[order]
+    keep = np.ones(len(sh_s), dtype=bool)
+    keep[1:] = (sh_s[1:] != sh_s[:-1]) | (doc_s[1:] != doc_s[:-1])
+    sh_u, doc_u = sh_s[keep], doc_s[keep]
+    u_offs = np.concatenate(
+        [[0], np.cumsum(np.bincount(doc_u, minlength=nd))])
+    blobs = pa.LargeBinaryArray.from_buffers(
+        pa.large_binary(), nd,
+        [None, pa.py_buffer((u_offs * 8).astype(np.int64).tobytes()),
+         pa.py_buffer(sh_u.astype("<i8").tobytes())])
+    return pa.table({id_col: pa.array(ids[mask]),
+                     "shingles": blobs})
 
 
 _MIX = np.uint64(0x9E3779B97F4A7C15)
@@ -310,43 +298,39 @@ def _blob_int64(col) -> tuple[np.ndarray, np.ndarray]:
     return vals, lens
 
 
-class _BroadcastJaccard:
+def _pack_rows(ids: np.ndarray, id_arr: np.ndarray) -> np.ndarray:
+    pos = np.searchsorted(ids, id_arr)
+    if (pos >= len(ids)).any() or (ids[pos] != id_arr).any():
+        raise KeyError("candidate id missing from broadcast shingle pack")
+    return pos
+
+
+def broadcast_jaccard_batch(batch: pa.Table, *, pack_ref) -> pa.Table:
     """Verify kernel for the bounded-candidate fast path: the candidate
     docs' shingle sets ride ONE ray.put as (sorted ids, offsets, packed
     int64 values) and each pair batch verifies against zero-copy slices
     of the shared pack — no attach shuffle at all. Only used when the
     pack fits the broadcast budget; past that the distributed co-group
-    attach path runs instead."""
-
-    def __init__(self, pack_ref):
-        self.ids, self.offs, self.packed = (
-            ray.get(pack_ref) if isinstance(pack_ref, ray.ObjectRef)
-            else pack_ref)
-
-    def _rows(self, id_arr: np.ndarray) -> np.ndarray:
-        pos = np.searchsorted(self.ids, id_arr)
-        if (pos >= len(self.ids)).any() or (self.ids[pos] != id_arr).any():
-            raise KeyError("candidate id missing from broadcast shingle pack")
-        return pos
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        n = len(batch)
-        if n == 0:
-            return pa.table({"id_a": pa.array([], type=pa.int64()),
-                             "id_b": pa.array([], type=pa.int64()),
-                             "jaccard": pa.array([], type=pa.float64())})
-        ia = batch["id_a"].to_numpy(zero_copy_only=False)
-        ib = batch["id_b"].to_numpy(zero_copy_only=False)
-        ra, rb = self._rows(ia), self._rows(ib)
-        offs, packed = self.offs, self.packed
-        a_lens = offs[ra + 1] - offs[ra]
-        b_lens = offs[rb + 1] - offs[rb]
-        jac = _pairwise_jaccard(_gather_slices(packed, offs[ra], a_lens),
-                                a_lens,
-                                _gather_slices(packed, offs[rb], b_lens),
-                                b_lens)
-        return pa.table({"id_a": batch["id_a"], "id_b": batch["id_b"],
-                         "jaccard": pa.array(jac, type=pa.float64())})
+    attach path runs instead. Task-pool function: the pack resolves once
+    per worker process (state/broadcast.py LRU), so the stage scales
+    with the cluster instead of an actor-pool cap."""
+    ids, offs, packed = resolve_broadcast(pack_ref)
+    n = len(batch)
+    if n == 0:
+        return pa.table({"id_a": pa.array([], type=pa.int64()),
+                         "id_b": pa.array([], type=pa.int64()),
+                         "jaccard": pa.array([], type=pa.float64())})
+    ia = batch["id_a"].to_numpy(zero_copy_only=False)
+    ib = batch["id_b"].to_numpy(zero_copy_only=False)
+    ra, rb = _pack_rows(ids, ia), _pack_rows(ids, ib)
+    a_lens = offs[ra + 1] - offs[ra]
+    b_lens = offs[rb + 1] - offs[rb]
+    jac = _pairwise_jaccard(_gather_slices(packed, offs[ra], a_lens),
+                            a_lens,
+                            _gather_slices(packed, offs[rb], b_lens),
+                            b_lens)
+    return pa.table({"id_a": batch["id_a"], "id_b": batch["id_b"],
+                     "jaccard": pa.array(jac, type=pa.float64())})
 
 
 def _jaccard_verify_batch(batch: pa.Table, threshold: float) -> pa.Table:
@@ -377,7 +361,7 @@ def minhash_dedup_pairs(
     seed: int = 1,
     max_bucket: int = 200,
     batch_size: int = 256,
-    concurrency=(1, 8),
+    concurrency: int | None = None,
     broadcast_budget: int = 256 << 20,
 ) -> "ray.data.Dataset":
     """Near-dup pairs (id_a < id_b) with exact n-gram Jaccard >= threshold.
@@ -401,9 +385,11 @@ def minhash_dedup_pairs(
     """
     from .pairs import emit_candidate_pairs_ds
 
+    a, b = perm_params(num_perm, seed)
     bands = ds.map_batches(
-        BandEmitter,
-        fn_constructor_args=(text_col, id_col, k, num_perm, n_bands, seed),
+        band_emit_batch,
+        fn_kwargs=dict(text_col=text_col, id_col=id_col, k=k,
+                       a=a, b=b, n_bands=n_bands),
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,
@@ -431,7 +417,7 @@ def exact_jaccard_verify(
     k: int = 3,
     threshold: float = 0.5,
     batch_size: int = 256,
-    concurrency=(1, 8),
+    concurrency: int | None = None,
     broadcast_budget: int = 256 << 20,
 ) -> "ray.data.Dataset":
     """Shared exact-Jaccard verify tail: a MATERIALIZED candidate-pair
@@ -455,8 +441,9 @@ def exact_jaccard_verify(
             "jaccard": pa.array([], type=pa.float64()),
         }))
     shingles = ds.select_columns([id_col, text_col]).map_batches(
-        ShingleSetBatch,
-        fn_constructor_args=(text_col, id_col, k, ray.put(wanted)),
+        shingle_set_batch,
+        fn_kwargs=dict(text_col=text_col, id_col=id_col, k=k,
+                       wanted_ref=put_once(wanted)),
         batch_format="pyarrow", batch_size=batch_size,
         concurrency=concurrency,
     ).materialize()  # consumed by the verify path (either variant)
@@ -484,7 +471,7 @@ def exact_jaccard_verify(
             return b.filter(pa.array(keep))
 
         return uniq.map_batches(
-            _BroadcastJaccard, fn_constructor_args=(ray.put(pack),),
+            broadcast_jaccard_batch, fn_kwargs=dict(pack_ref=put_once(pack)),
             batch_format="pyarrow", batch_size=4096,
             concurrency=concurrency,
         ).map_batches(_thresh, batch_format="pyarrow")

@@ -44,45 +44,41 @@ from .minhash import exact_jaccard_verify
 from .pairs import emit_candidate_pairs_ds
 
 
-class PrefixEmitter:
-    """Actor-pool kernel: (id, text) rows -> (sh, id) prefix rows.
+def prefix_emit_batch(batch: pa.Table, *, text_col: str, id_col: str, k: int,
+                      threshold: float) -> pa.Table:
+    """Task-pool kernel: (id, text) rows -> (sh, id) prefix rows.
 
     Per doc: sorted-unique shingle-hash set (ONE batch lexsort +
-    adjacent dedupe, same kernel shape as minhash.ShingleSetBatch),
+    adjacent dedupe, same kernel shape as minhash.shingle_set_batch),
     then the first ``m - ceil(t'*m) + 1`` hashes in ascending order
-    (the global total order) are emitted. No per-doc Python."""
-
-    def __init__(self, text_col: str, id_col: str, k: int, threshold: float):
-        self.text_col = text_col
-        self.id_col = id_col
-        self.k = k
-        self.tp = threshold / (1.0 + threshold)
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
-        nd = len(ids)
-        if nd == 0:
-            return pa.table({
-                "sh": pa.array([], type=pa.int64()),
-                self.id_col: pa.array([], type=batch[self.id_col].type),
-            })
-        whash, offsets, _ = tokenize_arrow(batch[self.text_col])
-        sh, soffs = shingle_hashes_batch(whash, offsets, self.k)
-        doc_of = np.repeat(np.arange(nd), np.diff(soffs))
-        order = np.lexsort((sh, doc_of))
-        sh_s, doc_s = sh[order], doc_of[order]
-        keep = np.ones(len(sh_s), dtype=bool)
-        keep[1:] = (sh_s[1:] != sh_s[:-1]) | (doc_s[1:] != doc_s[:-1])
-        sh_u, doc_u = sh_s[keep], doc_s[keep]
-        m = np.bincount(doc_u, minlength=nd)             # set sizes
-        ell = m - np.ceil(self.tp * m).astype(np.int64) + 1
-        u_offs = np.concatenate([[0], np.cumsum(m)])
-        intra = np.arange(len(sh_u)) - u_offs[:-1][doc_u]
-        pref = intra < ell[doc_u]                        # first ell per doc
+    (the global total order) are emitted. No per-doc Python. A plain
+    function (its only state is two scalars), so the corpus scan is an
+    elastic task pool, never capped by an actor-pool size."""
+    tp = threshold / (1.0 + threshold)
+    ids = batch[id_col].to_numpy(zero_copy_only=False)
+    nd = len(ids)
+    if nd == 0:
         return pa.table({
-            "sh": pa.array(sh_u[pref].astype(np.int64)),
-            self.id_col: pa.array(ids[doc_u[pref]]),
+            "sh": pa.array([], type=pa.int64()),
+            id_col: pa.array([], type=batch[id_col].type),
         })
+    whash, offsets, _ = tokenize_arrow(batch[text_col])
+    sh, soffs = shingle_hashes_batch(whash, offsets, k)
+    doc_of = np.repeat(np.arange(nd), np.diff(soffs))
+    order = np.lexsort((sh, doc_of))
+    sh_s, doc_s = sh[order], doc_of[order]
+    keep = np.ones(len(sh_s), dtype=bool)
+    keep[1:] = (sh_s[1:] != sh_s[:-1]) | (doc_s[1:] != doc_s[:-1])
+    sh_u, doc_u = sh_s[keep], doc_s[keep]
+    m = np.bincount(doc_u, minlength=nd)             # set sizes
+    ell = m - np.ceil(tp * m).astype(np.int64) + 1
+    u_offs = np.concatenate([[0], np.cumsum(m)])
+    intra = np.arange(len(sh_u)) - u_offs[:-1][doc_u]
+    pref = intra < ell[doc_u]                        # first ell per doc
+    return pa.table({
+        "sh": pa.array(sh_u[pref].astype(np.int64)),
+        id_col: pa.array(ids[doc_u[pref]]),
+    })
 
 
 def ngram_jaccard_pairs(
@@ -93,18 +89,19 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     max_bucket: int = 100_000,
     batch_size: int = 256,
-    concurrency=(1, 8),
+    concurrency: int | None = None,
     broadcast_budget: int = 256 << 20,
 ) -> "ray.data.Dataset":
     """All pairs (id_a < id_b) with exact word-``k``-gram Jaccard >=
     ``threshold`` — recall AND precision exact (module docstring).
 
-    corpus scan (PrefixEmitter) -> bounded-group shared-shingle pairs
-    (overflow=error: never silently truncates) -> shared adaptive
+    corpus scan (prefix_emit_batch) -> bounded-group shared-shingle
+    pairs (overflow=error: never silently truncates) -> shared adaptive
     exact-Jaccard verify (dedup/minhash.py)."""
     prefix = ds.select_columns([id_col, text_col]).map_batches(
-        PrefixEmitter,
-        fn_constructor_args=(text_col, id_col, k, threshold),
+        prefix_emit_batch,
+        fn_kwargs=dict(text_col=text_col, id_col=id_col, k=k,
+                       threshold=threshold),
         batch_format="pyarrow", batch_size=batch_size,
         concurrency=concurrency,
     )

@@ -35,35 +35,12 @@ import ray.data
 
 from ..codecs import encode_ints, encode_nullable_floats, encode_nullable_ints
 
-_BROADCAST_CACHE: dict = {}
-# Only the CURRENT run's spans ref is ever resolved again, but Ray worker
-# processes outlive a run — an unbounded cache would accumulate one spans
-# dict per run_tier invocation forever. A tiny LRU (a few in-flight tiers
-# may interleave in one process) bounds worker memory.
-_BROADCAST_CACHE_MAX = 4
-
-
-def _resolve_broadcast(ref):
-    """ray.put-broadcast resolver with a per-worker-process cache: the
-    object is fetched+deserialized once per process, not once per task/
-    group. Pass-through for plain objects (tests, driver-side use)."""
-    if isinstance(ref, ray.ObjectRef):
-        key = ref.hex()
-        if key in _BROADCAST_CACHE:
-            # move-to-end = LRU recency (dicts preserve insertion order)
-            _BROADCAST_CACHE[key] = _BROADCAST_CACHE.pop(key)
-        else:
-            while len(_BROADCAST_CACHE) >= _BROADCAST_CACHE_MAX:
-                _BROADCAST_CACHE.pop(next(iter(_BROADCAST_CACHE)))
-            _BROADCAST_CACHE[key] = ray.get(ref)
-        return _BROADCAST_CACHE[key]
-    return ref
-
-
-def _put_once(obj):
-    """ray.put when a session exists (so big lookup structures ship via
-    the object store, not per-task closures); pass-through otherwise."""
-    return ray.put(obj) if ray.is_initialized() else obj
+# shared per-process broadcast-resolve LRU (moved to state/broadcast.py
+# so the dedup/ANN corpus-scan task pools reuse the same pattern)
+from ..state.broadcast import (  # noqa: E402
+    resolve_broadcast as _resolve_broadcast,
+    put_once as _put_once,
+)
 
 POINT_COLS = ("count", "sum", "min", "max")
 

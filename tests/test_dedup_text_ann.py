@@ -146,11 +146,11 @@ class TestMinHash:
                     shingle_hashes(whash[offsets[i]:offsets[i + 1]], k))
 
     def test_shingle_set_batch_blobs_sorted_unique(self):
-        """ShingleSetBatch's lexsort+from_buffers path must emit exactly
+        """shingle_set_batch's lexsort+from_buffers path must emit exactly
         np.unique(shingle_hashes(doc)) little-endian bytes per doc."""
         import pyarrow as pa
 
-        from feasts_ray.dedup.minhash import ShingleSetBatch
+        from feasts_ray.dedup.minhash import shingle_set_batch
 
         rng = np.random.default_rng(5)
         words = [f"w{i}" for i in range(6)]
@@ -159,7 +159,8 @@ class TestMinHash:
         ids = np.arange(80, dtype=np.int64)
         wanted = np.sort(ids[::2])
         batch = pa.table({"doc_id": pa.array(ids), "text": pa.array(texts)})
-        out = ShingleSetBatch("text", "doc_id", 3, wanted)(batch)
+        out = shingle_set_batch(batch, text_col="text", id_col="doc_id", k=3,
+                                wanted_ref=wanted)
         sel = [int(i) for i in ids if int(i) in set(wanted.tolist())]
         whash, offsets, _ = tokenize_batch([texts[i] for i in sel])
         ref = [np.unique(shingle_hashes(whash[offsets[j]:offsets[j + 1]], 3))
@@ -683,10 +684,11 @@ class TestNgramJaccardExact:
     def test_prefix_rows_bounded(self):
         """Prefix emission must emit ~(1 - t/(1+t)) of each doc's
         shingles, never the full set."""
-        from feasts_ray.dedup.ngram import PrefixEmitter
+        from feasts_ray.dedup.ngram import prefix_emit_batch
 
         tbl = self._corpus(n_base=10, n_borderline=0)
-        out = PrefixEmitter("text", "doc_id", 3, 0.5)(tbl)
+        out = prefix_emit_batch(tbl, text_col="text", id_col="doc_id", k=3,
+                                threshold=0.5)
         n_sh = sum(len(t.split()) - 2 for t in tbl["text"].to_pylist())
         # t'=1/3 -> prefix ~= 2/3 of each set (+1); well under the total
         assert len(out) < 0.75 * n_sh

@@ -155,14 +155,14 @@ def test_broadcast_cache_bounded(ray_session):
     workers must not accumulate one spans dict per pipeline run."""
     import ray as _ray
 
-    from feasts_ray.stages import tier_kernel as tk
+    from feasts_ray.state import broadcast as bc
 
-    refs = [_ray.put({"k": i}) for i in range(tk._BROADCAST_CACHE_MAX + 3)]
+    refs = [_ray.put({"k": i}) for i in range(bc._BROADCAST_CACHE_MAX + 3)]
     for r in refs:
-        assert tk._resolve_broadcast(r)["k"] is not None
-    assert len(tk._BROADCAST_CACHE) <= tk._BROADCAST_CACHE_MAX
+        assert bc.resolve_broadcast(r)["k"] is not None
+    assert len(bc._BROADCAST_CACHE) <= bc._BROADCAST_CACHE_MAX
     # most-recent entry survives and still resolves from cache
-    assert tk._resolve_broadcast(refs[-1])["k"] == len(refs) - 1
+    assert bc.resolve_broadcast(refs[-1])["k"] == len(refs) - 1
 
 
 def test_single_block_path_matches_distributed(ray_session):
