@@ -102,9 +102,28 @@ def add_segment(batch: pa.Table, seg_span: int) -> pa.Table:
     return batch.append_column("segment", pa.array(seg, type=pa.int64()))
 
 
+def _col_i64(col) -> np.ndarray:
+    """Arrow int-ish column -> int64 numpy (no nulls expected)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    return np.asarray(col.to_numpy(zero_copy_only=False), dtype=np.int64)
+
+
+def _col_f64_nan(col) -> np.ndarray:
+    """Arrow numeric column (possibly null) -> float64 numpy, nulls as
+    NaN (pyarrow's null-aware to_numpy already yields NaN-filled float64
+    when nulls are present; the asarray only casts the no-null int case)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    return np.asarray(col.to_numpy(zero_copy_only=False), dtype=np.float64)
+
+
 class TierSegmentKernel:
     """map_groups kernel for one (source, segment): vectorized merge of
-    partials, local gap-fill, mean, time sort, optional blob write."""
+    partials, local gap-fill, mean, time sort, optional blob write.
+
+    Arrow-native: the group arrives as a zero-copy pa.Table slice and the
+    output is built as a pa.Table — no per-group pandas conversion."""
 
     def __init__(self, tier_name: str, unit_s: int, seg_span: int,
                  spans, gap_fill: bool,
@@ -123,16 +142,16 @@ class TierSegmentKernel:
     def spans(self) -> dict:
         return _resolve_broadcast(self._spans)
 
-    def __call__(self, group: pd.DataFrame) -> pd.DataFrame:
-        key = group[self.key_col].iloc[0]
-        seg = int(group["segment"].iloc[0]) if "segment" in group else \
-            int(group["bucket"].iloc[0] // self.seg_span)
+    def __call__(self, group: pa.Table) -> pa.Table:
+        key = group[self.key_col][0].as_py()
+        bkt = _col_i64(group["bucket"])
+        seg = int(group["segment"][0].as_py()) \
+            if "segment" in group.column_names else int(bkt[0] // self.seg_span)
         # merge duplicate buckets (partials + skeleton seeds): one numpy
         # sort + reduceat per group instead of a pandas groupby/agg (the
         # per-group pandas machinery dominated the kernel at small group
         # sizes). Exactness: int64 add.reduceat for count/sum; fmin/fmax
         # skip NaN like pandas' skipna min/max (all-NaN group -> NaN).
-        bkt = group["bucket"].to_numpy(dtype=np.int64)
         order = np.argsort(bkt, kind="stable")
         b_s = bkt[order]
         first = np.empty(len(b_s), dtype=bool)
@@ -140,12 +159,10 @@ class TierSegmentKernel:
         first[1:] = b_s[1:] != b_s[:-1]
         starts = np.flatnonzero(first)
         buckets = b_s[starts]
-        cnt = np.add.reduceat(group["count"].to_numpy(dtype=np.int64)[order],
-                              starts)
-        s = np.add.reduceat(group["sum"].to_numpy(dtype=np.int64)[order],
-                            starts)
-        mn_in = group["min"].to_numpy(dtype=np.float64, na_value=np.nan)[order]
-        mx_in = group["max"].to_numpy(dtype=np.float64, na_value=np.nan)[order]
+        cnt = np.add.reduceat(_col_i64(group["count"])[order], starts)
+        s = np.add.reduceat(_col_i64(group["sum"])[order], starts)
+        mn_in = _col_f64_nan(group["min"])[order]
+        mx_in = _col_f64_nan(group["max"])[order]
         mn = np.fmin.reduceat(mn_in, starts)
         mx = np.fmax.reduceat(mx_in, starts)
         if self.gap_fill:
@@ -170,16 +187,24 @@ class TierSegmentKernel:
             mean = np.where(cnt > 0, s / cnt.astype(np.float64), np.nan)
         if self.blobs_dir is not None:
             self._write_blob(key, seg, buckets, cnt, s, mn, mx, mean)
-        # historical output dtype semantics (Int64 -> to_numpy(na_value=
-        # nan)): float64 when the column has any null, plain int64 when not
-        out = pd.DataFrame({
-            self.key_col: np.repeat(key, len(buckets)),
-            "bucket": buckets, "count": cnt, "sum": s,
-            "min": mn if np.isnan(mn).any() else mn.astype(np.int64),
-            "max": mx if np.isnan(mx).any() else mx.astype(np.int64),
-            "mean": mean,
+        # historical output dtype semantics (pandas-era blocks): float64
+        # WITH NaN-as-NULL when the column has any gap (from_pandas turned
+        # NaN into Arrow nulls), plain int64 when not
+        def _num(v: np.ndarray) -> pa.Array:
+            bad = np.isnan(v)
+            return (pa.array(v, mask=bad) if bad.any()
+                    else pa.array(v.astype(np.int64)))
+
+        return pa.table({
+            self.key_col: pa.array([key] * len(buckets),
+                                   type=group.schema.field(self.key_col).type),
+            "bucket": pa.array(buckets),
+            "count": pa.array(cnt),
+            "sum": pa.array(s),
+            "min": _num(mn),
+            "max": _num(mx),
+            "mean": pa.array(mean, mask=np.isnan(mean)),
         })
-        return out
 
     def _write_blob(self, key, seg, buckets, cnt, s, mn, mx, mean):
         valid_cnt = cnt > 0
@@ -245,24 +270,38 @@ def run_tier(
                                _put_once(spans) if gap_fill else {},
                                gap_fill, blobs_dir, key_col)
     if single_block:
-        def _whole(df: pd.DataFrame) -> pd.DataFrame:
-            if df.empty:
-                return pd.DataFrame({
-                    key_col: pd.Series(dtype=object),
-                    "bucket": pd.Series(dtype=np.int64),
-                    "count": pd.Series(dtype=np.int64),
-                    "sum": pd.Series(dtype=np.int64),
-                    "min": pd.Series(dtype=np.float64),
-                    "max": pd.Series(dtype=np.float64),
-                    "mean": pd.Series(dtype=np.float64),
+        def _whole(t: pa.Table) -> pa.Table:
+            if len(t) == 0:
+                return pa.table({
+                    key_col: pa.array([], type=pa.string()),
+                    "bucket": pa.array([], type=pa.int64()),
+                    "count": pa.array([], type=pa.int64()),
+                    "sum": pa.array([], type=pa.int64()),
+                    "min": pa.array([], type=pa.float64()),
+                    "max": pa.array([], type=pa.float64()),
+                    "mean": pa.array([], type=pa.float64()),
                 })
-            return pd.concat(
-                [kernel(g) for _, g in
-                 df.groupby([key_col, "segment"], sort=False)],
-                ignore_index=True)
+            # group boundaries via one stable lexsort over (key, segment);
+            # each group is a zero-copy table slice into the same kernel
+            # the distributed path runs
+            t = t.combine_chunks()
+            kcodes = t[key_col].dictionary_encode().combine_chunks().indices \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+            segs = _col_i64(t["segment"])
+            order = np.lexsort((segs, kcodes))
+            ks, ss = kcodes[order], segs[order]
+            first = np.empty(len(ks), dtype=bool)
+            first[:1] = True
+            first[1:] = (ks[1:] != ks[:-1]) | (ss[1:] != ss[:-1])
+            bounds = np.append(np.flatnonzero(first), len(ks))
+            sorted_t = t.take(pa.array(order))
+            return pa.concat_tables(
+                [kernel(sorted_t.slice(bounds[i], bounds[i + 1] - bounds[i]))
+                 for i in range(len(bounds) - 1)],
+                promote_options="permissive")
 
         return with_seg.repartition(1).map_batches(
-            _whole, batch_format="pandas", batch_size=None)
+            _whole, batch_format="pyarrow", batch_size=None)
     return with_seg.groupby([key_col, "segment"]).map_groups(
-        kernel.__call__, batch_format="pandas",
+        kernel.__call__, batch_format="pyarrow",
     )
