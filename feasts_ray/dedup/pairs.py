@@ -30,6 +30,12 @@ def _mix_cols(batch: pa.Table, cols: list[str]) -> np.ndarray:
 
 
 class _RunPairKernel:
+    """Arrow-native map_groups kernel: one vectorized lexsort finds the
+    identical-bucket runs, then pairs for ALL runs of a given size are
+    emitted with one broadcast add over np.triu_indices — run count never
+    appears in a Python loop (the only loop is over DISTINCT capped run
+    sizes, <= max_bucket iterations)."""
+
     def __init__(self, bucket_cols, id_col, carry_cols, max_bucket,
                  post_filter=None, overflow: str = "truncate"):
         self.bucket_cols = list(bucket_cols)
@@ -39,59 +45,64 @@ class _RunPairKernel:
         self.post_filter = post_filter
         self.overflow = overflow
 
-    def __call__(self, group: pd.DataFrame) -> pd.DataFrame:
-        df = group.drop_duplicates(subset=[*self.bucket_cols, self.id_col])
-        df = df.sort_values([*self.bucket_cols, self.id_col], kind="mergesort",
-                            ignore_index=True)
-        keys = np.zeros(len(df), dtype=np.uint64)
-        for c in self.bucket_cols:
-            keys = (keys ^ df[c].to_numpy().astype(np.int64).view(np.uint64)) * _MIX
-        change = np.empty(len(df), dtype=bool)
-        change[0] = True
-        change[1:] = keys[1:] != keys[:-1]
-        starts = np.flatnonzero(change)
-        ends = np.append(starts[1:], len(df))
-        ids = df[self.id_col].to_numpy()
-        carries = {c: df[c].to_numpy() for c in self.carry_cols}
+    def __call__(self, group: pa.Table) -> pa.Table:
+        keys = _mix_cols(group, self.bucket_cols)
+        id_col = group[self.id_col]
+        if isinstance(id_col, pa.ChunkedArray):
+            id_col = id_col.combine_chunks()
+        ids = id_col.to_numpy(zero_copy_only=False)
+        # sort runs together; ids ascend within a run (stable lexsort)
+        order = np.lexsort((ids, keys))
+        k_s, id_s = keys[order], ids[order]
+        # drop duplicate (bucket, id) rows: first occurrence per run
+        keep = np.ones(len(k_s), dtype=bool)
+        keep[1:] = (k_s[1:] != k_s[:-1]) | (id_s[1:] != id_s[:-1])
+        order, k_s, id_s = order[keep], k_s[keep], id_s[keep]
+        first = np.ones(len(k_s), dtype=bool)
+        first[1:] = k_s[1:] != k_s[:-1]
+        starts = np.flatnonzero(first)
+        lens = np.diff(np.append(starts, len(k_s)))
+        if (lens > self.max_bucket).any():
+            if self.overflow == "error":
+                # exact-recall callers (prefix-filtered n-gram Jaccard)
+                # must never silently drop pairs
+                raise RuntimeError(
+                    f"candidate bucket of size {int(lens.max())} exceeds "
+                    f"max_bucket={self.max_bucket}; a shingle this "
+                    "common defeats the prefix filter — raise "
+                    "max_bucket or pre-drop stopword shingles")
+            # truncate to the FIRST max_bucket ids of the run (ascending)
+            lens = np.minimum(lens, self.max_bucket)
         ia_all, ib_all = [], []
-        for s, e in zip(starts, ends):
-            n = e - s
-            if n < 2:
+        for L in np.unique(lens):
+            if L < 2:
                 continue
-            if n > self.max_bucket:
-                if self.overflow == "error":
-                    # exact-recall callers (prefix-filtered n-gram
-                    # Jaccard) must never silently drop pairs
-                    raise RuntimeError(
-                        f"candidate bucket of size {n} exceeds "
-                        f"max_bucket={self.max_bucket}; a shingle this "
-                        "common defeats the prefix filter — raise "
-                        "max_bucket or pre-drop stopword shingles")
-                e = s + self.max_bucket
-                n = self.max_bucket
-            ia, ib = np.triu_indices(n, k=1)
-            ia_all.append(s + ia)
-            ib_all.append(s + ib)
-        if not ia_all:
-            cols = {"id_a": np.array([], dtype=ids.dtype),
-                    "id_b": np.array([], dtype=ids.dtype)}
-            for c in self.carry_cols:
-                cols[f"{c}_a"] = np.array([], dtype=carries[c].dtype)
-                cols[f"{c}_b"] = np.array([], dtype=carries[c].dtype)
-            return pd.DataFrame(cols)
-        ia = np.concatenate(ia_all)
-        ib = np.concatenate(ib_all)
-        out = {"id_a": ids[ia], "id_b": ids[ib]}
+            run_starts = starts[lens == L]
+            ia, ib = np.triu_indices(int(L), k=1)
+            ia_all.append((run_starts[:, None] + ia[None, :]).ravel())
+            ib_all.append((run_starts[:, None] + ib[None, :]).ravel())
+        if ia_all:
+            ia = np.concatenate(ia_all)
+            ib = np.concatenate(ib_all)
+        else:
+            ia = ib = np.array([], dtype=np.int64)
+        sorted_ids = id_col.take(pa.array(order))
+        cols = {"id_a": sorted_ids.take(pa.array(ia)),
+                "id_b": sorted_ids.take(pa.array(ib))}
         for c in self.carry_cols:
-            out[f"{c}_a"] = carries[c][ia]
-            out[f"{c}_b"] = carries[c][ib]
-        df = pd.DataFrame(out)
+            cc = group[c]
+            if isinstance(cc, pa.ChunkedArray):
+                cc = cc.combine_chunks()
+            cs = cc.take(pa.array(order))
+            cols[f"{c}_a"] = cs.take(pa.array(ia))
+            cols[f"{c}_b"] = cs.take(pa.array(ib))
+        t = pa.table(cols)
         if self.post_filter is not None:
             # verify INSIDE the kernel: clustered data can explode the
             # candidate set, so cheap vectorized filters must run before
             # anything is collected
-            df = self.post_filter(df)
-        return df
+            t = self.post_filter(t)
+        return t
 
 
 def emit_candidate_pairs(
@@ -126,7 +137,7 @@ def _candidate_pairs_raw(ds, bucket_cols, id_col, carry_cols, num_groups,
     kernel = _RunPairKernel(bucket_cols, id_col, carry_cols, max_bucket,
                             post_filter, overflow)
     return ds.map_batches(_add_group, batch_format="pyarrow").groupby(
-        "pgroup").map_groups(kernel.__call__, batch_format="pandas")
+        "pgroup").map_groups(kernel.__call__, batch_format="pyarrow")
 
 
 def emit_candidate_pairs_ds(

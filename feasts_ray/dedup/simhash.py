@@ -116,16 +116,19 @@ def simhash_dedup_pairs(
         batch_size=batch_size,
         concurrency=concurrency,
     )
-    def _hamming_filter(df: pd.DataFrame) -> pd.DataFrame:
-        if len(df) == 0:
-            df["hamming"] = pd.Series(dtype="int64")
-            return df.drop(columns=["simhash_a", "simhash_b"])
-        x = df["simhash_a"].to_numpy().astype(np.int64).view(np.uint64) ^ \
-            df["simhash_b"].to_numpy().astype(np.int64).view(np.uint64)
-        ham = np.unpackbits(x.view(np.uint8).reshape(len(x), 8), axis=1).sum(axis=1)
-        df = df.drop(columns=["simhash_a", "simhash_b"])
-        df["hamming"] = ham.astype(np.int64)
-        return df[df["hamming"] <= max_hamming]
+    def _hamming_filter(t: "pa.Table") -> "pa.Table":
+        import pyarrow as pa
+
+        x = (t["simhash_a"].to_numpy(zero_copy_only=False)
+             .astype(np.int64).view(np.uint64)
+             ^ t["simhash_b"].to_numpy(zero_copy_only=False)
+             .astype(np.int64).view(np.uint64))
+        ham = (np.unpackbits(x.view(np.uint8).reshape(len(x), 8), axis=1)
+               .sum(axis=1).astype(np.int64)) if len(x) else (
+            np.array([], dtype=np.int64))
+        t = t.drop_columns(["simhash_a", "simhash_b"]).append_column(
+            "hamming", pa.array(ham))
+        return t.filter(pa.array(ham <= max_hamming))
 
     pdf = emit_candidate_pairs(emitted, ["chunk", "chunk_val"], id_col,
                                carry_cols=["simhash"], max_bucket=max_bucket,
