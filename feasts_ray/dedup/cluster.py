@@ -191,19 +191,34 @@ def _min_label_round(edges: "ray.data.Dataset", labels: "ray.data.Dataset",
         return pa.table({"k": batch["node"], "lab": batch["label"],
                          "kind": pa.array(np.ones(len(batch), dtype=np.int8))})
 
-    def _min_per_node(group: pd.DataFrame) -> pd.DataFrame:
-        m = group.groupby("k", sort=False)["lab"].min()
-        own = group[group["kind"] == 1].set_index("k")["lab"]
-        return pd.DataFrame({
-            "node": m.index.to_numpy(),
-            "label": m.to_numpy(),
-            "own": own.reindex(m.index).to_numpy(),
+    def _min_per_node(group: pa.Table) -> pa.Table:
+        k = group["k"].to_numpy(zero_copy_only=False)
+        lab = group["lab"].to_numpy(zero_copy_only=False)
+        kind = group["kind"].to_numpy(zero_copy_only=False)
+        if len(k) == 0:
+            return pa.schema([("node", pa.int64()), ("label", pa.int64()),
+                              ("own", pa.int64())]).empty_table()
+        # within a key, own (kind=1) rows sort last -> run end is the own row
+        order = np.lexsort((kind, k))
+        ks, labs = k[order], lab[order]
+        first = np.ones(len(ks), dtype=bool)
+        first[1:] = ks[1:] != ks[:-1]
+        starts = np.flatnonzero(first)
+        ends = np.append(starts[1:], len(ks)) - 1
+        if not (kind[order][ends] == 1).all():
+            # labels covers every edge-incident node by construction; a
+            # keyed row with no own label means the invariant broke
+            raise RuntimeError("propagation round saw a node with no label row")
+        return pa.table({
+            "node": pa.array(ks[starts], type=pa.int64()),
+            "label": pa.array(np.minimum.reduceat(labs, starts), type=pa.int64()),
+            "own": pa.array(labs[ends], type=pa.int64()),
         })
 
     return (neigh.map_batches(_tag_n, batch_format="pyarrow")
             .union(labels.map_batches(_tag_own, batch_format="pyarrow"))
             .map_batches(_add_g_fn(num_groups), batch_format="pyarrow")
-            .groupby("_g").map_groups(_min_per_node, batch_format="pandas"))
+            .groupby("_g").map_groups(_min_per_node, batch_format="pyarrow"))
 
 
 def _pointer_jump(labels: "ray.data.Dataset",
