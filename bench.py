@@ -128,6 +128,17 @@ def main_worker(num_cpus: int):
     ray.shutdown()
 
 
+def _scaling_worker_cmd(cpus: int) -> list[str]:
+    """Worker command for one scaling leg; GRAFT_SCALING_PIN=1 prefixes
+    taskset so the leg's Ray workers run on a FIXED core set (affinity is
+    inherited by raylet children) — removes OS thread migration as a noise
+    source between repeats."""
+    cmd = [sys.executable, os.path.abspath(__file__), "--worker", str(cpus)]
+    if os.environ.get("GRAFT_SCALING_PIN") == "1":
+        cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
+    return cmd
+
+
 def main_scaling():
     """Same job, same input, two parallelism levels in fresh processes
     (sandbox evidence for the N -> 4N cluster-size scaling criterion).
@@ -137,32 +148,58 @@ def main_scaling():
     (24M docs ~ 3.4 GB parquet; round-2 kernels are fast enough that the
     12M input left ~6 s of fixed Ray stage setup visible per tier).
     NOTE: run on an otherwise-idle machine — this host shows ~10%
-    run-to-run noise and any concurrent Ray session poisons the split."""
+    run-to-run noise and any concurrent Ray session poisons the split.
+
+    GRAFT_SCALING_INTERLEAVED=1 runs lo,hi,hi,lo (plus one discarded
+    warmup) instead of lo,hi: the two (lo,hi) pairs bracket host phase
+    drift symmetrically, and the reported efficiency is the mean of the
+    per-pair efficiencies (pair spread shown so drift is visible).
+    GRAFT_SCALING_PIN=1 taskset-pins each leg to cores 0..cpus-1."""
     n_docs = int(os.environ.get("GRAFT_SCALING_DOCS", "24000000"))
     c_lo, c_hi = (int(c) for c in
                   os.environ.get("GRAFT_SCALING_CPUS", "4,16").split(","))
+    interleaved = os.environ.get("GRAFT_SCALING_INTERLEAVED") == "1"
     from feasts_ray.synth import ensure_token_table
 
     ensure_token_table(n_docs)
-    results = {}
-    for cpus in (c_lo, c_hi):
-        env = dict(os.environ)
-        env["GRAFT_BENCH_DOCS"] = str(n_docs)
-        out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--worker", str(cpus)],
-            capture_output=True, text=True, env=env, check=True)
-        results[cpus] = json.loads(out.stdout.strip().splitlines()[-1])
-    tp_lo, tp_hi = results[c_lo]["points_per_sec"], results[c_hi]["points_per_sec"]
-    eff = (tp_hi / tp_lo) / (c_hi / c_lo)
-    print(json.dumps({
+    env = dict(os.environ)
+    env["GRAFT_BENCH_DOCS"] = str(n_docs)
+
+    def _leg(cpus: int) -> dict:
+        out = subprocess.run(_scaling_worker_cmd(cpus), capture_output=True,
+                             text=True, env=env, check=True)
+        return json.loads(out.stdout.strip().splitlines()[-1])
+
+    order = (c_lo, c_hi, c_hi, c_lo) if interleaved else (c_lo, c_hi)
+    if interleaved:
+        _leg(c_hi)  # discarded warmup: page cache + object-store spinup
+    runs: dict[int, list[dict]] = {c_lo: [], c_hi: []}
+    for cpus in order:
+        runs[cpus].append(_leg(cpus))
+    tps = {c: [r["points_per_sec"] for r in runs[c]] for c in (c_lo, c_hi)}
+    # pairwise efficiency: pair i = (lo_i, hi_i); mean over pairs
+    n_pairs = len(tps[c_lo])
+    effs = [(tps[c_hi][i] / tps[c_lo][i]) / (c_hi / c_lo)
+            for i in range(n_pairs)]
+    tp_lo = sum(tps[c_lo]) / n_pairs
+    tp_hi = sum(tps[c_hi]) / n_pairs
+    rec = {
         "metric": f"scaling efficiency (points/sec at {c_lo} vs {c_hi} CPUs, same input)",
         "num_cpus": [c_lo, c_hi],
         "points_per_sec": [round(tp_lo, 1), round(tp_hi, 1)],
-        "wall_s": [round(results[c_lo]["wall_s"], 3), round(results[c_hi]["wall_s"], 3)],
+        "wall_s": [round(sum(r["wall_s"] for r in runs[c]) / n_pairs, 3)
+                   for c in (c_lo, c_hi)],
         "speedup": round(tp_hi / tp_lo, 3),
-        "scaling_efficiency": round(eff, 3),
+        "scaling_efficiency": round(sum(effs) / len(effs), 3),
         "rollup_n_docs": n_docs,
-    }))
+    }
+    if interleaved:
+        rec["per_pair_efficiency"] = [round(e, 3) for e in effs]
+        rec["points_per_sec_all"] = {str(c): [round(v, 1) for v in tps[c]]
+                                     for c in (c_lo, c_hi)}
+    if os.environ.get("GRAFT_SCALING_PIN") == "1":
+        rec["pinned"] = True
+    print(json.dumps(rec))
 
 
 def _run_worker_in(tree: str, cpus: int, n_docs: int) -> dict:
