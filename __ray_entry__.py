@@ -472,17 +472,21 @@ _NGRAM_PAIRS = _MINHASH_PAIRS.replace(">= 0.35", ">= 0.4")
 # propagation (8 rounds >= any component diameter in this corpus; the
 # engine iterates the same integer recurrence to fixpoint, so labels are
 # identical — pure int64 arithmetic, no float semantics).
-def _make_minhash_dedup_docs() -> str:
+def _make_cc_sql(pairs_sql: str, node_table: str, node_col: str,
+                 rounds: int = 8) -> str:
     # AS MATERIALIZED is load-bearing: DuckDB inlines plain CTEs, which
     # would re-evaluate the expensive pair subquery (and each round's
-    # labels, referenced twice) once per downstream reference
-    sql = """
-WITH p AS MATERIALIZED (SELECT id_a, id_b FROM ({pairs})),
+    # labels, referenced twice) once per downstream reference.
+    # ``rounds`` must be >= the max distance from any component's min-id
+    # node to its farthest member (the engine iterates the same integer
+    # recurrence to fixpoint, so labels match once that bound holds).
+    sql = f"""
+WITH p AS MATERIALIZED (SELECT id_a, id_b FROM ({pairs_sql})),
 e AS MATERIALIZED (SELECT id_a AS node, id_b AS other FROM p
       UNION ALL SELECT id_b, id_a FROM p),
-l0 AS MATERIALIZED (SELECT doc_id AS node, doc_id AS label FROM documents)"""
+l0 AS MATERIALIZED (SELECT {node_col} AS node, {node_col} AS label FROM {node_table})"""
     prev = "l0"
-    for i in range(1, 9):
+    for i in range(1, rounds + 1):
         sql += f""",
 l{i} AS MATERIALIZED (
   SELECT n.node,
@@ -492,11 +496,22 @@ l{i} AS MATERIALIZED (
   LEFT JOIN {prev} lo ON lo.node = e.other
   GROUP BY n.node, n.label)"""
         prev = f"l{i}"
-    sql += f"\nSELECT node AS doc_id, label AS cluster_id FROM {prev}"
-    return sql.format(pairs=_MINHASH_PAIRS)
+    sql += f"\nSELECT node AS {node_col}, label AS cluster_id FROM {prev}"
+    return sql
 
 
-_MINHASH_DEDUP_DOCS = _make_minhash_dedup_docs()
+_MINHASH_DEDUP_DOCS = _make_cc_sql(_MINHASH_PAIRS, "documents", "doc_id")
+
+# Semantic dedup over embeddings: the EXACT cosine pair set (identical to
+# the embedding_dup_pairs_exact oracle, recall 1) -> the same unrolled
+# min-label propagation. 10 rounds >= any min-to-member distance in this
+# corpus (max BFS eccentricity measured 3 at sf0.001/sf0.01).
+_EMBEDDING_PAIRS_EXACT = (
+    "SELECT a.vec_id AS id_a, b.vec_id AS id_b "
+    "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
+    "WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4e0")
+_EMBEDDING_DEDUP_DOCS = _make_cc_sql(_EMBEDDING_PAIRS_EXACT,
+                                     "embeddings", "vec_id", rounds=10)
 
 _LANGID = """
 WITH w AS (
@@ -738,6 +753,7 @@ JOIN series p ON p.event_type = s.event_type AND p.bucket = s.bucket - k.lag * 3
         "minhash_dup_pairs": _MINHASH_PAIRS,
         "ngram_jaccard_dup_pairs": _NGRAM_PAIRS,
         "minhash_dedup_docs": _MINHASH_DEDUP_DOCS,
+        "embedding_dedup_docs": _EMBEDDING_DEDUP_DOCS,
         "dedup_exact": (
             "SELECT md5(text) AS text_md5, MIN(doc_id) AS survivor_id, "
             "COUNT(*) AS n_copies FROM documents GROUP BY md5(text)"),

@@ -11,7 +11,8 @@ from .exact import dedup_exact, exact_groups
 from .minhash import minhash_dedup_pairs, ngram_jaccard_pairs_lsh
 from .ngram import ngram_jaccard_pairs
 from .simhash import simhash_dedup_pairs
-from .embedding import embedding_dup_pairs, embedding_dup_pairs_exact
+from .embedding import (embedding_dedup_docs, embedding_dup_pairs,
+                        embedding_dup_pairs_exact)
 
 __all__ = [
     "connected_components",
@@ -22,6 +23,7 @@ __all__ = [
     "ngram_jaccard_pairs",
     "ngram_jaccard_pairs_lsh",
     "simhash_dedup_pairs",
+    "embedding_dedup_docs",
     "embedding_dup_pairs",
     "embedding_dup_pairs_exact",
 ]

@@ -168,6 +168,39 @@ def embedding_dup_pairs_exact(
     )
 
 
+def embedding_dedup_docs(
+    ds: "ray.data.Dataset",
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.4,
+    **kwargs,
+) -> "ray.data.Dataset":
+    """(vec_id, cluster_id) for every embedding row: cluster_id = min id
+    of its cosine near-dup component at the given threshold (rows with no
+    near-dup keep their own id) — the embedding analogue of
+    `minhash_dedup_docs`, i.e. the SemDeDup-style 'keep one per semantic
+    component' policy is `filter(vec_id == cluster_id)` downstream.
+
+    The pair set is the EXACT all-pairs baseline
+    (`embedding_dup_pairs_exact`: blocked batch x broadcast-corpus
+    matmul, `sim` bit-identical to DuckDB list_cosine_similarity), so
+    cluster labels are pure-int64 min-label propagation over an exactly
+    reproducible edge set — the driver oracle mirrors both. At 100 TB
+    the same clustering composes with the LSH candidate pairs
+    (`embedding_dup_pairs`) instead; this query is the recall-1 yardstick
+    for that path."""
+    from .cluster import connected_components
+
+    pairs = embedding_dup_pairs_exact(ds, emb_col=emb_col, id_col=id_col,
+                                      threshold=threshold, **kwargs)
+    comp = connected_components(pairs, ds.select_columns([id_col]), id_col)
+
+    def _rename(b: pa.Table) -> pa.Table:
+        return pa.table({id_col: b["node"], "cluster_id": b["label"]})
+
+    return comp.map_batches(_rename, batch_format="pyarrow")
+
+
 def embedding_dup_pairs(
     ds: "ray.data.Dataset",
     emb_col: str = "embedding",

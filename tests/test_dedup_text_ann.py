@@ -605,6 +605,41 @@ class TestNearDupClustering:
         assert got[5] == got[6] == 5
         assert got[9] == 9  # isolated
 
+    def test_embedding_clique_chain_isolated(self, ray_session):
+        """embedding_dedup_docs: an identical-vector clique collapses to
+        the min id; a cosine chain (0°/60°/120° in a plane: cos 60°=0.5
+        links neighbours, cos 120°=-0.5 does not) clusters transitively;
+        orthogonal vectors keep their own id."""
+        from feasts_ray.dedup import embedding_dedup_docs
+
+        import pyarrow as _pa
+
+        dim = 8
+        def vec(theta, axis=(0, 1)):
+            v = np.zeros(dim, dtype=np.float32)
+            v[axis[0]] = np.cos(theta)
+            v[axis[1]] = np.sin(theta)
+            return v
+
+        base = vec(0.3)
+        rows = [base, base, base,                       # ids 0-2: clique
+                vec(0.0, (2, 3)), vec(np.pi / 3, (2, 3)),
+                vec(2 * np.pi / 3, (2, 3)),             # ids 3-5: chain
+                np.eye(dim, dtype=np.float32)[6],       # id 6: isolated
+                np.eye(dim, dtype=np.float32)[7]]       # id 7: isolated
+        ds = ray.data.from_arrow(_pa.table({
+            "vec_id": _pa.array(range(8), type=_pa.int64()),
+            "embedding": _pa.array([list(map(float, r)) for r in rows],
+                                   type=_pa.list_(_pa.float32())),
+        }))
+        out = embedding_dedup_docs(ds, threshold=0.4).to_pandas()
+        got = dict(zip(out["vec_id"], out["cluster_id"]))
+        assert got[0] == got[1] == got[2] == 0
+        assert got[3] == got[4] == got[5] == 3
+        assert got[6] == 6 and got[7] == 7
+        survivors = sorted(out[out["vec_id"] == out["cluster_id"]]["vec_id"])
+        assert survivors == [0, 3, 6, 7]
+
     def test_long_chain_converges(self, ray_session):
         """Path graph: diameter >> 1 — pointer jumping converges in
         O(log diameter) rounds, not diameter rounds."""

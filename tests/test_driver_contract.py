@@ -20,7 +20,7 @@ FAST_ORACLE_QUERIES = [
     "rolling_24h", "anomalies_1h", "pricing_summary", "lag_pairs_1h",
     "acf_table_1h", "pacf_table_1h", "classical_1h", "features_basic_1h",
     "bpe_token_counts", "seasonal_overlay_1h", "arch_lm_1h",
-    "simhash_dup_pairs", "fingerprint",
+    "simhash_dup_pairs", "fingerprint", "embedding_dedup_docs",
 ]
 
 
