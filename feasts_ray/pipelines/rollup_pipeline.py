@@ -47,6 +47,14 @@ def _input_bytes(input_path: str) -> int:
         return 0
 
 
+def _input_rows(input_path: str) -> int:
+    """Row count from parquet footers only — no data scan."""
+    try:
+        return pads.dataset(input_path).count_rows()
+    except Exception:
+        return -1
+
+
 def _cluster_cpus() -> int:
     return (int(ray.cluster_resources().get("CPU", 8))
             if ray.is_initialized() else 8)
@@ -106,7 +114,8 @@ def run_token_features(input_path: str, out_dir: str, lineage: str) -> dict:
     feats = token_feature_table(ds)
     feats.write_parquet(str(points_dir))
     rows = pads.dataset(str(points_dir)).count_rows()
-    m = {"tier": "features", "lineage": lineage, "rows_out": rows,
+    m = {"tier": "features", "lineage": lineage,
+         "rows_in": _input_rows(input_path), "rows_out": rows,
          "points": rows, "wall_s": time.perf_counter() - t0,
          "input": input_path}
     ckpt.save_manifest(feat_dir, m)
@@ -130,7 +139,8 @@ def run_token_archive(input_path: str, out_dir: str, lineage: str) -> dict:
                                                     "n_tok", "source"])
     archive_tokens(ds).write_parquet(str(blobs_dir))
     rows = pads.dataset(str(blobs_dir)).count_rows()
-    m = {"tier": "tokens_archive", "lineage": lineage, "rows_out": rows,
+    m = {"tier": "tokens_archive", "lineage": lineage,
+         "rows_in": _input_rows(input_path), "rows_out": rows,
          "points": rows, "bytes_blobs": ckpt.dir_bytes(blobs_dir),
          "wall_s": time.perf_counter() - t0, "input": input_path}
     ckpt.save_manifest(arch_dir, m)
@@ -182,10 +192,13 @@ def run_token_features_and_archive(input_path: str, out_dir: str,
     wall = time.perf_counter() - t0
     feat_rows = pads.dataset(str(points_dir)).count_rows()
     arch_rows = pads.dataset(str(blobs_dir)).count_rows()
-    m_feat = {"tier": "features", "lineage": lineage, "rows_out": feat_rows,
+    rows_in = _input_rows(input_path)
+    m_feat = {"tier": "features", "lineage": lineage, "rows_in": rows_in,
+              "rows_out": feat_rows,
               "points": feat_rows, "wall_s": wall, "fused_scan": True,
               "input": input_path}
     m_arch = {"tier": "tokens_archive", "lineage": lineage,
+              "rows_in": rows_in,
               "rows_out": arch_rows, "points": arch_rows,
               "bytes_blobs": ckpt.dir_bytes(blobs_dir), "wall_s": wall,
               "fused_scan": True, "input": input_path}
@@ -326,6 +339,7 @@ def run_rollup(
         m = {
             "tier": tier.name,
             "lineage": lineage,
+            "rows_in": _input_rows(input_path if k == 0 else str(prev_points)),
             "rows_out": rows,
             "points": rows,
             "bytes_blobs": blob_bytes,

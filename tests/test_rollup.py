@@ -146,6 +146,22 @@ def test_spans_sidecar_roundtrip_1e6_sources(tmp_path):
     assert ckpt.load_spans(tmp_path / "missing", "abc123") is None
 
 
+def test_manifest_lineage_metrics(rolled):
+    """North-rule manifest fields: every tier checkpoint records rows
+    in/out, watermark and lineage; rows_in of the raw tier is the input
+    doc count and each cascade tier's rows_in is the prior tier's
+    rows_out."""
+    metrics1, _ = rolled
+    order = ["raw", "1m", "1h", "1d"]
+    for tier in order:
+        m = metrics1[tier]
+        for field in ("rows_in", "rows_out", "watermark", "lineage", "wall_s"):
+            assert field in m, f"{tier} missing {field}"
+    assert metrics1["raw"]["rows_in"] == N_DOCS
+    for prev, cur in zip(order, order[1:]):
+        assert metrics1[cur]["rows_in"] == metrics1[prev]["rows_out"]
+
+
 def test_resume_skips_completed_tiers(rolled):
     metrics1, _ = rolled
     path = ensure_token_table(N_DOCS)
