@@ -683,6 +683,10 @@ JOIN (SELECT range AS lag FROM range(1, 4)) k ON TRUE
 JOIN series p ON p.event_type = s.event_type AND p.bucket = s.bucket - k.lag * 3600
 """.format(sec=_EV_SEC.format(u=3600)),
         "rollup_1m": _rollup_sql(60),
+        # the ingest query folds the second half of events into the
+        # rolled first half; its oracle is the SAME full aggregation —
+        # a hash match proves ingest == full recompute
+        "rollup_1m_incremental": _rollup_sql(60),
         "rollup_1h_cascade": _rollup_sql(3600),
         "rollup_1h_blobs_roundtrip": _rollup_sql(3600),
         "gapfill_1h": _GAPFILL_1H,

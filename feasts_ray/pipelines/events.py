@@ -126,26 +126,80 @@ def rollup_table(
         spans = spans_from_partials(ds, key_col=key_col)
     ds = run_tier(ds, f"u{unit_s}", unit_s, segment_points, spans,
                   gap_fill=fill_gaps, blobs_dir=None, key_col=key_col)
+    return ds.map_batches(_derive_batch, batch_format="pyarrow",
+                          fn_kwargs={"key_col": key_col})
 
-    def _derive(batch: pa.Table) -> pa.Table:
-        cnt = batch["count"].to_numpy(zero_copy_only=False)
-        s = batch["sum"].to_numpy(zero_copy_only=False)
-        cf = cnt.astype(np.float64)
-        with np.errstate(invalid="ignore", divide="ignore"):
-            # mirror the oracle expression: (CAST(sum AS DOUBLE)/count)/100.0
-            mean = (s.astype(np.float64) / cf) / 100.0
-        mean_col = pa.array(mean, type=pa.float64(), mask=cnt == 0)
-        t = pa.table({
-            key_col: batch[key_col],
-            "bucket": batch["bucket"].cast(pa.int64()),
-            "count": batch["count"].cast(pa.int64()),
-            "sum_cents": batch["sum"].cast(pa.int64()),
-            "min_cents": batch["min"].cast(pa.int64()),
-            "max_cents": batch["max"].cast(pa.int64()),
-        })
-        return t.append_column("mean_val", mean_col)
 
-    return ds.map_batches(_derive, batch_format="pyarrow")
+def _derive_batch(batch: pa.Table, key_col: str) -> pa.Table:
+    """Final tier rows: derive mean from the exact integer sums."""
+    cnt = batch["count"].to_numpy(zero_copy_only=False)
+    s = batch["sum"].to_numpy(zero_copy_only=False)
+    cf = cnt.astype(np.float64)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        # mirror the oracle expression: (CAST(sum AS DOUBLE)/count)/100.0
+        mean = (s.astype(np.float64) / cf) / 100.0
+    mean_col = pa.array(mean, type=pa.float64(), mask=cnt == 0)
+    t = pa.table({
+        key_col: batch[key_col],
+        "bucket": batch["bucket"].cast(pa.int64()),
+        "count": batch["count"].cast(pa.int64()),
+        "sum_cents": batch["sum"].cast(pa.int64()),
+        "min_cents": batch["min"].cast(pa.int64()),
+        "max_cents": batch["max"].cast(pa.int64()),
+    })
+    return t.append_column("mean_val", mean_col)
+
+
+def _points_to_partials_batch(batch: pa.Table, key_col: str) -> pa.Table:
+    """Rolled tier rows re-enter the kernel as partials: exact-integer
+    (count,sum,min,max) per (key,bucket); derived mean dropped, gap rows
+    (count==0, null min/max) dropped."""
+    import pyarrow.compute as pc
+
+    t = pa.table({
+        key_col: batch[key_col],
+        "bucket": batch["bucket"],
+        "count": batch["count"],
+        "sum": batch["sum_cents"],
+        "min": batch["min_cents"],
+        "max": batch["max_cents"],
+    })
+    return t.filter(pc.greater(t["count"], 0))
+
+
+def rollup_table_ingest(
+    old_points: "ray.data.Dataset",
+    new_path: str,
+    unit_s: int,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    batch_size: int = 32768,
+    segment_points: int = 4096,
+) -> "ray.data.Dataset":
+    """Continuous-aggregate INGEST: fold new event files into an already
+    rolled tier WITHOUT re-reading old events — the existing points
+    re-enter the tier kernel as partials (their count/sum/min/max are
+    exact integers, and integer merges are order-independent), so the
+    merged tier is bit-identical to ``rollup_table`` over the combined
+    input. The scan covers only ``new_path``; the one shuffle moves
+    O(existing points + new partials) rows. Same output schema as
+    ``rollup_table``."""
+    from ..stages.tier_kernel import run_tier
+
+    old = old_points.map_batches(_points_to_partials_batch,
+                                 batch_format="pyarrow",
+                                 fn_kwargs={"key_col": key_col})
+    new = ray.data.read_parquet(
+        new_path, columns=[key_col, ts_col, value_col]
+    ).map_batches(
+        _partial_batch, batch_format="pyarrow", batch_size=batch_size,
+        fn_kwargs={"unit_s": unit_s, "key_col": key_col,
+                   "ts_col": ts_col, "value_col": value_col})
+    ds = run_tier(old.union(new), f"u{unit_s}", unit_s, segment_points,
+                  {}, gap_fill=False, blobs_dir=None, key_col=key_col)
+    return ds.map_batches(_derive_batch, batch_format="pyarrow",
+                          fn_kwargs={"key_col": key_col})
 
 
 class _ExactACFKernel:

@@ -1,0 +1,255 @@
+"""Incremental ingest (continuous aggregates): fold parquet files ADDED
+to the input directory since the last completed run into the existing
+tier outputs without rescanning old input.
+
+Design: a completed raw tier's points ARE partials — per (source,bucket)
+exact-integer (count, sum, min, max) rows. Newly added files map through
+the same bucketize + partial combiner, and union(old points, new
+partials) re-enters the identical tier kernel. Integer merges are
+order-independent, so the merged raw tier is BIT-IDENTICAL to a full
+recompute over the whole input (pinned by tests/test_incremental.py).
+Cascade tiers re-derive from the merged raw points (tier-sized, tiny
+next to the input); per-doc stages (token features, verified token
+archive) run over the NEW files only and append under an
+``ingest-<lineage>`` subdirectory — the per-doc kernels are
+batch-shape-independent, so appended rows are bit-identical to the rows
+a full run would produce.
+
+Scale shape of one ingest: the input scan covers only the new files and
+the one wide shuffle moves O(existing rolled points + new partials)
+rows. At 10^12 sequences with daily ingest batches this is the
+difference between rescanning the full corpus and scanning one day's
+slice — the "continuous aggregate" contract of the north star.
+
+Crash safety: merged tier outputs are built in sibling ``*.ingest-tmp``
+dirs, the raw manifest is invalidated, then the dirs swap in and the
+manifest/spans are rewritten under the NEW lineage (file-inventory
+hash). A crash anywhere in between leaves no lineage-valid raw
+checkpoint, so the next run falls back to a full recompute — never a
+silent partial merge. Inputs are append-only and never touched.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+from pathlib import Path
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.dataset as pads
+
+import ray.data
+
+from ..config import RollupConfig
+from ..stages.bucketize import add_time_columns
+from ..stages.rollup import partial_rollup_batch
+from ..stages.tier_kernel import run_tier, spans_from_partials
+from ..state import checkpoint as ckpt
+from .rollup_pipeline import (_cfg_dict, _cluster_cpus, _file_inventory,
+                              _input_rows, _points_stats, _tier_dirs,
+                              run_rollup)
+
+INGEST_STATE_NAME = "_INGEST.json"
+
+
+def load_ingest_state(out_dir: str | Path) -> dict | None:
+    p = Path(out_dir) / INGEST_STATE_NAME
+    if not p.exists():
+        return None
+    try:
+        return json.loads(p.read_text())
+    except (json.JSONDecodeError, OSError):
+        return None
+
+
+def save_ingest_state(out_dir: str | Path, inventory: list, lineage: str) -> None:
+    p = Path(out_dir) / INGEST_STATE_NAME
+    p.parent.mkdir(parents=True, exist_ok=True)
+    tmp = str(p) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"inventory": inventory, "lineage": lineage,
+                   "saved_at": time.time()}, f, indent=1)
+    os.replace(tmp, p)
+
+
+def _points_to_partials(batch: pa.Table, key_col: str) -> pa.Table:
+    """A tier's points rows re-enter the kernel as partials: drop derived
+    columns (mean) and any gap rows (count==0 — null min/max)."""
+    t = batch.select([key_col, "bucket", "count", "sum", "min", "max"])
+    return t.filter(pc.greater(t["count"], 0))
+
+
+def _sized_read(paths: list[str] | str, columns: list[str],
+                nbytes: int) -> "ray.data.Dataset":
+    nblk = max(_cluster_cpus(), nbytes // (128 << 20))
+    return ray.data.read_parquet(paths, columns=columns,
+                                 override_num_blocks=nblk)
+
+
+def _features_delta(new_paths: list[str], out_dir: str, lineage: str,
+                    rows_new: int) -> None:
+    """Append per-doc feature rows for the new files only (kernel is
+    batch-shape independent -> rows identical to a full run's)."""
+    from ..stages.token_features import token_feature_table
+
+    feat_dir = Path(out_dir) / "features"
+    sub = feat_dir / "points" / f"ingest-{lineage}"
+    if sub.exists():
+        shutil.rmtree(sub)
+    t0 = time.perf_counter()
+    ds = ray.data.read_parquet(new_paths, columns=["doc_id", "tokens", "source"])
+    token_feature_table(ds).write_parquet(str(sub))
+    rows = pads.dataset(str(feat_dir / "points")).count_rows()
+    ckpt.save_manifest(feat_dir, {
+        "tier": "features", "lineage": lineage, "rows_in": rows_new,
+        "rows_out": rows, "points": rows,
+        "wall_s": time.perf_counter() - t0, "incremental": True})
+
+
+def _archive_delta(new_paths: list[str], out_dir: str, lineage: str,
+                   rows_new: int) -> None:
+    """Append verified token-archive blobs for the new files only."""
+    from ..stages.token_archive import archive_tokens
+
+    arch_dir = Path(out_dir) / "tokens_archive"
+    sub = arch_dir / "blobs" / f"ingest-{lineage}"
+    if sub.exists():
+        shutil.rmtree(sub)
+    t0 = time.perf_counter()
+    ds = ray.data.read_parquet(new_paths, columns=["doc_id", "tokens",
+                                                   "n_tok", "source"])
+    archive_tokens(ds).write_parquet(str(sub))
+    rows = pads.dataset(str(arch_dir / "blobs")).count_rows()
+    ckpt.save_manifest(arch_dir, {
+        "tier": "tokens_archive", "lineage": lineage, "rows_in": rows_new,
+        "rows_out": rows, "points": rows,
+        "bytes_blobs": ckpt.dir_bytes(arch_dir / "blobs"),
+        "wall_s": time.perf_counter() - t0, "incremental": True})
+
+
+def run_rollup_incremental(
+    input_path: str,
+    out_dir: str,
+    cfg: RollupConfig | None = None,
+    encode: bool = True,
+    token_features: bool = False,
+    token_archive: bool = False,
+) -> dict[str, dict]:
+    """Ingest files added to ``input_path`` since the last completed run.
+
+    Falls back to a plain ``run_rollup`` (full recompute / pure resume)
+    whenever an incremental merge is not provably safe: no prior ingest
+    state, the prior file set is not a strict subset of the current one,
+    the prior raw checkpoint is missing or lineage-stale, or a per-doc
+    stage is requested that the prior run did not produce. Returns the
+    same per-tier metrics dict as ``run_rollup``; the raw tier's
+    manifest carries ``incremental: true`` and ``new_files`` when the
+    merge path ran.
+    """
+    cfg = cfg or RollupConfig()
+    cfg_dict = _cfg_dict(cfg, encode)
+    inv_now = _file_inventory(input_path)
+    new_lineage = ckpt.lineage_hash(input_path, cfg_dict, inventory=inv_now)
+    raw_tier = cfg.tiers[0]
+    raw_points_dir, raw_blobs_dir = _tier_dirs(out_dir, raw_tier.name)
+    state = load_ingest_state(out_dir)
+
+    def _full() -> dict[str, dict]:
+        return run_rollup(input_path, out_dir, cfg=cfg, encode=encode,
+                          token_features=token_features,
+                          token_archive=token_archive)
+
+    # pure resume (same inventory) or nothing to merge against
+    if ckpt.is_complete(raw_points_dir.parent, new_lineage) or state is None:
+        return _full()
+    prior_files = {tuple(x) for x in state["inventory"]}
+    now_files = {tuple(x) for x in inv_now}
+    prior_lineage = state.get("lineage", "")
+    safe = (prior_files < now_files
+            and ckpt.is_complete(raw_points_dir.parent, prior_lineage))
+    if token_features:
+        safe = safe and ckpt.is_complete(Path(out_dir) / "features",
+                                         prior_lineage)
+    if token_archive:
+        safe = safe and ckpt.is_complete(Path(out_dir) / "tokens_archive",
+                                         prior_lineage)
+    if not safe:
+        return _full()
+
+    new_names = sorted(n for (n, _s) in now_files - prior_files)
+    new_paths = [os.path.join(input_path, n) for n in new_names]
+    new_bytes = sum(s for (_n, s) in now_files - prior_files)
+    t0 = time.perf_counter()
+
+    # ---- merged raw tier: scan ONLY the new files; old points are partials
+    ds_new = _sized_read(new_paths, ["doc_id", cfg.value_col, cfg.series_key],
+                         new_bytes)
+    ds_new = ds_new.map_batches(add_time_columns, batch_format="pyarrow")
+    ds_new = ds_new.map_batches(
+        partial_rollup_batch, batch_format="pyarrow",
+        batch_size=cfg.batch_size,
+        fn_kwargs={"unit_s": raw_tier.unit_s, "value_col": cfg.value_col,
+                   "key_col": cfg.series_key})
+    rows_old, _wm_old = _points_stats(raw_points_dir)
+    old_parts = _sized_read(str(raw_points_dir),
+                            [cfg.series_key, "bucket", "count", "sum",
+                             "min", "max"],
+                            ckpt.dir_bytes(raw_points_dir)).map_batches(
+        _points_to_partials, batch_format="pyarrow",
+        fn_kwargs={"key_col": cfg.series_key})
+    partials = old_parts.union(ds_new)
+    tier_gap_fill = cfg.gap_fill and raw_tier.gap_fill
+    spans = None
+    if tier_gap_fill:
+        partials = partials.materialize()
+        spans = spans_from_partials(partials, key_col=cfg.series_key)
+    tmp_points = raw_points_dir.parent / "points.ingest-tmp"
+    tmp_blobs = raw_blobs_dir.parent / "blobs.ingest-tmp"
+    for d in (tmp_points, tmp_blobs):
+        if d.exists():
+            shutil.rmtree(d)
+    points = run_tier(
+        partials, raw_tier.name, raw_tier.unit_s, cfg.segment_points,
+        spans or {}, gap_fill=tier_gap_fill,
+        blobs_dir=str(tmp_blobs) if encode else None,
+        key_col=cfg.series_key)
+    points.write_parquet(str(tmp_points))
+
+    # ---- swap in (invalidate manifest first: crash -> full fallback)
+    mpath = ckpt.manifest_path(raw_points_dir.parent)
+    if mpath.exists():
+        mpath.unlink()
+    shutil.rmtree(raw_points_dir)
+    os.replace(tmp_points, raw_points_dir)
+    if encode:
+        if raw_blobs_dir.exists():
+            shutil.rmtree(raw_blobs_dir)
+        os.replace(tmp_blobs, raw_blobs_dir)
+    if spans is None:
+        spans = spans_from_partials(
+            ray.data.read_parquet(str(raw_points_dir),
+                                  columns=[cfg.series_key, "bucket"]),
+            key_col=cfg.series_key)
+    ckpt.save_spans(out_dir, spans, new_lineage)
+    rows, watermark = _points_stats(raw_points_dir)
+    rows_new = _input_rows(new_paths[0] if len(new_paths) == 1 else new_paths)
+    ckpt.save_manifest(raw_points_dir.parent, {
+        "tier": raw_tier.name, "lineage": new_lineage,
+        "rows_in": rows_old + rows_new, "rows_out": rows, "points": rows,
+        "bytes_blobs": ckpt.dir_bytes(raw_blobs_dir) if encode else 0,
+        "watermark": watermark, "wall_s": time.perf_counter() - t0,
+        "input": input_path, "n_sources": len(spans),
+        "incremental": True, "new_files": len(new_paths)})
+
+    # ---- per-doc stages: delta over the new files only
+    if token_features:
+        _features_delta(new_paths, out_dir, new_lineage, rows_new)
+    if token_archive:
+        _archive_delta(new_paths, out_dir, new_lineage, rows_new)
+
+    # ---- cascades re-derive from the merged raw points; raw and per-doc
+    # stages are checkpoint-complete under the new lineage and skipped
+    return _full()

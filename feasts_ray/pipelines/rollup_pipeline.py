@@ -47,12 +47,37 @@ def _input_bytes(input_path: str) -> int:
         return 0
 
 
-def _input_rows(input_path: str) -> int:
+def _input_rows(input_path) -> int:
     """Row count from parquet footers only — no data scan."""
     try:
         return pads.dataset(input_path).count_rows()
     except Exception:
         return -1
+
+
+def _file_inventory(input_path: str) -> list[list]:
+    """Sorted [name, size] of the input's parquet files. Part of the
+    lineage hash, so appending files invalidates stale checkpoints (a
+    resumed run recomputes instead of silently skipping); the incremental
+    path diffs inventories to find the files added since the last run."""
+    import os
+
+    try:
+        return sorted(
+            [f, os.path.getsize(os.path.join(input_path, f))]
+            for f in os.listdir(input_path) if f.endswith(".parquet"))
+    except (OSError, NotADirectoryError):
+        return [[input_path, -1]]
+
+
+def _cfg_dict(cfg: RollupConfig, encode: bool) -> dict:
+    return {
+        "tiers": [t.name for t in cfg.tiers],
+        "value_col": cfg.value_col,
+        "gap_fill": cfg.gap_fill,
+        "segment_points": cfg.segment_points,
+        "encode": encode,
+    }
 
 
 def _cluster_cpus() -> int:
@@ -218,14 +243,9 @@ def run_rollup(
 ) -> dict[str, dict]:
     """Run (or resume) the full tier cascade. Returns per-tier metrics."""
     cfg = cfg or RollupConfig()
-    cfg_dict = {
-        "tiers": [t.name for t in cfg.tiers],
-        "value_col": cfg.value_col,
-        "gap_fill": cfg.gap_fill,
-        "segment_points": cfg.segment_points,
-        "encode": encode,
-    }
-    lineage = ckpt.lineage_hash(input_path, cfg_dict)
+    cfg_dict = _cfg_dict(cfg, encode)
+    inventory = _file_inventory(input_path)
+    lineage = ckpt.lineage_hash(input_path, cfg_dict, inventory=inventory)
     metrics: dict[str, dict] = {}
     prev_points: Path | None = None
     spans: dict | None = None
@@ -359,4 +379,9 @@ def run_rollup(
         metrics["features"] = run_token_features(input_path, out_dir, lineage)
     elif token_archive:
         metrics["tokens_archive"] = run_token_archive(input_path, out_dir, lineage)
+    # record the processed file set so a later run_rollup_incremental can
+    # diff inventories and fold in only the files added since this run
+    from .incremental import save_ingest_state
+
+    save_ingest_state(out_dir, inventory, lineage)
     return metrics

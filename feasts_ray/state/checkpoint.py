@@ -24,8 +24,14 @@ from typing import Any
 MANIFEST_NAME = "_CHECKPOINT.json"
 
 
-def lineage_hash(input_path: str, config: dict[str, Any]) -> str:
-    payload = json.dumps({"input": input_path, "config": config}, sort_keys=True)
+def lineage_hash(input_path: str, config: dict[str, Any],
+                 inventory: list | None = None) -> str:
+    """``inventory`` (the input's [file, size] listing) makes the hash
+    input-content-sensitive: appending files to the input directory
+    invalidates prior checkpoints instead of silently resuming over a
+    stale result — and gives the incremental-ingest path its identity."""
+    payload = json.dumps({"input": input_path, "config": config,
+                          "inventory": inventory}, sort_keys=True)
     return hashlib.sha256(payload.encode()).hexdigest()[:16]
 
 

@@ -29,6 +29,10 @@ def main() -> int:
                     help="also run the verified token-archive stage")
     ap.add_argument("--no-encode", action="store_true",
                     help="skip Gorilla/dod blob encoding")
+    ap.add_argument("--incremental", action="store_true",
+                    help="fold in only the parquet files added to --input "
+                         "since the last completed run (continuous-aggregate "
+                         "ingest; falls back to a full run when unsafe)")
     args = ap.parse_args()
 
     import ray
@@ -36,11 +40,15 @@ def main() -> int:
     if not ray.is_initialized():
         ray.init(include_dashboard=False)
 
-    from feasts_ray.pipelines.rollup_pipeline import run_rollup
+    if args.incremental:
+        from feasts_ray.pipelines.incremental import (
+            run_rollup_incremental as run)
+    else:
+        from feasts_ray.pipelines.rollup_pipeline import run_rollup as run
 
-    metrics = run_rollup(args.input, args.out, encode=not args.no_encode,
-                         token_features=args.features,
-                         token_archive=args.archive)
+    metrics = run(args.input, args.out, encode=not args.no_encode,
+                  token_features=args.features,
+                  token_archive=args.archive)
     print(json.dumps(metrics, default=str))
     ray.shutdown()
     return 0

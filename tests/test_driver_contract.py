@@ -21,6 +21,7 @@ FAST_ORACLE_QUERIES = [
     "acf_table_1h", "pacf_table_1h", "classical_1h", "features_basic_1h",
     "bpe_token_counts", "seasonal_overlay_1h", "arch_lm_1h",
     "simhash_dup_pairs", "fingerprint", "embedding_dedup_docs",
+    "rollup_1m_incremental",
 ]
 
 

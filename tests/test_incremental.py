@@ -1,0 +1,135 @@
+"""Incremental ingest (continuous aggregates): folding files APPENDED to
+the input directory into existing tier outputs must be bit-identical to
+a full recompute over the whole input — points (incl. gap rows and
+derived means), Gorilla/dod blobs (byte-for-byte), per-doc features and
+verified token archive. Also pins the fallback ladder: pure resume when
+nothing was added, full recompute when the prior state is unusable."""
+
+import shutil
+from pathlib import Path
+
+import pandas as pd
+import pyarrow.dataset as pads
+import pyarrow.parquet as pq
+import pytest
+
+from feasts_ray.pipelines.incremental import (load_ingest_state,
+                                              run_rollup_incremental)
+from feasts_ray.pipelines.rollup_pipeline import run_rollup
+from feasts_ray.synth import ensure_token_table
+
+N_DOCS = 6000
+SPLIT = 4000
+BASE = Path("/tmp/feasts_ray_test/incremental")
+
+
+def _split_input(src_rows, dst: Path, parts: list[tuple[int, int]]):
+    dst.mkdir(parents=True, exist_ok=True)
+    for i, (lo, hi) in enumerate(parts):
+        pq.write_table(src_rows.slice(lo, hi - lo),
+                       dst / f"part-{i:05d}.parquet", row_group_size=8192)
+
+
+def _table(path) -> pd.DataFrame:
+    return pads.dataset(str(path)).to_table().to_pandas()
+
+
+def _sorted(df: pd.DataFrame, keys) -> pd.DataFrame:
+    return (df[sorted(df.columns)]
+            .sort_values(keys, ignore_index=True, kind="mergesort"))
+
+
+def _assert_same(a_dir, b_dir, keys):
+    a, b = _table(a_dir), _table(b_dir)
+    pd.testing.assert_frame_equal(_sorted(a, keys), _sorted(b, keys),
+                                  check_exact=True)
+
+
+@pytest.fixture(scope="module")
+def ingested(ray_session):
+    """Run: full(part0) -> append part1 -> incremental; plus a
+    from-scratch full run over both parts for comparison."""
+    src = pq.read_table(f"{ensure_token_table(N_DOCS)}/part-00000.parquet")
+    shutil.rmtree(BASE, ignore_errors=True)
+    in_dir = BASE / "in"
+    _split_input(src, in_dir, [(0, SPLIT)])
+    out_inc = str(BASE / "out_inc")
+    m0 = run_rollup(str(in_dir), out_inc,
+                    token_features=True, token_archive=True)
+    # append the second slice as a NEW file, then ingest it
+    _split_input(src, in_dir, [(0, SPLIT), (SPLIT, N_DOCS)])
+    m1 = run_rollup_incremental(str(in_dir), out_inc,
+                                token_features=True, token_archive=True)
+    out_full = str(BASE / "out_full")
+    m_full = run_rollup(str(in_dir), out_full,
+                        token_features=True, token_archive=True)
+    return in_dir, out_inc, out_full, m0, m1, m_full
+
+
+def test_incremental_path_taken(ingested):
+    _in, out_inc, _of, m0, m1, _mf = ingested
+    raw = m1["raw"]
+    assert raw.get("incremental") is True and raw["new_files"] == 1
+    assert raw["rows_in"] == m0["raw"]["rows_out"] + (N_DOCS - SPLIT)
+    st = load_ingest_state(out_inc)
+    assert st is not None and len(st["inventory"]) == 2
+
+
+@pytest.mark.parametrize("tier", ["raw", "1m", "1h", "1d"])
+def test_tier_points_bit_identical(ingested, tier):
+    _in, out_inc, out_full, *_ = ingested
+    _assert_same(f"{out_inc}/tier={tier}/points",
+                 f"{out_full}/tier={tier}/points", ["source", "bucket"])
+
+
+@pytest.mark.parametrize("tier", ["1m", "1h", "1d"])
+def test_tier_blobs_byte_identical(ingested, tier):
+    _in, out_inc, out_full, *_ = ingested
+    _assert_same(f"{out_inc}/tier={tier}/blobs",
+                 f"{out_full}/tier={tier}/blobs", ["source", "segment"])
+
+
+def test_features_and_archive_bit_identical(ingested):
+    _in, out_inc, out_full, *_ = ingested
+    _assert_same(f"{out_inc}/features/points",
+                 f"{out_full}/features/points", ["doc_id"])
+    # blob_bytes / raw_bytes are PER-BATCH compression metrics broadcast
+    # to rows (batch-composition-dependent by design; restore_tokens
+    # drops them too) — the per-row invariant is the blob itself
+    a = _table(f"{out_inc}/tokens_archive/blobs")
+    b = _table(f"{out_full}/tokens_archive/blobs")
+    cols = ["doc_id", "n_tok", "source", "tokens_blob"]
+    pd.testing.assert_frame_equal(
+        _sorted(a[cols], ["doc_id"]), _sorted(b[cols], ["doc_id"]),
+        check_exact=True)
+
+
+def test_second_ingest_is_pure_resume(ingested):
+    """No new files -> every stage resumes from checkpoint untouched."""
+    in_dir, out_inc, _of, _m0, m1, _mf = ingested
+    m2 = run_rollup_incremental(str(in_dir), out_inc,
+                                token_features=True, token_archive=True)
+    for tier in m2:
+        assert m2[tier]["completed_at"] == m1[tier]["completed_at"]
+
+
+def test_mutated_input_falls_back_to_full(ray_session):
+    """If a previously processed file disappears, the prior set is not a
+    subset of the current one: incremental must run the FULL path (and
+    still match a clean full run)."""
+    src = pq.read_table(f"{ensure_token_table(N_DOCS)}/part-00000.parquet")
+    base = BASE / "fallback"
+    shutil.rmtree(base, ignore_errors=True)
+    in_dir = base / "in"
+    _split_input(src, in_dir, [(0, 2000), (2000, 4000)])
+    out = str(base / "out")
+    run_rollup(str(in_dir), out)
+    # replace both files with ONE file covering different rows
+    shutil.rmtree(in_dir)
+    _split_input(src, in_dir, [(0, 3000)])
+    m = run_rollup_incremental(str(in_dir), out)
+    assert "incremental" not in m["raw"]
+    out_clean = str(base / "out_clean")
+    run_rollup(str(in_dir), out_clean)
+    _assert_same(f"{out}/tier=1m/points", f"{out_clean}/tier=1m/points",
+                 ["source", "bucket"])
