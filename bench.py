@@ -83,7 +83,8 @@ def run_queries() -> dict[str, float]:
             return n
         return len(res)
 
-    names = ["rollup_1m", "rollup_1h_cascade", "gapfill_1h", "acf_1h_counts",
+    names = ["rollup_1m", "rollup_1m_incremental", "rollup_1h_cascade",
+             "gapfill_1h", "acf_1h_counts",
              "rollup_1h_blobs_roundtrip", "lineitem_daily", "dedup_exact",
              "minhash_dup_pairs", "simhash_dup_pairs", "ann_topk",
              "features_1h", "stl_1h"]
