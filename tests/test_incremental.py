@@ -113,6 +113,37 @@ def test_second_ingest_is_pure_resume(ingested):
         assert m2[tier]["completed_at"] == m1[tier]["completed_at"]
 
 
+@pytest.mark.parametrize("splits", [
+    # (initial file row-ranges, appended file row-ranges): uneven sizes,
+    # multiple appended files, a tiny single-doc delta
+    ([(0, 1000)], [(1000, 3500), (3500, 6000)]),
+    ([(0, 2500), (2500, 5000)], [(5000, 5999), (5999, 6000)]),
+])
+def test_ingest_matches_full_any_split(ray_session, splits):
+    """Property over file layouts: however the corpus is split between
+    the initial build and the appended files, ingest == full recompute
+    on the merged tiers (integer merges are order-independent)."""
+    init, added = splits
+    src = pq.read_table(f"{ensure_token_table(N_DOCS)}/part-00000.parquet")
+    base = BASE / f"prop_{init[0][1]}_{len(added)}"
+    shutil.rmtree(base, ignore_errors=True)
+    in_dir = base / "in"
+    _split_input(src, in_dir, init)
+    out = str(base / "out")
+    run_rollup(str(in_dir), out)
+    _split_input(src, in_dir, init + added)
+    m = run_rollup_incremental(str(in_dir), out)
+    assert m["raw"].get("incremental") is True
+    assert m["raw"]["new_files"] == len(added)
+    out_full = str(base / "out_full")
+    run_rollup(str(in_dir), out_full)
+    for tier in ("raw", "1m", "1h", "1d"):
+        _assert_same(f"{out}/tier={tier}/points",
+                     f"{out_full}/tier={tier}/points", ["source", "bucket"])
+    _assert_same(f"{out}/tier=1m/blobs", f"{out_full}/tier=1m/blobs",
+                 ["source", "segment"])
+
+
 def test_mutated_input_falls_back_to_full(ray_session):
     """If a previously processed file disappears, the prior set is not a
     subset of the current one: incremental must run the FULL path (and
