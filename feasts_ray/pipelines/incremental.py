@@ -4,10 +4,16 @@ tier outputs without rescanning old input.
 
 Design: a completed raw tier's points ARE partials — per (source,bucket)
 exact-integer (count, sum, min, max) rows. Newly added files map through
-the same bucketize + partial combiner, and union(old points, new
-partials) re-enters the identical tier kernel. Integer merges are
+the same bucketize + partial combiner, and the delta-touched points
+re-enter the identical tier kernel. Integer merges are
 order-independent, so the merged raw tier is BIT-IDENTICAL to a full
 recompute over the whole input (pinned by tests/test_incremental.py).
+For the (default) non-gap-filled first tier the merge is SELECTIVE:
+only the (key, segment) groups the delta touches are shuffled and
+re-encoded — untouched points stream through and untouched
+partition-addressed blob files stay in place — so the per-ingest
+shuffle is O(touched points + delta partials), independent of both the
+old corpus AND the total rolled-point count.
 Cascade tiers re-derive from the merged raw points (tier-sized, tiny
 next to the input); per-doc stages (token features, verified token
 archive) run over the NEW files only and append under an
@@ -73,6 +79,24 @@ def save_ingest_state(out_dir: str | Path, inventory: list, lineage: str) -> Non
         json.dump({"inventory": inventory, "lineage": lineage,
                    "saved_at": time.time()}, f, indent=1)
     os.replace(tmp, p)
+
+
+def _filter_by_touched(batch: pa.Table, key_col: str, seg_span: int,
+                       ref, keep_touched: bool) -> pa.Table:
+    """Split a tier's points by whether their (key, segment) group is
+    touched by the delta. ``ref`` is a ray.put-broadcast sorted string
+    array of 'key\\x1fsegment' group ids (one per delta partial group —
+    bounded by the delta, resolved once per worker process)."""
+    from ..state.broadcast import resolve_broadcast
+
+    tset = resolve_broadcast(ref)
+    # same floor-division segment math as tier_kernel.add_segment
+    seg = batch["bucket"].to_numpy(zero_copy_only=False) // seg_span
+    gid = pc.binary_join_element_wise(
+        pc.cast(batch[key_col], pa.string()),
+        pa.array(seg.astype("U"), type=pa.string()), "\x1f")
+    m = pc.is_in(gid, value_set=tset)
+    return batch.filter(m if keep_touched else pc.invert(m))
 
 
 def _points_to_partials(batch: pa.Table, key_col: str) -> pa.Table:
@@ -167,8 +191,13 @@ def run_rollup_incremental(
         return _full()
     prior_files = {tuple(x) for x in state["inventory"]}
     now_files = {tuple(x) for x in inv_now}
-    prior_lineage = state.get("lineage", "")
-    safe = (prior_files < now_files
+    # recompute the prior lineage from the prior inventory + CURRENT
+    # config: any config drift (tiers, value col, encode, ...) since the
+    # last run makes this mismatch and forces the full path
+    prior_lineage = ckpt.lineage_hash(input_path, cfg_dict,
+                                      inventory=state["inventory"])
+    safe = (state.get("lineage") == prior_lineage
+            and prior_files < now_files
             and ckpt.is_complete(raw_points_dir.parent, prior_lineage))
     if token_features:
         safe = safe and ckpt.is_complete(Path(out_dir) / "features",
@@ -194,40 +223,85 @@ def run_rollup_incremental(
         fn_kwargs={"unit_s": raw_tier.unit_s, "value_col": cfg.value_col,
                    "key_col": cfg.series_key})
     rows_old, _wm_old = _points_stats(raw_points_dir)
-    old_parts = _sized_read(str(raw_points_dir),
-                            [cfg.series_key, "bucket", "count", "sum",
-                             "min", "max"],
-                            ckpt.dir_bytes(raw_points_dir)).map_batches(
-        _points_to_partials, batch_format="pyarrow",
-        fn_kwargs={"key_col": cfg.series_key})
-    partials = old_parts.union(ds_new)
+    old_bytes = ckpt.dir_bytes(raw_points_dir)
+    part_cols = [cfg.series_key, "bucket", "count", "sum", "min", "max"]
     tier_gap_fill = cfg.gap_fill and raw_tier.gap_fill
-    spans = None
-    if tier_gap_fill:
-        partials = partials.materialize()
-        spans = spans_from_partials(partials, key_col=cfg.series_key)
     tmp_points = raw_points_dir.parent / "points.ingest-tmp"
     tmp_blobs = raw_blobs_dir.parent / "blobs.ingest-tmp"
     for d in (tmp_points, tmp_blobs):
         if d.exists():
             shutil.rmtree(d)
-    points = run_tier(
-        partials, raw_tier.name, raw_tier.unit_s, cfg.segment_points,
-        spans or {}, gap_fill=tier_gap_fill,
-        blobs_dir=str(tmp_blobs) if encode else None,
-        key_col=cfg.series_key)
-    points.write_parquet(str(tmp_points))
-
-    # ---- swap in (invalidate manifest first: crash -> full fallback)
+    spans = None
     mpath = ckpt.manifest_path(raw_points_dir.parent)
-    if mpath.exists():
-        mpath.unlink()
-    shutil.rmtree(raw_points_dir)
-    os.replace(tmp_points, raw_points_dir)
-    if encode:
-        if raw_blobs_dir.exists():
-            shutil.rmtree(raw_blobs_dir)
-        os.replace(tmp_blobs, raw_blobs_dir)
+    if not tier_gap_fill:
+        # SELECTIVE merge: only the (key, segment) groups the delta
+        # touches re-enter the kernel; untouched points stream straight
+        # through to the output, and untouched BLOB files stay in place
+        # (they are partition-addressed by (key, segment), and the
+        # kernel's atomic per-file rename overwrites exactly the touched
+        # ones). The shuffle therefore moves O(touched points + delta
+        # partials), not O(all rolled points).
+        seg_span = cfg.segment_points * raw_tier.unit_s
+        ds_new = ds_new.materialize()  # delta-sized
+        touched: set[str] = set()
+        for b in ds_new.iter_batches(batch_size=65536,
+                                     batch_format="pyarrow"):
+            segs = b["bucket"].to_numpy(zero_copy_only=False) // seg_span
+            touched.update(
+                f"{k}\x1f{s}" for k, s in
+                zip(b[cfg.series_key].to_pylist(), segs.tolist()))
+        from ..state.broadcast import put_once
+
+        fk = {"key_col": cfg.series_key, "seg_span": seg_span,
+              "ref": put_once(pa.array(sorted(touched), type=pa.string()))}
+        old_touched = (_sized_read(str(raw_points_dir), part_cols, old_bytes)
+                       .map_batches(_filter_by_touched,
+                                    batch_format="pyarrow",
+                                    fn_kwargs=dict(fk, keep_touched=True))
+                       .map_batches(_points_to_partials,
+                                    batch_format="pyarrow",
+                                    fn_kwargs={"key_col": cfg.series_key}))
+        untouched = (_sized_read(str(raw_points_dir), part_cols + ["mean"],
+                                 old_bytes)
+                     .map_batches(_filter_by_touched, batch_format="pyarrow",
+                                  fn_kwargs=dict(fk, keep_touched=False)))
+        merged = run_tier(
+            old_touched.union(ds_new), raw_tier.name, raw_tier.unit_s,
+            cfg.segment_points, {}, gap_fill=False,
+            blobs_dir=str(raw_blobs_dir) if encode else None,
+            key_col=cfg.series_key)
+        # touched blob files mutate in place while this executes:
+        # invalidate the manifest FIRST so a crash anywhere falls back
+        # to a full recompute instead of trusting a half-merged tier
+        if mpath.exists():
+            mpath.unlink()
+        untouched.union(merged).write_parquet(str(tmp_points))
+        shutil.rmtree(raw_points_dir)
+        os.replace(tmp_points, raw_points_dir)
+    else:
+        # whole-merge path (gap-filled first tier): appended data can
+        # extend per-key spans, so gap rows re-synthesize over the
+        # merged span table and the tier rewrites whole
+        old_parts = _sized_read(str(raw_points_dir), part_cols,
+                                old_bytes).map_batches(
+            _points_to_partials, batch_format="pyarrow",
+            fn_kwargs={"key_col": cfg.series_key})
+        partials = old_parts.union(ds_new).materialize()
+        spans = spans_from_partials(partials, key_col=cfg.series_key)
+        points = run_tier(
+            partials, raw_tier.name, raw_tier.unit_s, cfg.segment_points,
+            spans, gap_fill=True,
+            blobs_dir=str(tmp_blobs) if encode else None,
+            key_col=cfg.series_key)
+        points.write_parquet(str(tmp_points))
+        if mpath.exists():
+            mpath.unlink()
+        shutil.rmtree(raw_points_dir)
+        os.replace(tmp_points, raw_points_dir)
+        if encode:
+            if raw_blobs_dir.exists():
+                shutil.rmtree(raw_blobs_dir)
+            os.replace(tmp_blobs, raw_blobs_dir)
     if spans is None:
         spans = spans_from_partials(
             ray.data.read_parquet(str(raw_points_dir),

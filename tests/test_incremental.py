@@ -82,8 +82,11 @@ def test_tier_points_bit_identical(ingested, tier):
                  f"{out_full}/tier={tier}/points", ["source", "bucket"])
 
 
-@pytest.mark.parametrize("tier", ["1m", "1h", "1d"])
+@pytest.mark.parametrize("tier", ["raw", "1m", "1h", "1d"])
 def test_tier_blobs_byte_identical(ingested, tier):
+    """raw is the selective-merge tier: its blob files are updated IN
+    PLACE (touched segments re-encoded, untouched files left from the
+    prior run) — every file must still match a full recompute's bytes."""
     _in, out_inc, out_full, *_ = ingested
     _assert_same(f"{out_inc}/tier={tier}/blobs",
                  f"{out_full}/tier={tier}/blobs", ["source", "segment"])
