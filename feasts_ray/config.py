@@ -66,3 +66,12 @@ class RollupConfig:
     # batch size for the bucketize/partial-agg map_batches stage
     batch_size: int = 32768
     extra_agg_keys: tuple[str, ...] = field(default_factory=tuple)
+    # RAW-tier points are written hive-partitioned by time range
+    # (seg_part = bucket // (segment_points * unit_s * this)) so the
+    # selective incremental merge rewrites only the partition dirs the
+    # delta touches — untouched point FILES stay in place exactly like
+    # the partition-addressed blob files. 16 segments/partition makes a
+    # partition span ~3 days at 1s buckets (16 * 16384 s): a daily
+    # ingest at 10^12 sequences touches O(1) partitions instead of
+    # streaming every rolled point through a full rewrite.
+    points_partition_segs: int = 16

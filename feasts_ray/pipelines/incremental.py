@@ -13,7 +13,12 @@ only the (key, segment) groups the delta touches are shuffled and
 re-encoded — untouched points stream through and untouched
 partition-addressed blob files stay in place — so the per-ingest
 shuffle is O(touched points + delta partials), independent of both the
-old corpus AND the total rolled-point count.
+old corpus AND the total rolled-point count. The raw points parquet is
+hive-partitioned by time range (seg_part dirs), so the point-file
+rewrite and the read feeding it are O(touched partitions) as well:
+untouched partition dirs are never opened, and the per-key span table
+updates from the prior run's sidecar plus the delta — no full-corpus
+pass of any kind remains in the ingest.
 Cascade tiers re-derive from the merged raw points (tier-sized, tiny
 next to the input); per-doc stages (token features, verified token
 archive) run over the NEW files only and append under an
@@ -239,49 +244,102 @@ def run_rollup_incremental(
         # through to the output, and untouched BLOB files stay in place
         # (they are partition-addressed by (key, segment), and the
         # kernel's atomic per-file rename overwrites exactly the touched
-        # ones). The shuffle therefore moves O(touched points + delta
-        # partials), not O(all rolled points).
+        # ones). The points parquet is hive-partitioned by time range
+        # (seg_part dirs, see rollup_pipeline.write_raw_points), so the
+        # point-file rewrite is ALSO O(touched): only partition dirs the
+        # delta touches are read, rewritten and swapped — untouched
+        # partition dirs never leave the disk. Per-ingest cost is
+        # therefore O(touched partitions + delta), independent of both
+        # the old corpus and the total rolled-point count.
+        from .rollup_pipeline import _points_part_span, write_raw_points
+
         seg_span = cfg.segment_points * raw_tier.unit_s
+        part_span = _points_part_span(cfg)
         ds_new = ds_new.materialize()  # delta-sized
         touched: set[str] = set()
+        touched_parts: set[int] = set()
         for b in ds_new.iter_batches(batch_size=65536,
                                      batch_format="pyarrow"):
-            segs = b["bucket"].to_numpy(zero_copy_only=False) // seg_span
+            bkt = b["bucket"].to_numpy(zero_copy_only=False)
+            segs = bkt // seg_span
+            touched_parts.update((bkt // part_span).tolist())
             touched.update(
                 f"{k}\x1f{s}" for k, s in
                 zip(b[cfg.series_key].to_pylist(), segs.tolist()))
+        part_dirs = sorted(raw_points_dir.glob("seg_part=*"))
+        if part_dirs:
+            touched_dirs = [d for d in part_dirs
+                            if int(d.name.split("=", 1)[1]) in touched_parts]
+        else:
+            # defensive: unexpected flat layout — treat everything as
+            # touched (full streaming rewrite, still no unbounded state)
+            touched_dirs = [raw_points_dir]
+        touched_bytes = sum(ckpt.dir_bytes(d) for d in touched_dirs)
         from ..state.broadcast import put_once
 
         fk = {"key_col": cfg.series_key, "seg_span": seg_span,
               "ref": put_once(pa.array(sorted(touched), type=pa.string()))}
-        old_touched = (_sized_read(str(raw_points_dir), part_cols, old_bytes)
-                       .map_batches(_filter_by_touched,
-                                    batch_format="pyarrow",
-                                    fn_kwargs=dict(fk, keep_touched=True))
-                       .map_batches(_points_to_partials,
-                                    batch_format="pyarrow",
-                                    fn_kwargs={"key_col": cfg.series_key}))
-        untouched = (_sized_read(str(raw_points_dir), part_cols + ["mean"],
-                                 old_bytes)
-                     .map_batches(_filter_by_touched, batch_format="pyarrow",
-                                  fn_kwargs=dict(fk, keep_touched=False)))
+        merge_in = ds_new
+        untouched = None
+        if touched_dirs:
+            tpaths = [str(d) for d in touched_dirs]
+            old_touched = (_sized_read(tpaths, part_cols, touched_bytes)
+                           .map_batches(_filter_by_touched,
+                                        batch_format="pyarrow",
+                                        fn_kwargs=dict(fk, keep_touched=True))
+                           .map_batches(_points_to_partials,
+                                        batch_format="pyarrow",
+                                        fn_kwargs={"key_col": cfg.series_key}))
+            # rows in touched partitions whose (key, segment) group the
+            # delta does NOT touch: stream through to the rewrite of
+            # their partition, bypassing the shuffle
+            untouched = (_sized_read(tpaths, part_cols + ["mean"],
+                                     touched_bytes)
+                         .map_batches(_filter_by_touched,
+                                      batch_format="pyarrow",
+                                      fn_kwargs=dict(fk, keep_touched=False)))
+            merge_in = old_touched.union(ds_new)
         merged = run_tier(
-            old_touched.union(ds_new), raw_tier.name, raw_tier.unit_s,
+            merge_in, raw_tier.name, raw_tier.unit_s,
             cfg.segment_points, {}, gap_fill=False,
             blobs_dir=str(raw_blobs_dir) if encode else None,
             key_col=cfg.series_key)
+        out = merged if untouched is None else untouched.union(merged)
         # touched blob files mutate in place while this executes:
         # invalidate the manifest FIRST so a crash anywhere falls back
         # to a full recompute instead of trusting a half-merged tier
         if mpath.exists():
             mpath.unlink()
-        untouched.union(merged).write_parquet(str(tmp_points))
-        shutil.rmtree(raw_points_dir)
-        os.replace(tmp_points, raw_points_dir)
+        write_raw_points(out, tmp_points, cfg)
+        # swap ONLY the partitions the rewrite produced (touched +
+        # delta-created); every other seg_part dir stays in place
+        for src in sorted(tmp_points.glob("seg_part=*")):
+            dst = raw_points_dir / src.name
+            if dst.exists():
+                shutil.rmtree(dst)
+            os.replace(src, dst)
+        shutil.rmtree(tmp_points)
+        if not part_dirs:
+            # flat-layout fallback rewrote everything: drop the old files
+            for f in list(raw_points_dir.iterdir()):
+                if f.is_file() and f.suffix == ".parquet":
+                    f.unlink()
+        # spans update is O(delta) too: merge the prior run's sidecar
+        # with the delta's per-key spans instead of rescanning all points
+        prior_spans = ckpt.load_spans(out_dir, prior_lineage)
+        if prior_spans is not None:
+            delta_spans = spans_from_partials(ds_new, key_col=cfg.series_key)
+            spans = dict(prior_spans)
+            for sk, (lo, hi) in delta_spans.items():
+                cur = spans.get(sk)
+                spans[sk] = ((min(cur[0], lo), max(cur[1], hi))
+                             if cur else (lo, hi))
     else:
         # whole-merge path (gap-filled first tier): appended data can
         # extend per-key spans, so gap rows re-synthesize over the
         # merged span table and the tier rewrites whole
+        from .rollup_pipeline import write_raw_points
+
         old_parts = _sized_read(str(raw_points_dir), part_cols,
                                 old_bytes).map_batches(
             _points_to_partials, batch_format="pyarrow",
@@ -293,7 +351,7 @@ def run_rollup_incremental(
             spans, gap_fill=True,
             blobs_dir=str(tmp_blobs) if encode else None,
             key_col=cfg.series_key)
-        points.write_parquet(str(tmp_points))
+        write_raw_points(points, tmp_points, cfg)
         if mpath.exists():
             mpath.unlink()
         shutil.rmtree(raw_points_dir)

@@ -77,7 +77,36 @@ def _cfg_dict(cfg: RollupConfig, encode: bool) -> dict:
         "gap_fill": cfg.gap_fill,
         "segment_points": cfg.segment_points,
         "encode": encode,
+        # points layout is part of lineage: outputs written under a
+        # different partition span must not be selectively merged into
+        "points_partition_segs": cfg.points_partition_segs,
     }
+
+
+def _points_part_span(cfg: RollupConfig) -> int:
+    """Seconds per raw-points partition dir (seg_part = bucket // this);
+    floor-div composition makes it equal (bucket // seg_span) //
+    points_partition_segs, i.e. whole segments never straddle parts."""
+    return cfg.segment_points * cfg.tiers[0].unit_s * cfg.points_partition_segs
+
+
+def _add_seg_part(batch, part_span: int):
+    """Append the hive partition column for the raw points write."""
+    import pyarrow as pa
+
+    seg_part = batch["bucket"].to_numpy(zero_copy_only=False) // part_span
+    return batch.append_column("seg_part", pa.array(seg_part, type=pa.int64()))
+
+
+def write_raw_points(points: "ray.data.Dataset", points_dir, cfg: RollupConfig) -> None:
+    """Raw-tier points sink: hive-partitioned by time range so the
+    selective incremental merge can leave untouched partition dirs in
+    place (pyarrow drops the partition column from the file contents,
+    so plain readers see the original schema)."""
+    span = _points_part_span(cfg)
+    points.map_batches(
+        _add_seg_part, batch_format="pyarrow", fn_kwargs={"part_span": span}
+    ).write_parquet(str(points_dir), partition_cols=["seg_part"])
 
 
 def _cluster_cpus() -> int:
@@ -343,7 +372,11 @@ def run_rollup(
         # at 12M docs, while the parquet read-back of a post-raw tier is
         # ~1 s — streaming write + re-read wins (and is the resume path
         # anyway).
-        points.write_parquet(str(points_dir))
+        if k == 0:
+            # raw tier: time-partitioned layout for O(touched) ingest
+            write_raw_points(points, points_dir, cfg)
+        else:
+            points.write_parquet(str(points_dir))
         if spans is None:
             # first (non-gap-filled) tier just wrote: derive spans from
             # its points parquet — a 2-column scan of the rolled output,

@@ -147,6 +147,59 @@ def test_ingest_matches_full_any_split(ray_session, splits):
                  ["source", "segment"])
 
 
+def test_selective_merge_leaves_untouched_partitions_on_disk(ray_session):
+    """The raw points parquet is hive-partitioned by time range; an
+    ingest must rewrite ONLY the seg_part dirs the delta touches. Pinned
+    at the filesystem level: files in untouched partitions keep their
+    inode and mtime (never rewritten), touched partitions change, and
+    the merged content still equals a full recompute bit-for-bit."""
+    import os
+
+    from feasts_ray.config import RollupConfig
+
+    # small segments/partitions so 6000 docs span several partition dirs
+    cfg = RollupConfig(segment_points=64, points_partition_segs=4)
+    src = pq.read_table(f"{ensure_token_table(N_DOCS)}/part-00000.parquet")
+    base = BASE / "parts"
+    shutil.rmtree(base, ignore_errors=True)
+    in_dir = base / "in"
+    _split_input(src, in_dir, [(0, SPLIT)])
+    out = str(base / "out")
+    run_rollup(str(in_dir), out, cfg=cfg)
+
+    def _stat_map():
+        return {
+            str(f): (os.stat(f).st_ino, os.stat(f).st_mtime_ns)
+            for f in Path(out, "tier=raw", "points").glob("seg_part=*/*")
+        }
+
+    before = _stat_map()
+    parts_before = {Path(p).parent.name for p in before}
+    assert len(parts_before) >= 4, "test needs several partition dirs"
+    _split_input(src, in_dir, [(0, SPLIT), (SPLIT, N_DOCS)])
+    m = run_rollup_incremental(str(in_dir), out, cfg=cfg)
+    assert m["raw"].get("incremental") is True
+    after = _stat_map()
+    preserved_parts = {
+        Path(p).parent.name
+        for p in before if p in after and after[p] == before[p]
+    }
+    rewritten = {Path(p).parent.name for p in before} - preserved_parts
+    # the delta lands in the LAST time range: early partitions must
+    # survive untouched, late ones must be rewritten
+    assert len(preserved_parts) >= 2, (preserved_parts, rewritten)
+    assert rewritten, "ingest rewrote nothing — delta not merged?"
+    assert preserved_parts.isdisjoint(rewritten)
+    # and the merged tier still equals a from-scratch run over both parts
+    out_full = str(base / "out_full")
+    run_rollup(str(in_dir), out_full, cfg=cfg)
+    for tier in ("raw", "1m"):
+        _assert_same(f"{out}/tier={tier}/points",
+                     f"{out_full}/tier={tier}/points", ["source", "bucket"])
+    _assert_same(f"{out}/tier=raw/blobs", f"{out_full}/tier=raw/blobs",
+                 ["source", "segment"])
+
+
 def test_mutated_input_falls_back_to_full(ray_session):
     """If a previously processed file disappears, the prior set is not a
     subset of the current one: incremental must run the FULL path (and
