@@ -502,6 +502,58 @@ l{i} AS MATERIALIZED (
 
 _MINHASH_DEDUP_DOCS = _make_cc_sql(_MINHASH_PAIRS, "documents", "doc_id")
 
+# Per-doc quality heuristics: every ratio is a fixed double expression
+# over exact integer counts, so the engine kernel
+# (feasts_ray/text/analysis.py::add_quality) matches bit-for-bit.
+_TEXT_QUALITY = """
+WITH c AS (
+  SELECT doc_id,
+    length(text) AS n_chars,
+    length(regexp_replace(text, '[^.,;:!?''"()\\[\\]{}-]', '', 'g')) AS n_punct,
+    length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+    CASE WHEN regexp_replace(text, '^\\s+|\\s+$', '', 'g') = '' THEN 0
+         ELSE len(regexp_split_to_array(
+             regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+')) END AS n_words,
+    len(list_filter(regexp_split_to_array(
+            regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+'),
+        x -> lower(x) IN ('the','and','of','to','a','in','is','it','that','for'))) AS n_stop
+  FROM documents),
+r AS (
+  SELECT doc_id,
+    CAST(n_punct AS DOUBLE) / CAST(GREATEST(n_chars, 1) AS DOUBLE) AS punct_ratio,
+    CAST(n_stop AS DOUBLE) / CAST(GREATEST(n_words, 1) AS DOUBLE) AS stopword_ratio,
+    CAST(n_alpha AS DOUBLE) / CAST(GREATEST(n_chars, 1) AS DOUBLE) AS alpha_ratio,
+    CAST(n_chars - (n_words - 1) AS DOUBLE) / CAST(GREATEST(n_words, 1) AS DOUBLE)
+      AS mean_word_len,
+    n_chars FROM c)
+SELECT doc_id, punct_ratio, stopword_ratio, alpha_ratio, mean_word_len,
+  0.4 * LEAST(CAST(n_chars AS DOUBLE) / 500.0, 1.0)
+  + 0.2 * (1.0 - LEAST(punct_ratio * 5.0, 1.0))
+  + 0.2 * LEAST(stopword_ratio * 4.0, 1.0)
+  + 0.2 * alpha_ratio AS quality_score
+FROM r"""
+
+# Quality-canonical dedup: per near-dup cluster keep the best-quality
+# doc (min doc_id tie-break — exact-dup texts tie exactly on score).
+# Both inputs are bit-exact (cluster labels: integer min-propagation;
+# quality_score: fixed double tree over exact ints), and DuckDB's
+# ORDER BY over identical doubles sorts identically, so the composite
+# matches the engine's per-cluster argmax bit-for-bit
+# (feasts_ray/dedup/keep_best.py).
+_DEDUP_KEEP_BEST = (
+    "WITH cc AS MATERIALIZED (" + _MINHASH_DEDUP_DOCS + "),\n"
+    "q AS MATERIALIZED (SELECT doc_id, quality_score FROM ("
+    + _TEXT_QUALITY + ")),\n"
+    """j AS (SELECT cc.cluster_id, cc.doc_id, q.quality_score
+      FROM cc JOIN q ON q.doc_id = cc.doc_id),
+rnk AS (SELECT cluster_id, doc_id, quality_score,
+  ROW_NUMBER() OVER (PARTITION BY cluster_id
+                     ORDER BY quality_score DESC, doc_id ASC) AS rn,
+  COUNT(*) OVER (PARTITION BY cluster_id) AS n_members FROM j)
+SELECT cluster_id, doc_id AS keep_id, quality_score AS keep_quality,
+  CAST(n_members AS BIGINT) AS n_members
+FROM rnk WHERE rn = 1""")
+
 # Semantic dedup over embeddings: the EXACT cosine pair set (identical to
 # the embedding_dup_pairs_exact oracle, recall 1) -> the same unrolled
 # min-label propagation. 10 rounds >= any min-to-member distance in this
@@ -767,33 +819,8 @@ JOIN series p ON p.event_type = s.event_type AND p.bucket = s.bucket - k.lag * 3
             "THEN 0 ELSE len(regexp_split_to_array("
             "regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+')) END AS BIGINT) "
             "AS n_words, CAST(length(text) AS BIGINT) AS n_chars_calc FROM documents"),
-        "text_quality": """
-WITH c AS (
-  SELECT doc_id,
-    length(text) AS n_chars,
-    length(regexp_replace(text, '[^.,;:!?''"()\\[\\]{}-]', '', 'g')) AS n_punct,
-    length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
-    CASE WHEN regexp_replace(text, '^\\s+|\\s+$', '', 'g') = '' THEN 0
-         ELSE len(regexp_split_to_array(
-             regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+')) END AS n_words,
-    len(list_filter(regexp_split_to_array(
-            regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+'),
-        x -> lower(x) IN ('the','and','of','to','a','in','is','it','that','for'))) AS n_stop
-  FROM documents),
-r AS (
-  SELECT doc_id,
-    CAST(n_punct AS DOUBLE) / CAST(GREATEST(n_chars, 1) AS DOUBLE) AS punct_ratio,
-    CAST(n_stop AS DOUBLE) / CAST(GREATEST(n_words, 1) AS DOUBLE) AS stopword_ratio,
-    CAST(n_alpha AS DOUBLE) / CAST(GREATEST(n_chars, 1) AS DOUBLE) AS alpha_ratio,
-    CAST(n_chars - (n_words - 1) AS DOUBLE) / CAST(GREATEST(n_words, 1) AS DOUBLE)
-      AS mean_word_len,
-    n_chars FROM c)
-SELECT doc_id, punct_ratio, stopword_ratio, alpha_ratio, mean_word_len,
-  0.4 * LEAST(CAST(n_chars AS DOUBLE) / 500.0, 1.0)
-  + 0.2 * (1.0 - LEAST(punct_ratio * 5.0, 1.0))
-  + 0.2 * LEAST(stopword_ratio * 4.0, 1.0)
-  + 0.2 * alpha_ratio AS quality_score
-FROM r""",
+        "text_quality": _TEXT_QUALITY,
+        "dedup_keep_best": _DEDUP_KEEP_BEST,
         # exact all-pairs cosine baseline: list_cosine_similarity over
         # FLOAT[] is a float32 sequential fold of dot/(|x| * |y|), which
         # the kernel mirrors with float32 cumsum-last folds

@@ -8,6 +8,7 @@ shuffle keyed by the (band/bucket) hash.
 
 from .cluster import connected_components, minhash_dedup_docs
 from .exact import dedup_exact, exact_groups
+from .keep_best import dedup_keep_best
 from .minhash import minhash_dedup_pairs, ngram_jaccard_pairs_lsh
 from .ngram import ngram_jaccard_pairs
 from .simhash import simhash_dedup_pairs
@@ -17,6 +18,7 @@ from .embedding import (embedding_dedup_docs, embedding_dup_pairs,
 __all__ = [
     "connected_components",
     "dedup_exact",
+    "dedup_keep_best",
     "exact_groups",
     "minhash_dedup_docs",
     "minhash_dedup_pairs",

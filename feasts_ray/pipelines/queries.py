@@ -346,6 +346,17 @@ def q_minhash_dedup_docs(sf_dir: str):
     return minhash_dedup_docs(_documents(sf_dir), threshold=0.35)
 
 
+def q_dedup_keep_best(sf_dir: str):
+    """Quality-canonical dedup: one representative per near-dup cluster
+    (argmax quality_score, min doc_id tie-break) — the curation policy
+    'keep the best copy'. Joins the bit-exact cluster assignment with
+    the bit-exact quality scores, so the composite is DuckDB-bit-exact
+    (window-function oracle in __ray_entry__)."""
+    from feasts_ray.dedup import dedup_keep_best
+
+    return dedup_keep_best(_documents(sf_dir), threshold=0.35)
+
+
 def q_simhash_pairs(sf_dir: str):
     """Hamming<=4 near-dup pairs; bit-exact vs a brute-force DuckDB
     Hamming join over SQL-recomputed md5 simhashes. max_bucket must
@@ -963,6 +974,7 @@ ALL_QUERIES = {
     # checked only the first 50 of 54 registered queries, skipping
     # exactly the tail of this dict (x11_1h's SQL oracle has never
     # produced a hard driver signal — VERDICT r03 item 1).
+    "dedup_keep_best": q_dedup_keep_best,
     "rollup_1m_incremental": q_rollup_1m_incremental,
     "embedding_dedup_docs": q_embedding_dedup_docs,
     "ngram_jaccard_dup_pairs": q_ngram_jaccard_dup_pairs,
