@@ -86,8 +86,8 @@ def run_queries() -> dict[str, float]:
     names = ["rollup_1m", "rollup_1m_incremental", "rollup_1h_cascade",
              "gapfill_1h", "acf_1h_counts",
              "rollup_1h_blobs_roundtrip", "lineitem_daily", "dedup_exact",
-             "minhash_dup_pairs", "simhash_dup_pairs", "ann_topk",
-             "features_1h", "stl_1h"]
+             "minhash_dup_pairs", "simhash_dup_pairs", "dedup_keep_best",
+             "ann_topk", "features_1h", "stl_1h"]
     out: dict[str, float] = {}
     for name in names:
         t0 = time.perf_counter()

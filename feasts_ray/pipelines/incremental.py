@@ -282,7 +282,13 @@ def run_rollup_incremental(
         merge_in = ds_new
         untouched = None
         if touched_dirs:
-            tpaths = [str(d) for d in touched_dirs]
+            # expand to explicit parquet files: Ray 2.49 read_parquet
+            # expands ONE directory path, but a LIST with >= 2
+            # directories raises "Cannot open for reading: ... is a
+            # directory" — a single-touched-partition ingest worked by
+            # luck. The list is bounded by the touched partitions.
+            tpaths = [str(f) for d in touched_dirs
+                      for f in sorted(Path(d).rglob("*.parquet"))]
             old_touched = (_sized_read(tpaths, part_cols, touched_bytes)
                            .map_batches(_filter_by_touched,
                                         batch_format="pyarrow",

@@ -109,6 +109,61 @@ def write_raw_points(points: "ray.data.Dataset", points_dir, cfg: RollupConfig) 
     ).write_parquet(str(points_dir), partition_cols=["seg_part"])
 
 
+def _range_part_dirs(points_dir: Path, lo: int, hi: int, span: int) -> list[str]:
+    """seg_part dirs intersecting [lo, hi) — the partition-prune set."""
+    p_lo, p_hi = lo // span, (hi - 1) // span
+    return [str(d) for d in sorted(points_dir.glob("seg_part=*"))
+            if p_lo <= int(d.name.split("=", 1)[1]) <= p_hi]
+
+
+def read_points_range(
+    out_dir: str,
+    tier_name: str,
+    lo: int,
+    hi: int,
+    cfg: RollupConfig | None = None,
+    columns: list[str] | None = None,
+) -> "ray.data.Dataset":
+    """Rolled points of one tier with ``lo <= bucket < hi``.
+
+    The time-partitioned raw layout makes range scans cheap at both
+    ends: whole seg_part dirs outside the range are pruned before any
+    file is opened, and the residual predicate pushes into parquet
+    row-group statistics. A dashboard query for one day over a
+    10^12-sequence archive therefore opens O(day) partitions, not the
+    whole tier. Coarser tiers (single flat dir, tiny next to raw) rely
+    on row-group stats alone.
+    """
+    import pyarrow.dataset as pads
+
+    cfg = cfg or RollupConfig()
+    points_dir, _ = _tier_dirs(out_dir, tier_name)
+    if columns is None:
+        # pin to the FILE schema: Ray's hive inference would otherwise
+        # append path-derived columns (tier=..., seg_part=...) on reads
+        # without an explicit projection
+        columns = list(pads.dataset(str(points_dir)).schema.names)
+    paths: list[str] | str = str(points_dir)
+    if tier_name == cfg.tiers[0].name:
+        pruned = _range_part_dirs(points_dir, lo, hi, _points_part_span(cfg))
+        if not pruned:
+            schema = pads.dataset(str(points_dir)).schema
+            import pyarrow as pa
+
+            empty = pa.table({f.name: pa.array([], type=f.type)
+                              for f in schema})
+            return ray.data.from_arrow(
+                empty.select(columns) if columns else empty)
+        # expand to files: Ray 2.49 read_parquet rejects a LIST of
+        # directories (single dir paths are expanded, lists are not)
+        paths = [str(f) for d in pruned
+                 for f in sorted(Path(d).glob("*.parquet"))]
+    import pyarrow.compute as pc
+
+    expr = (pc.field("bucket") >= lo) & (pc.field("bucket") < hi)
+    return ray.data.read_parquet(paths, columns=columns, filter=expr)
+
+
 def _cluster_cpus() -> int:
     return (int(ray.cluster_resources().get("CPU", 8))
             if ray.is_initialized() else 8)

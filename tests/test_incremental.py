@@ -163,7 +163,11 @@ def test_selective_merge_leaves_untouched_partitions_on_disk(ray_session):
     base = BASE / "parts"
     shutil.rmtree(base, ignore_errors=True)
     in_dir = base / "in"
-    _split_input(src, in_dir, [(0, SPLIT)])
+    # initial build covers EARLY and LATE time; the delta is the MIDDLE
+    # slice so the ingest must touch SEVERAL existing partition dirs
+    # (a boundary-only delta touches one, which hid a Ray read_parquet
+    # limitation: a list of >= 2 directory paths fails to expand)
+    _split_input(src, in_dir, [(0, 2000), (4000, N_DOCS)])
     out = str(base / "out")
     run_rollup(str(in_dir), out, cfg=cfg)
 
@@ -176,7 +180,7 @@ def test_selective_merge_leaves_untouched_partitions_on_disk(ray_session):
     before = _stat_map()
     parts_before = {Path(p).parent.name for p in before}
     assert len(parts_before) >= 4, "test needs several partition dirs"
-    _split_input(src, in_dir, [(0, SPLIT), (SPLIT, N_DOCS)])
+    _split_input(src, in_dir, [(0, 2000), (4000, N_DOCS), (2000, 4000)])
     m = run_rollup_incremental(str(in_dir), out, cfg=cfg)
     assert m["raw"].get("incremental") is True
     after = _stat_map()
@@ -185,10 +189,10 @@ def test_selective_merge_leaves_untouched_partitions_on_disk(ray_session):
         for p in before if p in after and after[p] == before[p]
     }
     rewritten = {Path(p).parent.name for p in before} - preserved_parts
-    # the delta lands in the LAST time range: early partitions must
-    # survive untouched, late ones must be rewritten
+    # middle-time delta: edge partitions survive untouched, the several
+    # middle ones rewrite (>= 2 pins the multi-directory read path)
     assert len(preserved_parts) >= 2, (preserved_parts, rewritten)
-    assert rewritten, "ingest rewrote nothing — delta not merged?"
+    assert len(rewritten) >= 2, (preserved_parts, rewritten)
     assert preserved_parts.isdisjoint(rewritten)
     # and the merged tier still equals a from-scratch run over both parts
     out_full = str(base / "out_full")

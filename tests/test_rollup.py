@@ -201,3 +201,43 @@ def test_read_token_table_coalesces_blocks():
     got = read_token_table(path).materialize().num_blocks()
     # tiny input: bytes/128MB == 0, so the floor (one block per CPU) rules
     assert got <= cpus
+
+
+def test_read_points_range_prunes_partitions(tmp_path, ray_session):
+    """Time-range reads over the partitioned raw tier: whole seg_part
+    dirs outside [lo, hi) are pruned before any file opens, and the
+    result equals a full scan filtered on bucket."""
+    import pyarrow.compute as pc
+
+    from feasts_ray.pipelines.rollup_pipeline import (_points_part_span,
+                                                      _range_part_dirs,
+                                                      read_points_range)
+    from feasts_ray.timebase import T0
+
+    cfg = RollupConfig(segment_points=64, points_partition_segs=4)
+    path = ensure_token_table(6000)
+    out = str(tmp_path / "out")
+    run_rollup(path, out, cfg=cfg, encode=False)
+    from pathlib import Path
+
+    points_dir = Path(out, "tier=raw", "points")
+    span = _points_part_span(cfg)  # 256 s per partition dir
+    n_parts = len(list(points_dir.glob("seg_part=*")))
+    assert n_parts >= 4
+    lo, hi = T0 + 300, T0 + 700  # interior window spanning ~2 partitions
+    pruned = _range_part_dirs(points_dir, lo, hi, span)
+    assert 0 < len(pruned) < n_parts, (len(pruned), n_parts)
+    got = (read_points_range(out, "raw", lo, hi, cfg=cfg)
+           .to_pandas().sort_values(["source", "bucket"], ignore_index=True))
+    full = pads.dataset(str(points_dir)).to_table().filter(
+        (pc.field("bucket") >= lo) & (pc.field("bucket") < hi)
+    ).to_pandas().sort_values(["source", "bucket"], ignore_index=True)
+    pd.testing.assert_frame_equal(got[sorted(got.columns)],
+                                  full[sorted(full.columns)], check_exact=True)
+    assert len(got) > 0
+    # coarser (flat-dir) tier path and the empty-range schema contract
+    got_1m = read_points_range(out, "1m", lo, hi, cfg=cfg).to_pandas()
+    assert (got_1m["bucket"] >= lo).all() and (got_1m["bucket"] < hi).all()
+    empty = read_points_range(out, "raw", T0 - 10_000, T0 - 5_000, cfg=cfg)
+    assert empty.count() == 0
+    assert set(empty.schema().names) >= {"source", "bucket", "count"}
