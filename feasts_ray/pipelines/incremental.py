@@ -8,36 +8,45 @@ the same bucketize + partial combiner, and the delta-touched points
 re-enter the identical tier kernel. Integer merges are
 order-independent, so the merged raw tier is BIT-IDENTICAL to a full
 recompute over the whole input (pinned by tests/test_incremental.py).
-For the (default) non-gap-filled first tier the merge is SELECTIVE:
-only the (key, segment) groups the delta touches are shuffled and
-re-encoded — untouched points stream through and untouched
-partition-addressed blob files stay in place — so the per-ingest
-shuffle is O(touched points + delta partials), independent of both the
-old corpus AND the total rolled-point count. The raw points parquet is
-hive-partitioned by time range (seg_part dirs), so the point-file
-rewrite and the read feeding it are O(touched partitions) as well:
-untouched partition dirs are never opened, and the per-key span table
-updates from the prior run's sidecar plus the delta — no full-corpus
-pass of any kind remains in the ingest.
-Cascade tiers re-derive from the merged raw points (tier-sized, tiny
-next to the input); per-doc stages (token features, verified token
-archive) run over the NEW files only and append under an
-``ingest-<lineage>`` subdirectory — the per-doc kernels are
-batch-shape-independent, so appended rows are bit-identical to the rows
-a full run would produce.
+For the (default) non-gap-filled first tier the merge is SELECTIVE,
+and so is EVERY cascade tier: only the (key, segment) groups the delta
+touches are shuffled and re-encoded — untouched points stream through
+and untouched partition-addressed blob files stay in place. Every
+tier's points parquet is hive-partitioned by time range (seg_part
+dirs), so the point-file rewrite and the read feeding it are
+O(touched partitions) as well: untouched partition dirs are never
+opened, and the per-key span table updates from the prior run's
+sidecar plus the delta.
 
-Scale shape of one ingest: the input scan covers only the new files and
-the one wide shuffle moves O(existing rolled points + new partials)
-rows. At 10^12 sequences with daily ingest batches this is the
-difference between rescanning the full corpus and scanning one day's
-slice — the "continuous aggregate" contract of the north star.
+Cascade merges are exact because integer aggregation is associative:
+old-tier-points-as-partials + the delta's re-bucketed raw partials ==
+re-derivation from the merged raw tier, bit-for-bit. Gap-filled tiers
+additionally touch the (key, segment) groups whose dense domain
+changes — the segments between a key's old and new span bounds,
+inclusive of the old boundary segment whose domain clip moves — and
+seed them with count-0 partials so pure-gap groups still form
+(``_extension_groups`` / ``_seed_rows``).
+
+Per-doc stages (token features, verified token archive) run over the
+NEW files only and append under an ``ingest-<lineage>`` subdirectory —
+the per-doc kernels are batch-shape-independent, so appended rows are
+bit-identical to the rows a full run would produce.
+
+Scale shape of one ingest: the input scan covers only the new files,
+each tier's shuffle moves O(touched points + delta) rows, and NO stage
+scans or rewrites anything proportional to the old corpus or the total
+rolled-point count. At 10^12 sequences with daily ingest batches this
+is the difference between rescanning the full corpus and scanning one
+day's slice — the "continuous aggregate" contract of the north star.
+Measured (BASELINE.md): ingesting a 1M-doc delta costs the same wall
+into a 95M-doc corpus as into a 23M-doc one.
 
 Crash safety: merged tier outputs are built in sibling ``*.ingest-tmp``
-dirs, the raw manifest is invalidated, then the dirs swap in and the
-manifest/spans are rewritten under the NEW lineage (file-inventory
-hash). A crash anywhere in between leaves no lineage-valid raw
-checkpoint, so the next run falls back to a full recompute — never a
-silent partial merge. Inputs are append-only and never touched.
+dirs, the tier's manifest is invalidated, then the touched partition
+dirs swap in and the manifest/spans are rewritten under the NEW lineage
+(file-inventory hash). A crash anywhere in between leaves no
+lineage-valid checkpoint for that tier, so the next run re-derives it —
+never a silent partial merge. Inputs are append-only and never touched.
 """
 
 from __future__ import annotations
@@ -116,6 +125,153 @@ def _sized_read(paths: list[str] | str, columns: list[str],
     nblk = max(_cluster_cpus(), nbytes // (128 << 20))
     return ray.data.read_parquet(paths, columns=columns,
                                  override_num_blocks=nblk)
+
+
+def _collect_groups(ds: "ray.data.Dataset", key_col: str,
+                    seg_span: int) -> set[str]:
+    """(key, segment) group ids a delta touches at one tier. Driver-side
+    but bounded by the delta (one ~20 B id per touched group)."""
+    groups: set[str] = set()
+    for b in ds.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        segs = b["bucket"].to_numpy(zero_copy_only=False) // seg_span
+        groups.update(f"{k}\x1f{s}" for k, s in
+                      zip(b[key_col].to_pylist(), segs.tolist()))
+    return groups
+
+
+def _extension_groups(prior_spans: dict, new_spans: dict,
+                      seg_span: int) -> set[str]:
+    """Gap-filled tiers: groups whose dense domain changes because a
+    key's span extended — the segments between the old and new bounds,
+    INCLUSIVE of the old boundary segment (its domain clip moves, so its
+    gap rows and blob must re-emit even with no delta point in it).
+    Bounded by #keys x (delta timespan / seg_span)."""
+    out: set[str] = set()
+    for k, (lo, hi) in new_spans.items():
+        old = prior_spans.get(k)
+        if old is None:
+            segs = range(lo // seg_span, hi // seg_span + 1)
+        else:
+            segs = []
+            if lo < old[0]:
+                segs = list(range(lo // seg_span, old[0] // seg_span + 1))
+            if hi > old[1]:
+                segs += list(range(old[1] // seg_span, hi // seg_span + 1))
+        out.update(f"{k}\x1f{s}" for s in segs)
+    return out
+
+
+def _seed_rows(touched: set[str], spans: dict, unit_s: int, seg_span: int,
+               key_col: str) -> pa.Table:
+    """One count-0 seed partial per touched group so pure-gap groups
+    still form (mirrors tier_kernel.skeleton_rows: bucket =
+    max(seg * seg_span, unit-floored span lo); a count-0 partial is a
+    no-op in the kernel merge, so seeding data-bearing groups too is
+    harmless and matches the full path's all-groups skeleton)."""
+    keys, buckets = [], []
+    for g in sorted(touched):
+        k, s = g.rsplit("\x1f", 1)
+        seg = int(s)
+        lo = (spans[k][0] // unit_s) * unit_s
+        keys.append(k)
+        buckets.append(max(seg * seg_span, lo))
+    n = len(keys)
+    return pa.table({
+        key_col: pa.array(keys, type=pa.string()),
+        "bucket": pa.array(buckets, type=pa.int64()),
+        "count": pa.array([0] * n, type=pa.int64()),
+        "sum": pa.array([0] * n, type=pa.int64()),
+        "min": pa.nulls(n, type=pa.int64()),
+        "max": pa.nulls(n, type=pa.int64()),
+    })
+
+
+def _selective_tier_merge(
+    points_dir: Path,
+    blobs_dir: Path,
+    tier,
+    cfg: RollupConfig,
+    delta_partials: "ray.data.Dataset",
+    touched: set[str],
+    *,
+    encode: bool,
+    gap_fill: bool,
+    spans: dict,
+    seeds: pa.Table | None = None,
+) -> bool:
+    """Merge delta partials into one tier's partitioned points + blobs,
+    rewriting only the touched (key, segment) groups and the seg_part
+    dirs that contain them. Returns False (nothing mutated) when the
+    tier's on-disk layout is not partitioned — the caller falls back to
+    a full re-derivation of that tier."""
+    from .rollup_pipeline import _points_part_span, write_tier_points
+
+    seg_span = cfg.segment_points * tier.unit_s
+    part_dirs = sorted(points_dir.glob("seg_part=*"))
+    if not part_dirs:
+        return False
+    pps = cfg.points_partition_segs
+    touched_parts = {int(g.rsplit("\x1f", 1)[1]) // pps for g in touched}
+    touched_dirs = [d for d in part_dirs
+                    if int(d.name.split("=", 1)[1]) in touched_parts]
+    touched_bytes = sum(ckpt.dir_bytes(d) for d in touched_dirs)
+    from ..state.broadcast import put_once
+
+    fk = {"key_col": cfg.series_key, "seg_span": seg_span,
+          "ref": put_once(pa.array(sorted(touched), type=pa.string()))}
+    part_cols = [cfg.series_key, "bucket", "count", "sum", "min", "max"]
+    merge_in = delta_partials
+    if seeds is not None and len(seeds):
+        merge_in = merge_in.union(ray.data.from_arrow(seeds))
+    untouched = None
+    if touched_dirs:
+        # expand to explicit parquet files: Ray 2.49 read_parquet
+        # expands ONE directory path, but a LIST with >= 2 directories
+        # raises "Cannot open for reading: ... is a directory". The
+        # list is bounded by the touched partitions.
+        tpaths = [str(f) for d in touched_dirs
+                  for f in sorted(Path(d).rglob("*.parquet"))]
+        old_touched = (_sized_read(tpaths, part_cols, touched_bytes)
+                       .map_batches(_filter_by_touched,
+                                    batch_format="pyarrow",
+                                    fn_kwargs=dict(fk, keep_touched=True))
+                       .map_batches(_points_to_partials,
+                                    batch_format="pyarrow",
+                                    fn_kwargs={"key_col": cfg.series_key}))
+        # rows in touched partitions whose (key, segment) group the
+        # delta does NOT touch: stream through to the rewrite of their
+        # partition, bypassing the shuffle
+        untouched = (_sized_read(tpaths, part_cols + ["mean"],
+                                 touched_bytes)
+                     .map_batches(_filter_by_touched,
+                                  batch_format="pyarrow",
+                                  fn_kwargs=dict(fk, keep_touched=False)))
+        merge_in = old_touched.union(merge_in)
+    merged = run_tier(
+        merge_in, tier.name, tier.unit_s, cfg.segment_points,
+        spans if gap_fill else {}, gap_fill=gap_fill,
+        blobs_dir=str(blobs_dir) if encode else None,
+        key_col=cfg.series_key, skeleton=False)
+    out = merged if untouched is None else untouched.union(merged)
+    # touched blob files mutate in place while this executes: invalidate
+    # the manifest FIRST so a crash anywhere falls back to a full
+    # recompute of the tier instead of trusting a half-merged one
+    mpath = ckpt.manifest_path(points_dir.parent)
+    if mpath.exists():
+        mpath.unlink()
+    tmp_points = points_dir.parent / "points.ingest-tmp"
+    if tmp_points.exists():
+        shutil.rmtree(tmp_points)
+    write_tier_points(out, tmp_points, cfg, tier.unit_s)
+    # swap ONLY the partitions the rewrite produced (touched +
+    # delta-created); every other seg_part dir stays in place
+    for src in sorted(tmp_points.glob("seg_part=*")):
+        dst = points_dir / src.name
+        if dst.exists():
+            shutil.rmtree(dst)
+        os.replace(src, dst)
+    shutil.rmtree(tmp_points)
+    return True
 
 
 def _features_delta(new_paths: list[str], out_dir: str, lineage: str,
@@ -238,98 +394,25 @@ def run_rollup_incremental(
             shutil.rmtree(d)
     spans = None
     mpath = ckpt.manifest_path(raw_points_dir.parent)
+    prior_spans = None
     if not tier_gap_fill:
         # SELECTIVE merge: only the (key, segment) groups the delta
         # touches re-enter the kernel; untouched points stream straight
-        # through to the output, and untouched BLOB files stay in place
-        # (they are partition-addressed by (key, segment), and the
-        # kernel's atomic per-file rename overwrites exactly the touched
-        # ones). The points parquet is hive-partitioned by time range
-        # (seg_part dirs, see rollup_pipeline.write_raw_points), so the
-        # point-file rewrite is ALSO O(touched): only partition dirs the
-        # delta touches are read, rewritten and swapped — untouched
-        # partition dirs never leave the disk. Per-ingest cost is
-        # therefore O(touched partitions + delta), independent of both
-        # the old corpus and the total rolled-point count.
-        from .rollup_pipeline import _points_part_span, write_raw_points
-
-        seg_span = cfg.segment_points * raw_tier.unit_s
-        part_span = _points_part_span(cfg)
+        # through to the rewrite of THEIR partition, untouched BLOB
+        # files stay in place (partition-addressed, atomic per-file
+        # rename overwrites exactly the touched ones), and untouched
+        # points partition dirs never leave the disk. Per-ingest cost
+        # is O(touched partitions + delta) — independent of both the
+        # old corpus and the total rolled-point count.
         ds_new = ds_new.materialize()  # delta-sized
-        touched: set[str] = set()
-        touched_parts: set[int] = set()
-        for b in ds_new.iter_batches(batch_size=65536,
-                                     batch_format="pyarrow"):
-            bkt = b["bucket"].to_numpy(zero_copy_only=False)
-            segs = bkt // seg_span
-            touched_parts.update((bkt // part_span).tolist())
-            touched.update(
-                f"{k}\x1f{s}" for k, s in
-                zip(b[cfg.series_key].to_pylist(), segs.tolist()))
-        part_dirs = sorted(raw_points_dir.glob("seg_part=*"))
-        if part_dirs:
-            touched_dirs = [d for d in part_dirs
-                            if int(d.name.split("=", 1)[1]) in touched_parts]
-        else:
-            # defensive: unexpected flat layout — treat everything as
-            # touched (full streaming rewrite, still no unbounded state)
-            touched_dirs = [raw_points_dir]
-        touched_bytes = sum(ckpt.dir_bytes(d) for d in touched_dirs)
-        from ..state.broadcast import put_once
-
-        fk = {"key_col": cfg.series_key, "seg_span": seg_span,
-              "ref": put_once(pa.array(sorted(touched), type=pa.string()))}
-        merge_in = ds_new
-        untouched = None
-        if touched_dirs:
-            # expand to explicit parquet files: Ray 2.49 read_parquet
-            # expands ONE directory path, but a LIST with >= 2
-            # directories raises "Cannot open for reading: ... is a
-            # directory" — a single-touched-partition ingest worked by
-            # luck. The list is bounded by the touched partitions.
-            tpaths = [str(f) for d in touched_dirs
-                      for f in sorted(Path(d).rglob("*.parquet"))]
-            old_touched = (_sized_read(tpaths, part_cols, touched_bytes)
-                           .map_batches(_filter_by_touched,
-                                        batch_format="pyarrow",
-                                        fn_kwargs=dict(fk, keep_touched=True))
-                           .map_batches(_points_to_partials,
-                                        batch_format="pyarrow",
-                                        fn_kwargs={"key_col": cfg.series_key}))
-            # rows in touched partitions whose (key, segment) group the
-            # delta does NOT touch: stream through to the rewrite of
-            # their partition, bypassing the shuffle
-            untouched = (_sized_read(tpaths, part_cols + ["mean"],
-                                     touched_bytes)
-                         .map_batches(_filter_by_touched,
-                                      batch_format="pyarrow",
-                                      fn_kwargs=dict(fk, keep_touched=False)))
-            merge_in = old_touched.union(ds_new)
-        merged = run_tier(
-            merge_in, raw_tier.name, raw_tier.unit_s,
-            cfg.segment_points, {}, gap_fill=False,
-            blobs_dir=str(raw_blobs_dir) if encode else None,
-            key_col=cfg.series_key)
-        out = merged if untouched is None else untouched.union(merged)
-        # touched blob files mutate in place while this executes:
-        # invalidate the manifest FIRST so a crash anywhere falls back
-        # to a full recompute instead of trusting a half-merged tier
-        if mpath.exists():
-            mpath.unlink()
-        write_raw_points(out, tmp_points, cfg)
-        # swap ONLY the partitions the rewrite produced (touched +
-        # delta-created); every other seg_part dir stays in place
-        for src in sorted(tmp_points.glob("seg_part=*")):
-            dst = raw_points_dir / src.name
-            if dst.exists():
-                shutil.rmtree(dst)
-            os.replace(src, dst)
-        shutil.rmtree(tmp_points)
-        if not part_dirs:
-            # flat-layout fallback rewrote everything: drop the old files
-            for f in list(raw_points_dir.iterdir()):
-                if f.is_file() and f.suffix == ".parquet":
-                    f.unlink()
+        seg_span = cfg.segment_points * raw_tier.unit_s
+        touched = _collect_groups(ds_new, cfg.series_key, seg_span)
+        if not _selective_tier_merge(raw_points_dir, raw_blobs_dir,
+                                     raw_tier, cfg, ds_new, touched,
+                                     encode=encode, gap_fill=False,
+                                     spans={}):
+            # legacy flat layout (nothing mutated yet): full recompute
+            return _full()
         # spans update is O(delta) too: merge the prior run's sidecar
         # with the delta's per-key spans instead of rescanning all points
         prior_spans = ckpt.load_spans(out_dir, prior_lineage)
@@ -344,7 +427,7 @@ def run_rollup_incremental(
         # whole-merge path (gap-filled first tier): appended data can
         # extend per-key spans, so gap rows re-synthesize over the
         # merged span table and the tier rewrites whole
-        from .rollup_pipeline import write_raw_points
+        from .rollup_pipeline import write_tier_points
 
         old_parts = _sized_read(str(raw_points_dir), part_cols,
                                 old_bytes).map_batches(
@@ -357,7 +440,7 @@ def run_rollup_incremental(
             spans, gap_fill=True,
             blobs_dir=str(tmp_blobs) if encode else None,
             key_col=cfg.series_key)
-        write_raw_points(points, tmp_points, cfg)
+        write_tier_points(points, tmp_points, cfg, raw_tier.unit_s)
         if mpath.exists():
             mpath.unlink()
         shutil.rmtree(raw_points_dir)
@@ -381,6 +464,51 @@ def run_rollup_incremental(
         "watermark": watermark, "wall_s": time.perf_counter() - t0,
         "input": input_path, "n_sources": len(spans),
         "incremental": True, "new_files": len(new_paths)})
+
+    # ---- cascade tiers merge selectively too: the delta's raw partials
+    # re-bucket to each tier (integer aggregation is associative, so
+    # old-tier-points + delta-partials == re-derivation from the merged
+    # raw tier bit-for-bit); gap domains change only where a key's span
+    # extended, and exactly those (key, segment) groups join the touched
+    # set with count-0 seeds. Any tier that cannot merge selectively
+    # (missing prior checkpoint, unpartitioned layout, unknown prior
+    # spans) is left lineage-stale and re-derives in the final
+    # run_rollup pass below — never a silent partial merge.
+    if not tier_gap_fill and prior_spans is not None:
+        from ..stages.rollup import cascade_batch
+
+        prev_points_dir = raw_points_dir
+        for tier in cfg.tiers[1:]:
+            p_dir, b_dir = _tier_dirs(out_dir, tier.name)
+            if not ckpt.is_complete(p_dir.parent, prior_lineage):
+                break
+            t0k = time.perf_counter()
+            seg_span_k = cfg.segment_points * tier.unit_s
+            delta_k = ds_new.map_batches(
+                cascade_batch, batch_format="pyarrow",
+                fn_kwargs={"unit_s": tier.unit_s}).materialize()
+            touched_k = _collect_groups(delta_k, cfg.series_key, seg_span_k)
+            tier_gap = cfg.gap_fill and tier.gap_fill
+            seeds = None
+            if tier_gap:
+                touched_k |= _extension_groups(prior_spans, spans, seg_span_k)
+                seeds = _seed_rows(touched_k, spans, tier.unit_s, seg_span_k,
+                                   cfg.series_key)
+            if not _selective_tier_merge(p_dir, b_dir, tier, cfg, delta_k,
+                                         touched_k, encode=encode,
+                                         gap_fill=tier_gap, spans=spans,
+                                         seeds=seeds):
+                break
+            rows_k, wm_k = _points_stats(p_dir)
+            ckpt.save_manifest(p_dir.parent, {
+                "tier": tier.name, "lineage": new_lineage,
+                "rows_in": _input_rows(str(prev_points_dir)),
+                "rows_out": rows_k, "points": rows_k,
+                "bytes_blobs": ckpt.dir_bytes(b_dir) if encode else 0,
+                "watermark": wm_k, "wall_s": time.perf_counter() - t0k,
+                "input": str(prev_points_dir), "n_sources": len(spans),
+                "incremental": True})
+            prev_points_dir = p_dir
 
     # ---- per-doc stages: delta over the new files only
     if token_features:

@@ -83,27 +83,28 @@ def _cfg_dict(cfg: RollupConfig, encode: bool) -> dict:
     }
 
 
-def _points_part_span(cfg: RollupConfig) -> int:
-    """Seconds per raw-points partition dir (seg_part = bucket // this);
+def _points_part_span(cfg: RollupConfig, unit_s: int) -> int:
+    """Seconds per points partition dir (seg_part = bucket // this);
     floor-div composition makes it equal (bucket // seg_span) //
     points_partition_segs, i.e. whole segments never straddle parts."""
-    return cfg.segment_points * cfg.tiers[0].unit_s * cfg.points_partition_segs
+    return cfg.segment_points * unit_s * cfg.points_partition_segs
 
 
 def _add_seg_part(batch, part_span: int):
-    """Append the hive partition column for the raw points write."""
+    """Append the hive partition column for the points write."""
     import pyarrow as pa
 
     seg_part = batch["bucket"].to_numpy(zero_copy_only=False) // part_span
     return batch.append_column("seg_part", pa.array(seg_part, type=pa.int64()))
 
 
-def write_raw_points(points: "ray.data.Dataset", points_dir, cfg: RollupConfig) -> None:
-    """Raw-tier points sink: hive-partitioned by time range so the
-    selective incremental merge can leave untouched partition dirs in
-    place (pyarrow drops the partition column from the file contents,
-    so plain readers see the original schema)."""
-    span = _points_part_span(cfg)
+def write_tier_points(points: "ray.data.Dataset", points_dir,
+                      cfg: RollupConfig, unit_s: int) -> None:
+    """Tier points sink: hive-partitioned by time range so the selective
+    incremental merge can leave untouched partition dirs in place
+    (pyarrow drops the partition column from the file contents, so plain
+    readers see the original schema)."""
+    span = _points_part_span(cfg, unit_s)
     points.map_batches(
         _add_seg_part, batch_format="pyarrow", fn_kwargs={"part_span": span}
     ).write_parquet(str(points_dir), partition_cols=["seg_part"])
@@ -126,13 +127,12 @@ def read_points_range(
 ) -> "ray.data.Dataset":
     """Rolled points of one tier with ``lo <= bucket < hi``.
 
-    The time-partitioned raw layout makes range scans cheap at both
-    ends: whole seg_part dirs outside the range are pruned before any
-    file is opened, and the residual predicate pushes into parquet
-    row-group statistics. A dashboard query for one day over a
+    Every tier's points are time-partitioned, so range scans are cheap
+    at both ends: whole seg_part dirs outside the range are pruned
+    before any file is opened, and the residual predicate pushes into
+    parquet row-group statistics. A dashboard query for one day over a
     10^12-sequence archive therefore opens O(day) partitions, not the
-    whole tier. Coarser tiers (single flat dir, tiny next to raw) rely
-    on row-group stats alone.
+    whole tier.
     """
     import pyarrow.dataset as pads
 
@@ -143,21 +143,19 @@ def read_points_range(
         # append path-derived columns (tier=..., seg_part=...) on reads
         # without an explicit projection
         columns = list(pads.dataset(str(points_dir)).schema.names)
-    paths: list[str] | str = str(points_dir)
-    if tier_name == cfg.tiers[0].name:
-        pruned = _range_part_dirs(points_dir, lo, hi, _points_part_span(cfg))
-        if not pruned:
-            schema = pads.dataset(str(points_dir)).schema
-            import pyarrow as pa
+    tier = next(t for t in cfg.tiers if t.name == tier_name)
+    pruned = _range_part_dirs(points_dir, lo, hi,
+                              _points_part_span(cfg, tier.unit_s))
+    if not pruned:
+        import pyarrow as pa
 
-            empty = pa.table({f.name: pa.array([], type=f.type)
-                              for f in schema})
-            return ray.data.from_arrow(
-                empty.select(columns) if columns else empty)
-        # expand to files: Ray 2.49 read_parquet rejects a LIST of
-        # directories (single dir paths are expanded, lists are not)
-        paths = [str(f) for d in pruned
-                 for f in sorted(Path(d).glob("*.parquet"))]
+        schema = pads.dataset(str(points_dir)).schema
+        empty = pa.table({f.name: pa.array([], type=f.type) for f in schema})
+        return ray.data.from_arrow(empty.select(columns))
+    # expand to files: Ray 2.49 read_parquet rejects a LIST of
+    # directories (single dir paths are expanded, lists are not)
+    paths = [str(f) for d in pruned
+             for f in sorted(Path(d).glob("*.parquet"))]
     import pyarrow.compute as pc
 
     expr = (pc.field("bucket") >= lo) & (pc.field("bucket") < hi)
@@ -426,12 +424,10 @@ def run_rollup(
         # from the tier kernel (extra barrier + second pass), ~5 s/tier
         # at 12M docs, while the parquet read-back of a post-raw tier is
         # ~1 s — streaming write + re-read wins (and is the resume path
-        # anyway).
-        if k == 0:
-            # raw tier: time-partitioned layout for O(touched) ingest
-            write_raw_points(points, points_dir, cfg)
-        else:
-            points.write_parquet(str(points_dir))
+        # anyway). Every tier is time-partitioned (seg_part dirs) so the
+        # selective ingest rewrites O(touched) partitions at every tier
+        # and range reads prune whole dirs.
+        write_tier_points(points, points_dir, cfg, tier.unit_s)
         if spans is None:
             # first (non-gap-filled) tier just wrote: derive spans from
             # its points parquet — a 2-column scan of the rolled output,

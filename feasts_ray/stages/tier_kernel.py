@@ -245,6 +245,7 @@ def run_tier(
     key_col: str = "source",
     concurrency=(1, 16),
     single_block: bool = False,
+    skeleton: bool = True,
 ) -> "ray.data.Dataset":
     """partials (key,bucket,count,sum,min,max) -> final tier points; the
     ONE shuffle is groupby(key, segment) with bounded groups.
@@ -254,10 +255,16 @@ def run_tier(
     groupby's all-to-all is pure fixed latency (~1 s/tier). The caller
     asserts smallness (bytes threshold on the prior tier's output);
     the IDENTICAL kernel then runs per (key, segment) group inside one
-    coalesced block — same output, zero shuffle."""
+    coalesced block — same output, zero shuffle.
+
+    ``skeleton=False`` skips the per-(key, segment) seed generation:
+    the selective incremental merge provides seeds for exactly the
+    touched groups itself (a full-span skeleton would resurrect every
+    untouched group as a duplicate gap-only emission).
+    """
     seg_span = segment_points * unit_s
     seeded = partials
-    if gap_fill:
+    if gap_fill and skeleton:
         seeded = partials.union(skeleton_rows(spans, unit_s, seg_span, key_col))
     with_seg = seeded.map_batches(add_segment, batch_format="pyarrow",
                                   fn_kwargs={"seg_span": seg_span})

@@ -71,6 +71,9 @@ def test_incremental_path_taken(ingested):
     raw = m1["raw"]
     assert raw.get("incremental") is True and raw["new_files"] == 1
     assert raw["rows_in"] == m0["raw"]["rows_out"] + (N_DOCS - SPLIT)
+    # cascade tiers merged selectively too (no full re-derivation)
+    for tier in ("1m", "1h", "1d"):
+        assert m1[tier].get("incremental") is True, tier
     st = load_ingest_state(out_inc)
     assert st is not None and len(st["inventory"]) == 2
 

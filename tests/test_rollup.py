@@ -221,7 +221,7 @@ def test_read_points_range_prunes_partitions(tmp_path, ray_session):
     from pathlib import Path
 
     points_dir = Path(out, "tier=raw", "points")
-    span = _points_part_span(cfg)  # 256 s per partition dir
+    span = _points_part_span(cfg, 1)  # 256 s per raw partition dir
     n_parts = len(list(points_dir.glob("seg_part=*")))
     assert n_parts >= 4
     lo, hi = T0 + 300, T0 + 700  # interior window spanning ~2 partitions
