@@ -309,6 +309,11 @@ def run_tier(
 
         return with_seg.repartition(1).map_batches(
             _whole, batch_format="pyarrow", batch_size=None)
-    return with_seg.groupby([key_col, "segment"]).map_groups(
+    # segment-major grouping: map_groups sorts by the key tuple, so the
+    # output blocks are TIME-contiguous — each write block then lands in
+    # O(1) seg_part dirs of the partitioned points sink instead of
+    # spraying one small file into every time partition (key-major order
+    # made every sort block span the whole time range).
+    return with_seg.groupby(["segment", key_col]).map_groups(
         kernel.__call__, batch_format="pyarrow",
     )
