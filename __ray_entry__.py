@@ -591,7 +591,9 @@ def oracle_sql() -> dict[str, str]:
     from feasts_ray.oracle.archlm_sql import arch_lm_sql
     from feasts_ray.oracle.cointegration_sql import cointegration_pairs_sql
     from feasts_ray.oracle.pacf_feat_sql import feat_pacf_sql
-    from feasts_ray.oracle.simhash_sql import fingerprint_sql, simhash_pairs_sql
+    from feasts_ray.oracle.simhash_sql import (fingerprint_sql,
+                                               simhash_pairs_sql,
+                                               word_hash_expr)
     from feasts_ray.oracle.pp_sql import pp_ztau_sql
     from feasts_ray.oracle.unitroot_sql import unitroot_sql
     from feasts_ray.oracle.stl_sql import feat_stl_sql, nsdiffs_sql, stl_sql
@@ -820,6 +822,29 @@ JOIN series p ON p.event_type = s.event_type AND p.bucket = s.bucket - k.lag * 3
             "regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+')) END AS BIGINT) "
             "AS n_words, CAST(length(text) AS BIGINT) AS n_chars_calc FROM documents"),
         "text_quality": _TEXT_QUALITY,
+        # corpus-level ops (feasts_ray/text/corpus.py): integer counts /
+        # integer hash filters only — bit-exact by construction
+        "word_freq_topk": (
+            "WITH words AS (SELECT unnest(list_filter("
+            "string_split_regex(text, '\\s+'), w -> w <> '')) AS word "
+            "FROM documents) "
+            "SELECT word, CAST(COUNT(*) AS BIGINT) AS total FROM words "
+            "GROUP BY word ORDER BY total DESC, word ASC LIMIT 50"),
+        "decontaminate": (
+            "WITH ws AS (SELECT doc_id, list_filter("
+            "string_split_regex(text, '\\s+'), w -> w <> '') AS ws "
+            "FROM documents), "
+            "bl AS (SELECT DISTINCT array_to_string(ws[1:8], ' ') AS phrase "
+            "FROM ws WHERE doc_id % 101 = 0 AND len(ws) >= 8) "
+            "SELECT d.doc_id, CAST((SELECT COUNT(*) FROM bl "
+            "WHERE strpos(d.text, bl.phrase) > 0) AS BIGINT) AS n_hits "
+            "FROM documents d"),
+        # md5-LE uint64 of the DECIMAL doc-id string — the same fold the
+        # SimHash oracle uses for words (oracle/simhash_sql.py)
+        "sample_stratified": (
+            "SELECT doc_id, lang, source FROM documents WHERE "
+            + word_hash_expr("CAST(doc_id AS VARCHAR)")
+            + " % 100 < CASE WHEN lang = 'en' THEN 5 ELSE 25 END"),
         "dedup_keep_best": _DEDUP_KEEP_BEST,
         # exact all-pairs cosine baseline: list_cosine_similarity over
         # FLOAT[] is a float32 sequential fold of dot/(|x| * |y|), which

@@ -412,6 +412,39 @@ def q_fingerprint(sf_dir: str):
         ["doc_id", "fingerprint"])
 
 
+def q_word_freq_topk(sf_dir: str):
+    """Corpus-wide top-50 word frequencies (count DESC, word ASC):
+    per-batch Arrow value_counts partials -> one vocabulary-sized
+    shuffle -> distributed partial top-k (feasts_ray/text/corpus.py)."""
+    from feasts_ray.text.corpus import word_freq_topk
+
+    return word_freq_topk(_documents(sf_dir), k=50)
+
+
+def q_decontaminate(sf_dir: str):
+    """Benchmark-decontamination scan: n_hits = number of distinct
+    blocklist phrases (first-8-word prefixes of every 101st doc — a
+    deterministic stand-in for an external eval-set blocklist) contained
+    verbatim in each document. Blocklist broadcast once; corpus scanned
+    once with Arrow match_substring, never shuffled."""
+    from feasts_ray.text.corpus import decontaminate
+
+    return decontaminate(_documents(sf_dir), every=101, n_words=8)
+
+
+def q_sample_stratified(sf_dir: str):
+    """Deterministic stratified sample: keep a doc iff
+    md5_le64(str(doc_id)) % 100 < rate(lang) with rate 5% for the
+    majority language and 25% for the rest — downsampling the head
+    stratum, reproducible across runs/retries/cluster sizes (no RNG
+    state; the same md5-LE fold the SimHash SQL oracle mirrors)."""
+    from feasts_ray.text.corpus import sample_stratified
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "lang", "source"])
+    return sample_stratified(ds, rates={"en": 5}, default_rate=25)
+
+
 def q_bpe_token_counts(sf_dir: str):
     return _documents(sf_dir).map_batches(
         BpeishTokenCounter, fn_constructor_args=("text",),
@@ -974,6 +1007,9 @@ ALL_QUERIES = {
     # checked only the first 50 of 54 registered queries, skipping
     # exactly the tail of this dict (x11_1h's SQL oracle has never
     # produced a hard driver signal — VERDICT r03 item 1).
+    "word_freq_topk": q_word_freq_topk,
+    "decontaminate": q_decontaminate,
+    "sample_stratified": q_sample_stratified,
     "dedup_keep_best": q_dedup_keep_best,
     "rollup_1m_incremental": q_rollup_1m_incremental,
     "embedding_dedup_docs": q_embedding_dedup_docs,

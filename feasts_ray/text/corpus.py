@@ -1,0 +1,153 @@
+"""Corpus-level text operators for large-scale training-data pipelines:
+global word-frequency top-k, blocklist decontamination, and
+deterministic hash-based stratified sampling.
+
+These are north-rule additions (no feasts counterpart — the reference
+computes per-series features only, /root/reference/R/features.R); each
+is designed for the 100 TB regime:
+
+- ``word_freq_topk``: map-side combine (per-batch Arrow ``value_counts``
+  — each batch emits at most its distinct-word count, not its token
+  count) → ONE bounded shuffle keyed by word (vocabulary-sized, not
+  corpus-sized) → distributed partial top-k (each block keeps <= k
+  rows) → tiny driver merge. No stage materializes the corpus.
+- ``decontaminate``: the blocklist is a bounded small side broadcast
+  once via ``ray.put`` and matched per batch with Arrow's C substring
+  kernel; the corpus is scanned exactly once, never shuffled.
+- ``sample_stratified``: a pure per-batch filter on an md5-derived
+  uint64 of the doc id — deterministic (re-runs and retries keep the
+  same sample), seekable (membership is a pure function of the row, no
+  global state), and exactly mirrored in SQL via the same md5
+  little-endian fold the SimHash oracle uses
+  (feasts_ray/oracle/simhash_sql.py::word_hash_expr).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+from ray.data.aggregate import Sum
+
+
+def _split_words(text_arr: pa.Array) -> pa.Array:
+    """Flat array of whitespace-split words with empties dropped —
+    exactly ``str.split()`` semantics (see dedup/hashing.tokenize_arrow,
+    verified over every BMP codepoint)."""
+    if isinstance(text_arr, pa.ChunkedArray):
+        text_arr = text_arr.combine_chunks()
+    if text_arr.null_count:
+        text_arr = text_arr.fill_null("")
+    flat = pc.list_flatten(pc.utf8_split_whitespace(text_arr))
+    return flat.filter(pc.not_equal(flat, ""))
+
+
+def word_freq_topk(ds: "ray.data.Dataset", k: int = 50,
+                   text_col: str = "text") -> pd.DataFrame:
+    """Global top-k most frequent words: (word, total), ordered by
+    (total DESC, word ASC) — the deterministic tie-break makes the
+    result set unique, so the DuckDB oracle matches bit-for-bit."""
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        vc = _split_words(batch[text_col]).value_counts()
+        return pa.table({"word": vc.field("values"),
+                         "partial": vc.field("counts").cast(pa.int64())})
+
+    totals = ds.map_batches(_partial, batch_format="pyarrow").groupby(
+        "word").aggregate(Sum("partial", alias_name="total"))
+
+    def _topk(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(["total", "word"], ascending=[False, True],
+                              kind="mergesort").head(k)
+
+    # distributed partial top-k: a global top-k row always survives its
+    # own block's top-k, so the driver merge sees <= k * #blocks rows —
+    # never O(vocabulary)
+    part = totals.map_batches(_topk, batch_format="pandas")
+    out = _topk(part.to_pandas()).reset_index(drop=True)
+    out["total"] = out["total"].astype(np.int64)
+    return out[["word", "total"]]
+
+
+def build_blocklist(ds: "ray.data.Dataset", every: int = 101,
+                    n_words: int = 8, id_col: str = "doc_id",
+                    text_col: str = "text") -> list[str]:
+    """Deterministic stand-in for an external decontamination blocklist
+    (benchmark prompts, eval answers...): the first ``n_words`` words of
+    every ``every``-th document. In production the blocklist is a fixed
+    small artifact; deriving it from the corpus keeps this self-contained
+    and oracle-checkable. The selection is O(corpus/every) but each entry
+    is a tiny prefix — the collected list stays a bounded small side."""
+
+    def _phrases(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        keep = np.flatnonzero(ids % every == 0)
+        out = []
+        for i in keep:
+            ws = batch[text_col][int(i)].as_py().split()
+            if len(ws) >= n_words:
+                out.append(" ".join(ws[:n_words]))
+        return pa.table({"phrase": pa.array(out, type=pa.string())})
+
+    rows = ds.map_batches(_phrases, batch_format="pyarrow").take_all()
+    return sorted({r["phrase"] for r in rows})
+
+
+def decontaminate(ds: "ray.data.Dataset", every: int = 101,
+                  n_words: int = 8, id_col: str = "doc_id",
+                  text_col: str = "text") -> "ray.data.Dataset":
+    """Per-doc contamination score: ``n_hits`` = number of distinct
+    blocklist phrases contained verbatim in the document. The blocklist
+    is broadcast once (``ray.put``); each batch runs one Arrow
+    ``match_substring`` C kernel per phrase — the corpus is scanned once
+    and never shuffled."""
+    bl_ref = ray.put(build_blocklist(ds, every, n_words, id_col, text_col))
+
+    def _score(batch: pa.Table) -> pa.Table:
+        phrases = ray.get(bl_ref)
+        text = batch[text_col]
+        hits = np.zeros(len(batch), dtype=np.int64)
+        for p in phrases:
+            hits += pc.match_substring(text, p).to_numpy(
+                zero_copy_only=False).astype(np.int64)
+        return pa.table({id_col: batch[id_col],
+                         "n_hits": pa.array(hits, type=pa.int64())})
+
+    return ds.map_batches(_score, batch_format="pyarrow")
+
+
+def _id_hash64(ids: pa.Array) -> np.ndarray:
+    """md5-LE uint64 of the decimal string of each id — the same word
+    hash the dedup/text kernels use (dedup/hashing.hash_words), applied
+    to CAST(id AS VARCHAR) so SQL mirrors it exactly."""
+    from ..dedup.hashing import hash_words_arrow
+
+    if isinstance(ids, pa.ChunkedArray):
+        ids = ids.combine_chunks()
+    return hash_words_arrow(pc.cast(ids, pa.string()))
+
+
+def sample_stratified(ds: "ray.data.Dataset", rates: dict[str, int],
+                      default_rate: int, mod: int = 100,
+                      strat_col: str = "lang", id_col: str = "doc_id",
+                      ) -> "ray.data.Dataset":
+    """Deterministic stratified sampling: keep a row iff
+    ``md5_le64(str(doc_id)) % mod < rate(stratum)`` — per-stratum
+    sampling rates (``rates`` in units of 1/mod) with no RNG state, so
+    the sample is reproducible across runs, retries, and cluster sizes,
+    and membership can be tested for a single row without a scan."""
+
+    def _keep(batch: pa.Table) -> pa.Table:
+        h = _id_hash64(batch[id_col]) % np.uint64(mod)
+        # only the (few) distinct strata cross into Python
+        enc = batch[strat_col].combine_chunks().dictionary_encode()
+        thr_by_code = np.array(
+            [rates.get(v, default_rate) for v in enc.dictionary.to_pylist()],
+            dtype=np.uint64)
+        codes = enc.indices.to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(h < thr_by_code[codes]))
+
+    return ds.map_batches(_keep, batch_format="pyarrow")
