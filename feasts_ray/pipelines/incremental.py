@@ -270,7 +270,9 @@ def _selective_tier_merge(
         if dst.exists():
             shutil.rmtree(dst)
         os.replace(src, dst)
-    shutil.rmtree(tmp_points)
+    # a zero-row merge (e.g. an appended parquet file with no rows)
+    # writes nothing and creates no tmp dir at all
+    shutil.rmtree(tmp_points, ignore_errors=True)
     return True
 
 

@@ -468,4 +468,14 @@ def run_rollup(
     from .incremental import save_ingest_state
 
     save_ingest_state(out_dir, inventory, lineage)
+    # retention follows the watermark: horizons recorded by a prior
+    # enforce_retention re-apply at the NEW watermark, so neither a full
+    # rebuild nor an ingest resurrects expired partitions. Runs after the
+    # cascade so every coarser tier derives from the full finer tier
+    # before that tier is pruned by its own (shorter) horizon.
+    from .retention import reenforce_retention
+
+    for name, r in reenforce_retention(out_dir, cfg).items():
+        if name in metrics:
+            metrics[name] = dict(metrics[name], retention=r)
     return metrics

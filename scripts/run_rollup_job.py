@@ -33,6 +33,12 @@ def main() -> int:
                     help="fold in only the parquet files added to --input "
                          "since the last completed run (continuous-aggregate "
                          "ingest; falls back to a full run when unsafe)")
+    ap.add_argument("--retain", default=None, metavar="TIER=SECS,...",
+                    help="retention horizons, e.g. raw=86400,1m=604800: "
+                         "after the run, expire points partitions / blob "
+                         "files wholly older than watermark-SECS (recorded "
+                         "in _RETENTION.json and re-applied by every later "
+                         "run at the advancing watermark)")
     args = ap.parse_args()
 
     import ray
@@ -49,6 +55,12 @@ def main() -> int:
     metrics = run(args.input, args.out, encode=not args.no_encode,
                   token_features=args.features,
                   token_archive=args.archive)
+    if args.retain:
+        from feasts_ray.pipelines.retention import enforce_retention
+
+        horizons = {k: int(v) for k, v in
+                    (kv.split("=", 1) for kv in args.retain.split(","))}
+        metrics["retention"] = enforce_retention(args.out, horizons)
     print(json.dumps(metrics, default=str))
     ray.shutdown()
     return 0
