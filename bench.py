@@ -87,6 +87,7 @@ def run_queries() -> dict[str, float]:
              "gapfill_1h", "acf_1h_counts",
              "rollup_1h_blobs_roundtrip", "lineitem_daily", "dedup_exact",
              "minhash_dup_pairs", "simhash_dup_pairs", "dedup_keep_best",
+             "word_freq_topk", "decontaminate", "sample_stratified",
              "ann_topk", "features_1h", "stl_1h"]
     out: dict[str, float] = {}
     for name in names:
