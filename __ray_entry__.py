@@ -707,6 +707,30 @@ SELECT event_type, bucket, CAST(x AS DOUBLE) AS value,
   ELSE FALSE END AS is_anomaly
 FROM w
 """.format(sec3=_EV_SEC.format(u=3600)),
+        "asof_join_1h": """
+WITH sec AS ({sec}),
+r AS (SELECT event_type, bucket, COUNT(*) AS count,
+             CAST(SUM(cents) AS BIGINT) AS sum_cents
+      FROM sec GROUP BY event_type, bucket),
+e AS (SELECT event_id, event_type, epoch_us(ts)//1000000 AS ts_sec FROM events)
+SELECT e.event_id, e.event_type, e.ts_sec, r.bucket AS asof_bucket,
+       r.count AS asof_count, r.sum_cents AS asof_sum_cents
+FROM e ASOF JOIN r ON e.event_type = r.event_type AND e.ts_sec >= r.bucket
+""".format(sec=_EV_SEC.format(u=3600)),
+        "sessionize": """
+WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us,
+                  CAST(ROUND(value*100) AS BIGINT) AS cents FROM events),
+o AS (SELECT user_id, ts_us, cents,
+  CASE WHEN ts_us - LAG(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us)
+            > 1800000000 THEN 1 ELSE 0 END AS brk FROM e),
+s AS (SELECT user_id, ts_us, cents,
+  CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY ts_us
+       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id FROM o)
+SELECT user_id, session_id, MIN(ts_us) AS session_start,
+       MAX(ts_us) AS session_end, COUNT(*) AS n_events,
+       CAST(SUM(cents) AS BIGINT) AS sum_cents
+FROM s GROUP BY user_id, session_id
+""",
         "rolling_24h": """
 WITH sec AS ({sec2}),
 agg AS (SELECT event_type, bucket, COUNT(*) AS x FROM sec GROUP BY event_type, bucket),

@@ -1002,7 +1002,65 @@ def q_lag_pairs_1h(sf_dir: str):
                      key_col="event_type", time_col="bucket", lags=(1, 2, 3))
 
 
+def q_asof_join_1h(sf_dir: str):
+    """As-of join (the brief's canonical custom operator Ray Data
+    lacks): enrich every event with the latest hourly rollup point of
+    its event_type at-or-before the event's epoch second. Physical
+    plan = broadcast small side: the rollup tier is one row per
+    (key, hour) so the driver ray.puts its searchsorted index ONCE and
+    the event scan streams through a task pool with ZERO shuffle —
+    the scale-correct fact->dim enrichment at 100 TB. Integer columns
+    throughout, so DuckDB's native ASOF JOIN oracle hash-matches."""
+    from ..stages.joins import asof_join_broadcast
+
+    right = rollup_table(_events(sf_dir), HOUR).to_pandas()
+
+    def _secs(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table({
+            "event_id": batch["event_id"],
+            "event_type": batch["event_type"],
+            "ts_sec": pa.array(ts // 1_000_000, type=pa.int64()),
+        })
+
+    left = ray.data.read_parquet(
+        _events(sf_dir), columns=["event_id", "event_type", "ts"]
+    ).map_batches(_secs, batch_format="pyarrow")
+    return asof_join_broadcast(
+        left, right, key_col="event_type",
+        left_time_col="ts_sec", right_time_col="bucket",
+        payload={"bucket": "asof_bucket", "count": "asof_count",
+                 "sum_cents": "asof_sum_cents"},
+    )
+
+
+def q_sessionize(sf_dir: str):
+    """Gap-based session windows per user (30 min inactivity splits a
+    session): one groupby(user) shuffle, vectorized reduceat kernel.
+    Microsecond-integer times and cent-integer sums keep the
+    LAG/SUM-OVER window-function SQL oracle bit-exact."""
+    from ..stages.sessions import sessionize
+
+    def _prep(batch: pa.Table) -> pa.Table:
+        cents = np.round(
+            batch["value"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        return pa.table({
+            "user_id": batch["user_id"],
+            "ts_us": batch["ts"].cast(pa.int64()),
+            "cents": pa.array(cents, type=pa.int64()),
+        })
+
+    ds = ray.data.read_parquet(
+        _events(sf_dir), columns=["user_id", "ts", "value"]
+    ).map_batches(_prep, batch_format="pyarrow")
+    return sessionize(ds, key_col="user_id", time_col="ts_us",
+                      gap=1_800_000_000, sum_col="cents")
+
+
 ALL_QUERIES = {
+    "asof_join_1h": q_asof_join_1h,
+    "sessionize": q_sessionize,
     # Never-yet-driver-sampled queries sort FIRST: the round-3 driver
     # checked only the first 50 of 54 registered queries, skipping
     # exactly the tail of this dict (x11_1h's SQL oracle has never

@@ -1,0 +1,182 @@
+"""Distributed as-of join: latest right-side row at-or-before each left
+row's time, per key (inner semantics, ties match via >=).
+
+Ray Data has no native as-of join, and the reference's R surface gets it
+for free from single-process data frames; here it is a first-class
+distributed operator with two physical plans picked by right-side size:
+
+- ``asof_join_broadcast`` — the right side is an aggregate / dimension
+  table (e.g. a retention-tier rollup: one row per (key, bucket)) that
+  is tiny relative to the left. The driver ``ray.put``s one
+  ``{key -> (sorted_times, payload columns)}`` index; an elastic task
+  pool resolves it once per worker PROCESS (state/broadcast.py LRU) and
+  answers each left batch with ``np.searchsorted`` — ZERO shuffle of
+  the big side. This is the scale-correct plan for fact->dim
+  enrichment at 100 TB: the only data movement is the pruned left scan.
+
+- ``asof_join_grouped`` — both sides large. Tag + union + ONE
+  ``groupby(key).map_groups`` sorted merge (the same bounded-group
+  shuffle shape as every tier kernel). Partitioning assumption: one
+  key's rows fit in a group; a key that outgrows a worker would be
+  salted by time range with right-side boundary replication (the last
+  right row before each range boundary is duplicated into the next
+  range), which preserves as-of semantics exactly.
+
+Both plans produce identical rows (pinned in tests/test_joins.py).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+
+from ..state.broadcast import put_once, resolve_broadcast
+
+
+def _build_index(right: pd.DataFrame, key_col: str, time_col: str,
+                 payload: dict[str, str]) -> dict:
+    """{key -> (sorted times int64, {out_col: values in time order})}."""
+    idx: dict = {}
+    for key, g in right.groupby(key_col, sort=False):
+        t = g[time_col].to_numpy(dtype=np.int64)
+        order = np.argsort(t, kind="mergesort")
+        t = t[order]
+        cols = {out: g[src].to_numpy()[order] for src, out in payload.items()}
+        idx[key] = (t, cols)
+    return idx
+
+
+def _asof_batch(batch: pa.Table, *, index_ref, key_col: str,
+                time_col: str, out_cols: tuple[str, ...]) -> pa.Table:
+    index = resolve_broadcast(index_ref)
+    keys = batch[key_col].to_numpy(zero_copy_only=False)
+    ts = batch[time_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    n = len(ts)
+    pos = np.full(n, -1, dtype=np.int64)
+    # one searchsorted per DISTINCT key in the batch (keys are few:
+    # sources / event types), each fully vectorized over its rows
+    out_arrays: dict[str, np.ndarray] = {}
+    for key in pd.unique(keys):
+        entry = index.get(key)
+        if entry is None:
+            continue
+        t_right, cols = entry
+        mask = keys == key
+        p = np.searchsorted(t_right, ts[mask], side="right") - 1
+        pos[mask] = p
+        for out, vals in cols.items():
+            dst = out_arrays.setdefault(
+                out, np.zeros(n, dtype=np.asarray(vals).dtype))
+            dst[mask] = vals[np.maximum(p, 0)]
+    valid = pos >= 0
+    cols = {name: batch[name].filter(pa.array(valid))
+            for name in batch.column_names}
+    for out in out_cols:
+        vals = out_arrays.get(out)
+        if vals is None:  # no key of this batch had an index entry
+            vals = np.zeros(0, dtype=np.int64)
+            cols[out] = pa.array(vals)
+        else:
+            cols[out] = pa.array(vals[valid])
+    return pa.table(cols)
+
+
+def asof_join_broadcast(
+    left: "ray.data.Dataset",
+    right: pd.DataFrame,
+    *,
+    key_col: str,
+    left_time_col: str,
+    right_time_col: str,
+    payload: dict[str, str],
+) -> "ray.data.Dataset":
+    """As-of join a big left Dataset to a small in-memory right table.
+
+    ``payload`` maps right-side source columns to output column names
+    (the right time column may itself be in payload, e.g.
+    ``{"bucket": "asof_bucket", "count": "asof_count"}``). Left rows
+    with no right row at-or-before their time are dropped (inner).
+    """
+    index = _build_index(right, key_col, right_time_col, payload)
+    ref = put_once(index)
+    out_cols = tuple(payload.values())
+    return left.map_batches(
+        _asof_batch, batch_format="pyarrow",
+        fn_kwargs={"index_ref": ref, "key_col": key_col,
+                   "time_col": left_time_col, "out_cols": out_cols},
+    )
+
+
+class _GroupedAsofKernel:
+    def __init__(self, key_col, left_time_col, right_time_col,
+                 payload, left_cols):
+        self.key_col = key_col
+        self.lt = left_time_col
+        self.rt = right_time_col
+        self.payload = payload
+        self.left_cols = left_cols
+
+    def __call__(self, group: pd.DataFrame) -> pd.DataFrame:
+        left = group[group["__side"] == 1]
+        right = group[group["__side"] == 0]
+        t_right = right[self.rt].to_numpy(dtype=np.int64)
+        order = np.argsort(t_right, kind="mergesort")
+        t_right = t_right[order]
+        ts = left[self.lt].to_numpy(dtype=np.int64)
+        pos = np.searchsorted(t_right, ts, side="right") - 1
+        valid = pos >= 0
+        out = {c: left[c].to_numpy()[valid] for c in self.left_cols}
+        safe = np.maximum(pos[valid], 0)
+        for src, name in self.payload.items():
+            vals = right[src].to_numpy()[order]
+            out[name] = vals[safe]
+        return pd.DataFrame(out)
+
+
+def asof_join_grouped(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    *,
+    key_col: str,
+    left_time_col: str,
+    right_time_col: str,
+    payload: dict[str, str],
+) -> "ray.data.Dataset":
+    """As-of join two big Datasets: tag + union + one groupby(key)
+    shuffle, sorted merge inside ``map_groups``. Same output as
+    :func:`asof_join_broadcast` (pinned in tests)."""
+    left_cols = [c for c in left.schema().names]
+
+    def _tag(side: int):
+        def _f(batch: pa.Table) -> pa.Table:
+            return batch.append_column(
+                "__side", pa.array(np.full(batch.num_rows, side, np.int8)))
+        return _f
+
+    # align schemas: union needs identical columns on both sides
+    r_cols = sorted({key_col, right_time_col, *payload})
+    right = right.select_columns(r_cols).map_batches(
+        _tag(0), batch_format="pyarrow")
+    left = left.select_columns(left_cols).map_batches(
+        _tag(1), batch_format="pyarrow")
+
+    def _pad(cols):
+        def _f(batch: pa.Table) -> pa.Table:
+            for c in cols:
+                if c not in batch.column_names:
+                    batch = batch.append_column(
+                        c, pa.nulls(batch.num_rows, type=pa.int64()))
+            return batch.select(sorted(batch.column_names))
+        return _f
+
+    all_cols = sorted(set(left_cols) | set(r_cols) | {"__side"})
+    left = left.map_batches(_pad(all_cols), batch_format="pyarrow")
+    right = right.map_batches(_pad(all_cols), batch_format="pyarrow")
+    both = left.union(right)
+    kernel = _GroupedAsofKernel(key_col, left_time_col, right_time_col,
+                                payload, left_cols)
+    return both.groupby(key_col).map_groups(kernel.__call__,
+                                            batch_format="pandas")
