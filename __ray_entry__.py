@@ -717,6 +717,33 @@ SELECT e.event_id, e.event_type, e.ts_sec, r.bucket AS asof_bucket,
        r.count AS asof_count, r.sum_cents AS asof_sum_cents
 FROM e ASOF JOIN r ON e.event_type = r.event_type AND e.ts_sec >= r.bucket
 """.format(sec=_EV_SEC.format(u=3600)),
+        "range_join_anomalies": """
+WITH sec AS ({sec}),
+agg AS (SELECT event_type, bucket, COUNT(*) AS x FROM sec GROUP BY event_type, bucket),
+span AS (SELECT event_type, MIN(bucket) AS lo, MAX(bucket) AS hi FROM agg GROUP BY event_type),
+dense AS (SELECT event_type, unnest(generate_series(lo, hi, 3600)) AS bucket FROM span),
+series AS (
+  SELECT d.event_type, d.bucket, COALESCE(a.x, 0) AS x
+  FROM dense d LEFT JOIN agg a ON a.event_type = d.event_type AND a.bucket = d.bucket),
+w AS (
+  SELECT event_type, bucket, x,
+    SUM(x) OVER win AS s, COUNT(x) OVER win AS c, SUM(x*x) OVER win AS q
+  FROM series
+  WINDOW win AS (PARTITION BY event_type ORDER BY bucket
+                 ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)),
+anom AS (
+  SELECT event_type, bucket AS win_start, bucket + 3600 AS win_end
+  FROM w WHERE CASE WHEN c > 1 THEN
+    abs(CAST(x AS DOUBLE) - CAST(s AS DOUBLE) / CAST(c AS DOUBLE))
+    - 3.0 * sqrt((CAST(q AS DOUBLE) - CAST(c AS DOUBLE)
+        * (CAST(s AS DOUBLE) / CAST(c AS DOUBLE))
+        * (CAST(s AS DOUBLE) / CAST(c AS DOUBLE))) / (CAST(c AS DOUBLE) - 1.0)) > 0.0
+  ELSE FALSE END),
+e AS (SELECT event_id, event_type, epoch_us(ts)//1000000 AS ts_sec FROM events)
+SELECT e.event_id, e.event_type, e.ts_sec, a.win_start, a.win_end
+FROM e JOIN anom a ON a.event_type = e.event_type
+  AND e.ts_sec >= a.win_start AND e.ts_sec < a.win_end
+""".format(sec=_EV_SEC.format(u=3600)),
         "sessionize": """
 WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us,
                   CAST(ROUND(value*100) AS BIGINT) AS cents FROM events),

@@ -1034,6 +1034,40 @@ def q_asof_join_1h(sf_dir: str):
     )
 
 
+def q_range_join_anomalies(sf_dir: str):
+    """Range (interval) join: the raw events that fall inside anomalous
+    hours — anomaly windows [bucket, bucket+3600) per event_type from
+    the rolling z-score stage, broadcast as a searchsorted interval
+    index; the event scan streams through with ZERO shuffle. The window
+    set is bit-identical on both sides (anomalies_1h is oracle-green),
+    so the joined rows — all integer columns — hash-match the SQL
+    BETWEEN-join oracle exactly."""
+    from ..stages.joins import interval_join_broadcast
+
+    anom = q_anomalies_1h(sf_dir).to_pandas()
+    anom = anom[anom["is_anomaly"]]
+    iv = pd.DataFrame({
+        "event_type": anom["event_type"].to_numpy(),
+        "start": anom["bucket"].to_numpy(dtype=np.int64),
+        "end": anom["bucket"].to_numpy(dtype=np.int64) + HOUR,
+    })
+
+    def _secs(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table({
+            "event_id": batch["event_id"],
+            "event_type": batch["event_type"],
+            "ts_sec": pa.array(ts // 1_000_000, type=pa.int64()),
+        })
+
+    left = ray.data.read_parquet(
+        _events(sf_dir), columns=["event_id", "event_type", "ts"]
+    ).map_batches(_secs, batch_format="pyarrow")
+    return interval_join_broadcast(
+        left, iv, key_col="event_type", time_col="ts_sec",
+        start_col="start", end_col="end")
+
+
 def q_sessionize(sf_dir: str):
     """Gap-based session windows per user (30 min inactivity splits a
     session): one groupby(user) shuffle, vectorized reduceat kernel.
@@ -1061,6 +1095,7 @@ def q_sessionize(sf_dir: str):
 ALL_QUERIES = {
     "asof_join_1h": q_asof_join_1h,
     "sessionize": q_sessionize,
+    "range_join_anomalies": q_range_join_anomalies,
     # Never-yet-driver-sampled queries sort FIRST: the round-3 driver
     # checked only the first 50 of 54 registered queries, skipping
     # exactly the tail of this dict (x11_1h's SQL oracle has never

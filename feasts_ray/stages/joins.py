@@ -110,6 +110,81 @@ def asof_join_broadcast(
     )
 
 
+def _interval_batch(batch: pa.Table, *, index_ref, key_col: str,
+                    time_col: str, out_cols: tuple[str, ...]) -> pa.Table:
+    index = resolve_broadcast(index_ref)
+    keys = batch[key_col].to_numpy(zero_copy_only=False)
+    ts = batch[time_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    n = len(ts)
+    valid = np.zeros(n, dtype=bool)
+    out_arrays: dict[str, np.ndarray] = {}
+    for key in pd.unique(keys):
+        entry = index.get(key)
+        if entry is None:
+            continue
+        starts, ends, cols = entry
+        mask = keys == key
+        p = np.searchsorted(starts, ts[mask], side="right") - 1
+        safe = np.maximum(p, 0)
+        hit = (p >= 0) & (ts[mask] < ends[safe])
+        valid[mask] = hit
+        for out, vals in (("win_start", starts), ("win_end", ends),
+                          *cols.items()):
+            dst = out_arrays.setdefault(
+                out, np.zeros(n, dtype=np.asarray(vals).dtype))
+            dst[mask] = vals[safe]
+    cols_out = {name: batch[name].filter(pa.array(valid))
+                for name in batch.column_names}
+    for out in ("win_start", "win_end", *out_cols):
+        vals = out_arrays.get(out)
+        cols_out[out] = pa.array(
+            vals[valid] if vals is not None else np.zeros(0, np.int64))
+    return pa.table(cols_out)
+
+
+def interval_join_broadcast(
+    left: "ray.data.Dataset",
+    intervals: pd.DataFrame,
+    *,
+    key_col: str,
+    time_col: str,
+    start_col: str,
+    end_col: str,
+    payload: dict[str, str] | None = None,
+) -> "ray.data.Dataset":
+    """Range (interval) join: keep left rows whose time falls in one of
+    the key's half-open ``[start, end)`` intervals, attaching
+    ``win_start`` / ``win_end`` (+ optional payload columns).
+
+    Same physical plan as :func:`asof_join_broadcast` — the interval
+    table (e.g. anomaly windows, quarantine ranges, eval holdout spans)
+    is tiny relative to the fact table, so it broadcasts once and the
+    scan streams with ZERO shuffle; membership is one searchsorted per
+    distinct key per batch. Intervals must be non-overlapping per key
+    (validated here) — overlapping inputs would need an interval tree
+    or a flatten-first normalization pass.
+    """
+    payload = payload or {}
+    idx: dict = {}
+    for key, g in intervals.groupby(key_col, sort=False):
+        s = g[start_col].to_numpy(dtype=np.int64)
+        e = g[end_col].to_numpy(dtype=np.int64)
+        order = np.argsort(s, kind="mergesort")
+        s, e = s[order], e[order]
+        if np.any(e[:-1] > s[1:]):
+            raise ValueError(f"overlapping intervals for key {key!r}")
+        cols = {out: g[src].to_numpy()[order]
+                for src, out in payload.items()}
+        idx[key] = (s, e, cols)
+    ref = put_once(idx)
+    return left.map_batches(
+        _interval_batch, batch_format="pyarrow",
+        fn_kwargs={"index_ref": ref, "key_col": key_col,
+                   "time_col": time_col,
+                   "out_cols": tuple(payload.values())},
+    )
+
+
 class _GroupedAsofKernel:
     def __init__(self, key_col, left_time_col, right_time_col,
                  payload, left_cols):

@@ -85,6 +85,30 @@ def test_asof_inner_drops_preindex_rows(ray_session):
     assert got2["asof_val"].tolist() == [1]
 
 
+def test_interval_join_halfopen_contiguous_overlap(ray_session):
+    from feasts_ray.stages.joins import interval_join_broadcast
+
+    left = ray.data.from_pandas(pd.DataFrame({
+        "key": ["a"] * 6 + ["b"],
+        "t": [4, 5, 9, 10, 14, 15, 5],
+    }))
+    # contiguous half-open windows [5,10) and [10,15): t=4,15 drop,
+    # t=9 -> first, t=10 -> second; key "b" has no intervals
+    iv = pd.DataFrame({"key": ["a", "a"], "s": [5, 10], "e": [10, 15]})
+    got = interval_join_broadcast(
+        left, iv, key_col="key", time_col="t",
+        start_col="s", end_col="e").to_pandas()
+    got = got.sort_values("t", ignore_index=True)
+    assert got["t"].tolist() == [5, 9, 10, 14]
+    assert got["win_start"].tolist() == [5, 5, 10, 10]
+    assert got["win_end"].tolist() == [10, 10, 15, 15]
+    with pytest.raises(ValueError, match="overlapping"):
+        interval_join_broadcast(
+            left, pd.DataFrame({"key": ["a", "a"], "s": [5, 8],
+                                "e": [10, 12]}),
+            key_col="key", time_col="t", start_col="s", end_col="e")
+
+
 def test_sessionize_gaps_and_ties(ray_session):
     # user 1: gaps 10,200,10 with gap=100 -> sessions {0,1},{2,3};
     # user 2: single event; user 3: tie timestamps stay one session
