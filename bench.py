@@ -88,6 +88,7 @@ def run_queries() -> dict[str, float]:
              "rollup_1h_blobs_roundtrip", "lineitem_daily", "dedup_exact",
              "minhash_dup_pairs", "simhash_dup_pairs", "dedup_keep_best",
              "word_freq_topk", "decontaminate", "sample_stratified",
+             "asof_join_1h", "sessionize", "range_join_anomalies",
              "ann_topk", "features_1h", "stl_1h"]
     out: dict[str, float] = {}
     for name in names:
