@@ -46,6 +46,34 @@ def tokenize_batch(texts: list[str]) -> tuple[np.ndarray, np.ndarray, np.ndarray
     return whash, offsets, counts
 
 
+# every codepoint where Python str.isspace() is true but Arrow's
+# ascii_split_whitespace does not split (C whitespace = \t\n\v\f\r + ' ')
+_NON_ASCII_WS_CLASS = ("[\x1c-\x1f\x85\xa0\u1680"
+                       "\u2000-\u200a\u2028\u2029\u202f\u205f\u3000]")
+
+
+def split_whitespace_safe(arr):
+    """str.split()-equivalent whitespace split that avoids pyarrow
+    16.1's ``utf8_split_whitespace``.
+
+    That kernel's utf8 scan misclassifies MULTI-BYTE whitespace
+    codepoints for certain buffer layouts: the same 4-doc input with a
+    trailing U+00A0 nondeterministically keeps or splits the NBSP
+    across allocations of identical bytes in one process (2 distinct
+    outputs over 50 ``pa.array`` calls; surfaced by hypothesis in
+    tests/test_text_hashing_property.py only after unrelated tests
+    perturbed the allocator). Single-byte classification cannot
+    straddle a scan boundary, so instead: one RE2 pass normalizes the
+    20 non-ASCII (plus \\x1c-\\x1f) Python-whitespace codepoints to
+    ' ', then ``ascii_split_whitespace`` does the split. Callers MUST
+    drop empty tokens (both callers already do)."""
+    import pyarrow.compute as pc
+
+    norm = pc.replace_substring_regex(arr, pattern=_NON_ASCII_WS_CLASS,
+                                      replacement=" ")
+    return pc.ascii_split_whitespace(norm)
+
+
 def hash_words_arrow(arr) -> np.ndarray:
     """``hash_words`` over an Arrow string array: digests read each
     word's bytes straight off the UTF-8 values buffer (no Python str /
@@ -70,7 +98,7 @@ def hash_words_arrow(arr) -> np.ndarray:
 def tokenize_arrow(arr) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Arrow-native ``tokenize_batch``: same (word-hash flat array,
     offsets, counts) triple computed without materializing Python
-    strings per doc. ``pc.utf8_split_whitespace`` with empty tokens
+    strings per doc. ``split_whitespace_safe`` with empty tokens
     dropped is exactly ``str.split()`` — verified over every Unicode
     BMP codepoint + astral samples (test_tokenize_arrow_matches_split);
     the vocabulary is built by ``dictionary_encode`` (C) and only the
@@ -83,7 +111,7 @@ def tokenize_arrow(arr) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     n = len(arr)
     if arr.null_count:
         arr = arr.fill_null("")
-    parts = pc.utf8_split_whitespace(arr)
+    parts = split_whitespace_safe(arr)
     lens = pc.list_value_length(parts).to_numpy(zero_copy_only=False)
     flat = pc.list_flatten(parts)
     parents = np.repeat(np.arange(n, dtype=np.int64),

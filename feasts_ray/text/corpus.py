@@ -41,7 +41,9 @@ def _split_words(text_arr: pa.Array) -> pa.Array:
         text_arr = text_arr.combine_chunks()
     if text_arr.null_count:
         text_arr = text_arr.fill_null("")
-    flat = pc.list_flatten(pc.utf8_split_whitespace(text_arr))
+    from ..dedup.hashing import split_whitespace_safe
+
+    flat = pc.list_flatten(split_whitespace_safe(text_arr))
     return flat.filter(pc.not_equal(flat, ""))
 
 

@@ -23,6 +23,25 @@ _text = st.text(
 _texts = st.lists(_text, min_size=0, max_size=12)
 
 
+def test_tokenize_trailing_multibyte_whitespace_buffer_tail():
+    """Regression: pyarrow 16.1's utf8_split_whitespace mis-decodes a
+    multi-byte whitespace codepoint at the very END of the values
+    buffer (reads past the buffer; outcome depends on allocator
+    padding, so the same input flipped nondeterministically across
+    process states — found by the property test below under a full
+    suite run). split_whitespace_safe pins the buffer tail with an
+    ASCII space; this input must now tokenize identically always."""
+    texts = ['00\x80\U00010000', '00\x80\x80\x80\U00010000',
+             '000\x80\x80\x80\x80ࠀ\U00010000\U00010000',
+             '000\x80\x80\x80ࠀ\U00010000\U00010000\xa0']
+    for _ in range(50):  # repeated fresh allocations of the same input
+        w1, o1, c1 = tokenize_batch(texts)
+        w2, o2, c2 = tokenize_arrow(pa.array(texts, type=pa.string()))
+        np.testing.assert_array_equal(w1, w2)
+        np.testing.assert_array_equal(o1, o2)
+        np.testing.assert_array_equal(c1, c2)
+
+
 @settings(max_examples=60, deadline=None)
 @given(_texts)
 def test_tokenize_arrow_equals_str_split(texts):
