@@ -47,32 +47,63 @@ def _pick_best(group: pa.Table, id_col: str) -> pa.Table:
     })
 
 
+def _attach_quality(batch: pa.Table, *, lut_ref, id_col: str) -> pa.Table:
+    """Broadcast-join kernel: quality lookup by sorted-id searchsorted."""
+    from ..state.broadcast import resolve_broadcast
+
+    ids_sorted, scores = resolve_broadcast(lut_ref)
+    ids = batch[id_col].to_numpy(zero_copy_only=False)
+    pos = np.searchsorted(ids_sorted, ids)
+    if np.any(ids_sorted[np.minimum(pos, len(ids_sorted) - 1)] != ids):
+        raise KeyError("doc id missing from broadcast quality table")
+    return batch.append_column(
+        "quality_score", pa.array(scores[pos], type=pa.float64()))
+
+
 def dedup_keep_best(
     ds: "ray.data.Dataset",
     text_col: str = "text",
     id_col: str = "doc_id",
     threshold: float = 0.5,
     num_partitions: int | None = None,
+    broadcast_budget: int = 256 << 20,
     **kwargs,
 ) -> "ray.data.Dataset":
     """(cluster_id, keep_id, keep_quality, n_members) per near-dup
     cluster at the given exact-Jaccard threshold.
 
-    ``num_partitions`` sizes the doc_id hash join (default cpus/2, the
-    same deadlock-safe bound dedup_exact uses: one aggregator actor per
-    partition must fit the CPU count).
+    The quality⋈assignment join is adaptive (the same explicit-budget
+    pattern as dedup/minhash.py): the per-doc quality table is ~32 B/doc
+    fixed-width, so up to ``broadcast_budget`` (default 256 MB ≈ 8M
+    docs) it is ray.put ONCE as a sorted-id lookup and attached inside
+    map_batches with zero shuffle; past the budget the distributed hash
+    join runs, ``num_partitions`` sized like dedup_exact (default
+    cpus/2 — one aggregator actor per partition must fit the CPU
+    count).
     """
     import ray as _ray
 
-    if num_partitions is None:
-        cpus = (int(_ray.cluster_resources().get("CPU", 8))
-                if _ray.is_initialized() else 8)
-        num_partitions = max(2, cpus // 2)
+    from ..state.broadcast import put_once
+
     assign = minhash_dedup_docs(ds, text_col=text_col, id_col=id_col,
                                 threshold=threshold, **kwargs)
     quality = ds.map_batches(
         add_quality, batch_format="pyarrow", fn_kwargs={"text_col": text_col}
     ).select_columns([id_col, "quality_score"])
-    joined = assign.join(quality, "inner", num_partitions, on=(id_col,))
+    n_docs = ds.count()
+    if n_docs * 32 <= broadcast_budget:
+        qdf = quality.to_pandas()  # bounded by the budget, driver-side once
+        order = np.argsort(qdf[id_col].to_numpy(), kind="mergesort")
+        lut = (qdf[id_col].to_numpy()[order],
+               qdf["quality_score"].to_numpy(dtype=np.float64)[order])
+        joined = assign.map_batches(
+            _attach_quality, batch_format="pyarrow",
+            fn_kwargs={"lut_ref": put_once(lut), "id_col": id_col})
+    else:
+        if num_partitions is None:
+            cpus = (int(_ray.cluster_resources().get("CPU", 8))
+                    if _ray.is_initialized() else 8)
+            num_partitions = max(2, cpus // 2)
+        joined = assign.join(quality, "inner", num_partitions, on=(id_col,))
     return joined.groupby("cluster_id").map_groups(
         partial(_pick_best, id_col=id_col), batch_format="pyarrow")
