@@ -717,6 +717,27 @@ SELECT e.event_id, e.event_type, e.ts_sec, r.bucket AS asof_bucket,
        r.count AS asof_count, r.sum_cents AS asof_sum_cents
 FROM e ASOF JOIN r ON e.event_type = r.event_type AND e.ts_sec >= r.bucket
 """.format(sec=_EV_SEC.format(u=3600)),
+        "ewm_1h": """
+WITH RECURSIVE {series},
+idx AS (
+  SELECT event_type, bucket, CAST(x AS DOUBLE) AS x,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY bucket) - 1 AS i
+  FROM series),
+ewm(event_type, bucket, i, value, ewm_mean) AS (
+  SELECT event_type, bucket, i, x, x FROM idx WHERE i = 0
+  UNION ALL
+  SELECT s.event_type, s.bucket, s.i, s.x, 0.25 * s.x + 0.75 * e.ewm_mean
+  FROM ewm e JOIN idx s ON s.event_type = e.event_type AND s.i = e.i + 1)
+SELECT event_type, bucket, value, ewm_mean FROM ewm
+""".format(series=_SERIES_1H),
+        "value_quantiles": """
+WITH sec AS ({sec})
+SELECT event_type, COUNT(*) AS n_vals,
+       quantile_disc(cents, 0.5) AS p500,
+       quantile_disc(cents, 0.9) AS p900,
+       quantile_disc(cents, 0.99) AS p990
+FROM sec GROUP BY event_type
+""".format(sec=_EV_SEC.format(u=3600)),
         "range_join_anomalies": """
 WITH sec AS ({sec}),
 agg AS (SELECT event_type, bucket, COUNT(*) AS x FROM sec GROUP BY event_type, bucket),

@@ -1034,6 +1034,48 @@ def q_asof_join_1h(sf_dir: str):
     )
 
 
+def q_ewm_1h(sf_dir: str):
+    """Exponentially weighted mean (adjust=False recursion, alpha=0.25)
+    over gap-filled hourly counts per event_type. alpha and 1-alpha are
+    exact binary fractions and the kernel's a*x + b*acc tree is
+    mirrored literally by the recursive-CTE oracle, so every double
+    matches bitwise."""
+    from ..stages.rolling import ewm_mean
+
+    out = ewm_mean(_hourly_count_series(sf_dir), value_col="value",
+                   key_col="event_type", time_col="bucket", alpha=0.25)
+
+    def _cast(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": batch["event_type"],
+            "bucket": batch["bucket"].cast(pa.int64()),
+            "value": batch["value"].cast(pa.float64()),
+            "ewm_mean": batch["ewm_mean"].cast(pa.float64()),
+        })
+
+    return out.map_batches(_cast, batch_format="pyarrow")
+
+
+def q_value_quantiles(sf_dir: str):
+    """Exact discrete quantiles (p50/p90/p99) of event value cents per
+    event_type — sorted[ceil(q*n)-1], the same definition as DuckDB
+    quantile_disc, over exact integers."""
+    from ..stages.quantiles import group_quantiles
+
+    def _prep(batch: pa.Table) -> pa.Table:
+        cents = np.round(
+            batch["value"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        return pa.table({"event_type": batch["event_type"],
+                         "cents": pa.array(cents, type=pa.int64())})
+
+    ds = ray.data.read_parquet(
+        _events(sf_dir), columns=["event_type", "value"]
+    ).map_batches(_prep, batch_format="pyarrow")
+    return group_quantiles(ds, value_col="cents", key_col="event_type",
+                           qs=(0.5, 0.9, 0.99))
+
+
 def q_range_join_anomalies(sf_dir: str):
     """Range (interval) join: the raw events that fall inside anomalous
     hours — anomaly windows [bucket, bucket+3600) per event_type from
@@ -1096,6 +1138,8 @@ ALL_QUERIES = {
     "asof_join_1h": q_asof_join_1h,
     "sessionize": q_sessionize,
     "range_join_anomalies": q_range_join_anomalies,
+    "ewm_1h": q_ewm_1h,
+    "value_quantiles": q_value_quantiles,
     # Never-yet-driver-sampled queries sort FIRST: the round-3 driver
     # checked only the first 50 of 54 registered queries, skipping
     # exactly the tail of this dict (x11_1h's SQL oracle has never

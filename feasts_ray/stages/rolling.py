@@ -75,3 +75,50 @@ def rolling(
     kernel = _RollingKernel(value_col, key_col, time_col, size, stats,
                             min_periods)
     return ds.groupby(key_col).map_groups(kernel.__call__, batch_format="pandas")
+
+
+class _EwmKernel:
+    def __init__(self, value_col, key_col, time_col, alpha):
+        self.value_col = value_col
+        self.key_col = key_col
+        self.time_col = time_col
+        self.alpha = float(alpha)
+
+    def __call__(self, group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(self.time_col, kind="mergesort")
+        x = g[self.value_col].to_numpy(dtype=np.float64)
+        a, b = self.alpha, 1.0 - self.alpha
+        s = np.empty(len(x))
+        acc = x[0]
+        s[0] = acc
+        # strict order-dependent recurrence: one multiply-add per BUCKET
+        # of one series (not per raw row) — a few thousand steps/key at
+        # hourly grain, far off the corpus-scan hot path. The literal
+        # a*x + b*acc expression tree is mirrored by the recursive-CTE
+        # SQL oracle, so the doubles match bitwise.
+        for i in range(1, len(x)):
+            acc = a * x[i] + b * acc
+            s[i] = acc
+        return pd.DataFrame({
+            self.key_col: g[self.key_col].to_numpy(),
+            self.time_col: g[self.time_col].to_numpy(),
+            self.value_col: x,
+            "ewm_mean": s,
+        })
+
+
+def ewm_mean(
+    ds: "ray.data.Dataset",
+    value_col: str,
+    key_col: str,
+    time_col: str = "bucket",
+    alpha: float = 0.25,
+) -> "ray.data.Dataset":
+    """Exponentially weighted mean per key (adjust=False recursion
+    s_t = alpha*x_t + (1-alpha)*s_{t-1}, seeded s_0 = x_0). Pick an
+    alpha with an exact binary representation (0.25, 0.5, 0.125) when
+    bit-exact SQL-oracle comparison matters: then 1-alpha is exact too
+    and the kernel/SQL expression trees agree to the last ulp."""
+    kernel = _EwmKernel(value_col, key_col, time_col, alpha)
+    return ds.groupby(key_col).map_groups(kernel.__call__,
+                                          batch_format="pandas")

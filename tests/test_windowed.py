@@ -1,0 +1,52 @@
+"""EWMA and exact per-key quantiles (windowed-aggregate family)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import ray.data
+
+from feasts_ray.stages.quantiles import group_quantiles
+from feasts_ray.stages.rolling import ewm_mean
+
+
+def test_ewm_matches_scalar_recursion(ray_session):
+    rng = np.random.default_rng(3)
+    rows = []
+    for key in ("a", "b"):
+        x = rng.integers(0, 50, size=300)
+        rows.append(pd.DataFrame({
+            "k": key, "t": np.arange(300, dtype=np.int64), "v": x}))
+    df = pd.concat(rows, ignore_index=True).sample(frac=1.0, random_state=0)
+    got = ewm_mean(ray.data.from_pandas(df).repartition(4), value_col="v",
+                   key_col="k", time_col="t", alpha=0.25).to_pandas()
+    got = got.sort_values(["k", "t"], ignore_index=True)
+    for key, g in got.groupby("k"):
+        x = g["v"].to_numpy(dtype=np.float64)
+        acc = x[0]
+        want = [acc]
+        for xi in x[1:]:
+            acc = 0.25 * xi + 0.75 * acc
+            want.append(acc)
+        # bitwise: the kernel must run the identical recursion
+        assert (g["ewm_mean"].to_numpy().view(np.int64)
+                == np.array(want).view(np.int64)).all()
+
+
+@pytest.mark.parametrize("n", [1, 2, 3, 7, 10, 101, 1000])
+def test_quantiles_match_duckdb_disc(ray_session, n):
+    import duckdb
+
+    rng = np.random.default_rng(n)
+    v = rng.integers(-1000, 1000, size=n)
+    df = pd.DataFrame({"k": "x", "v": v})
+    got = group_quantiles(ray.data.from_pandas(df), value_col="v",
+                          key_col="k", qs=(0.5, 0.9, 0.99)).to_pandas()
+    con = duckdb.connect()
+    want = con.execute(
+        "SELECT COUNT(*) AS n_vals, quantile_disc(v, 0.5) AS p500, "
+        "quantile_disc(v, 0.9) AS p900, quantile_disc(v, 0.99) AS p990 "
+        "FROM df").df()
+    assert int(got["n_vals"].iloc[0]) == n
+    for c in ("p500", "p900", "p990"):
+        assert int(got[c].iloc[0]) == int(want[c].iloc[0]), (c, n)
