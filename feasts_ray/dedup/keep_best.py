@@ -73,13 +73,13 @@ def dedup_keep_best(
     cluster at the given exact-Jaccard threshold.
 
     The quality⋈assignment join is adaptive (the same explicit-budget
-    pattern as dedup/minhash.py): the per-doc quality table is ~32 B/doc
-    fixed-width, so up to ``broadcast_budget`` (default 256 MB ≈ 8M
-    docs) it is ray.put ONCE as a sorted-id lookup and attached inside
-    map_batches with zero shuffle; past the budget the distributed hash
-    join runs, ``num_partitions`` sized like dedup_exact (default
-    cpus/2 — one aggregator actor per partition must fit the CPU
-    count).
+    pattern as dedup/minhash.py): the per-doc quality table is
+    materialized once and, while its MEASURED arrow bytes (x5 for the
+    driver-side pandas/lut/put copies) fit ``broadcast_budget``, it is
+    ray.put ONCE as a sorted-id lookup and attached inside map_batches
+    with zero shuffle; past the budget the distributed hash join runs,
+    ``num_partitions`` sized like dedup_exact (default cpus/2 — one
+    aggregator actor per partition must fit the CPU count).
     """
     import ray as _ray
 
@@ -89,10 +89,13 @@ def dedup_keep_best(
                                 threshold=threshold, **kwargs)
     quality = ds.map_batches(
         add_quality, batch_format="pyarrow", fn_kwargs={"text_col": text_col}
-    ).select_columns([id_col, "quality_score"])
-    n_docs = ds.count()
-    if n_docs * 32 <= broadcast_budget:
-        qdf = quality.to_pandas()  # bounded by the budget, driver-side once
+    ).select_columns([id_col, "quality_score"]).materialize()
+    # plan by MEASURED arrow bytes of the materialized quality table
+    # (never an extra lineage execution — both paths reuse the
+    # materialization); x5 covers the pandas object-string + sorted-lut
+    # + ray.put copies the broadcast path holds on the driver at once
+    if quality.size_bytes() * 5 <= broadcast_budget:
+        qdf = quality.to_pandas()
         order = np.argsort(qdf[id_col].to_numpy(), kind="mergesort")
         lut = (qdf[id_col].to_numpy()[order],
                qdf["quality_score"].to_numpy(dtype=np.float64)[order])

@@ -37,21 +37,30 @@ from ..state.broadcast import put_once, resolve_broadcast
 
 
 def _build_index(right: pd.DataFrame, key_col: str, time_col: str,
-                 payload: dict[str, str]) -> dict:
-    """{key -> (sorted times int64, {out_col: values in time order})}."""
+                 payload: dict[str, str]) -> tuple[dict, dict]:
+    """({key -> (sorted times int64, {out_col: values in time order})},
+    {out_col -> numpy dtype}). Right times must be UNIQUE per key (the
+    as-of semantics are ambiguous otherwise, and uniqueness is what
+    makes the broadcast and grouped plans trivially identical)."""
     idx: dict = {}
     for key, g in right.groupby(key_col, sort=False):
         t = g[time_col].to_numpy(dtype=np.int64)
         order = np.argsort(t, kind="mergesort")
         t = t[order]
+        if np.any(np.diff(t) == 0):
+            raise ValueError(
+                f"duplicate right-side times for key {key!r}; as-of "
+                "join requires unique (key, time) on the right")
         cols = {out: g[src].to_numpy()[order] for src, out in payload.items()}
         idx[key] = (t, cols)
-    return idx
+    dtypes = {out: np.asarray(right[src].to_numpy()).dtype
+              for src, out in payload.items()}
+    return idx, dtypes
 
 
 def _asof_batch(batch: pa.Table, *, index_ref, key_col: str,
                 time_col: str, out_cols: tuple[str, ...]) -> pa.Table:
-    index = resolve_broadcast(index_ref)
+    index, dtypes = resolve_broadcast(index_ref)
     keys = batch[key_col].to_numpy(zero_copy_only=False)
     ts = batch[time_col].to_numpy(zero_copy_only=False).astype(np.int64)
     n = len(ts)
@@ -76,8 +85,9 @@ def _asof_batch(batch: pa.Table, *, index_ref, key_col: str,
             for name in batch.column_names}
     for out in out_cols:
         vals = out_arrays.get(out)
-        if vals is None:  # no key of this batch had an index entry
-            vals = np.zeros(0, dtype=np.int64)
+        if vals is None:  # no key of this batch had an index entry:
+            # typed empty column so block schemas agree across batches
+            vals = np.zeros(0, dtype=dtypes[out])
             cols[out] = pa.array(vals)
         else:
             cols[out] = pa.array(vals[valid])
@@ -112,7 +122,7 @@ def asof_join_broadcast(
 
 def _interval_batch(batch: pa.Table, *, index_ref, key_col: str,
                     time_col: str, out_cols: tuple[str, ...]) -> pa.Table:
-    index = resolve_broadcast(index_ref)
+    index, dtypes = resolve_broadcast(index_ref)
     keys = batch[key_col].to_numpy(zero_copy_only=False)
     ts = batch[time_col].to_numpy(zero_copy_only=False).astype(np.int64)
     n = len(ts)
@@ -138,7 +148,8 @@ def _interval_batch(batch: pa.Table, *, index_ref, key_col: str,
     for out in ("win_start", "win_end", *out_cols):
         vals = out_arrays.get(out)
         cols_out[out] = pa.array(
-            vals[valid] if vals is not None else np.zeros(0, np.int64))
+            vals[valid] if vals is not None
+            else np.zeros(0, dtypes[out]))  # typed: block schemas agree
     return pa.table(cols_out)
 
 
@@ -176,7 +187,10 @@ def interval_join_broadcast(
         cols = {out: g[src].to_numpy()[order]
                 for src, out in payload.items()}
         idx[key] = (s, e, cols)
-    ref = put_once(idx)
+    dtypes = {"win_start": np.dtype(np.int64), "win_end": np.dtype(np.int64),
+              **{out: np.asarray(intervals[src].to_numpy()).dtype
+                 for src, out in payload.items()}}
+    ref = put_once((idx, dtypes))
     return left.map_batches(
         _interval_batch, batch_format="pyarrow",
         fn_kwargs={"index_ref": ref, "key_col": key_col,
@@ -186,6 +200,11 @@ def interval_join_broadcast(
 
 
 class _GroupedAsofKernel:
+    """Arrow-format kernel: pyarrow blocks keep each column's real type
+    through the null-padded union (a pandas group would coerce
+    right-only int64 columns to float64 via the left rows' nulls and
+    silently lose precision past 2^53 — e.g. microsecond timestamps)."""
+
     def __init__(self, key_col, left_time_col, right_time_col,
                  payload, left_cols):
         self.key_col = key_col
@@ -194,21 +213,31 @@ class _GroupedAsofKernel:
         self.payload = payload
         self.left_cols = left_cols
 
-    def __call__(self, group: pd.DataFrame) -> pd.DataFrame:
-        left = group[group["__side"] == 1]
-        right = group[group["__side"] == 0]
-        t_right = right[self.rt].to_numpy(dtype=np.int64)
+    def __call__(self, group: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        is_left = pc.equal(group["__side"], 1)
+        left = group.filter(is_left)
+        right = group.filter(pc.invert(is_left))
+        t_right = right[self.rt].to_numpy(zero_copy_only=False).astype(
+            np.int64)
         order = np.argsort(t_right, kind="mergesort")
-        t_right = t_right[order]
-        ts = left[self.lt].to_numpy(dtype=np.int64)
-        pos = np.searchsorted(t_right, ts, side="right") - 1
+        t_sorted = t_right[order]
+        if np.any(np.diff(t_sorted) == 0):
+            raise ValueError(
+                "duplicate right-side times in as-of group; as-of join "
+                "requires unique (key, time) on the right")
+        ts = left[self.lt].to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.searchsorted(t_sorted, ts, side="right") - 1
         valid = pos >= 0
-        out = {c: left[c].to_numpy()[valid] for c in self.left_cols}
-        safe = np.maximum(pos[valid], 0)
+        vmask = pa.array(valid)
+        # right-row original indices of each match; .take preserves the
+        # exact arrow type of every payload column
+        take = pa.array(order[pos[valid]], type=pa.int64())
+        out = {c: left[c].filter(vmask) for c in self.left_cols}
         for src, name in self.payload.items():
-            vals = right[src].to_numpy()[order]
-            out[name] = vals[safe]
-        return pd.DataFrame(out)
+            out[name] = right[src].take(take)
+        return pa.table(out)
 
 
 def asof_join_grouped(
@@ -238,20 +267,25 @@ def asof_join_grouped(
     left = left.select_columns(left_cols).map_batches(
         _tag(1), batch_format="pyarrow")
 
-    def _pad(cols):
+    def _pad(types: dict):
         def _f(batch: pa.Table) -> pa.Table:
-            for c in cols:
+            for c, typ in types.items():
                 if c not in batch.column_names:
+                    # pad with the column's REAL type from the side that
+                    # has it, so the union's schemas unify for any dtype
                     batch = batch.append_column(
-                        c, pa.nulls(batch.num_rows, type=pa.int64()))
+                        c, pa.nulls(batch.num_rows, type=typ))
             return batch.select(sorted(batch.column_names))
         return _f
 
-    all_cols = sorted(set(left_cols) | set(r_cols) | {"__side"})
-    left = left.map_batches(_pad(all_cols), batch_format="pyarrow")
-    right = right.map_batches(_pad(all_cols), batch_format="pyarrow")
+    types = {f.name: f.type for f in left.schema().base_schema}
+    for f in right.schema().base_schema:
+        types.setdefault(f.name, f.type)
+    types["__side"] = pa.int8()
+    left = left.map_batches(_pad(types), batch_format="pyarrow")
+    right = right.map_batches(_pad(types), batch_format="pyarrow")
     both = left.union(right)
     kernel = _GroupedAsofKernel(key_col, left_time_col, right_time_col,
                                 payload, left_cols)
     return both.groupby(key_col).map_groups(kernel.__call__,
-                                            batch_format="pandas")
+                                            batch_format="pyarrow")

@@ -68,6 +68,58 @@ def test_asof_broadcast_matches_naive_and_grouped(ray_session, sides):
                                   check_dtype=False)
 
 
+def test_asof_nonint_payload_and_unmatched_partition(ray_session):
+    """Typed payloads survive both plans (float64 + string), including
+    blocks where NO key matches the broadcast index (the empty-fallback
+    column must carry the payload's real type, not int64)."""
+    left_pd = pd.DataFrame({
+        "key": ["a", "a", "zz", "zz"], "t": [5, 50, 7, 8],
+        "row_id": np.arange(4, dtype=np.int64)})
+    right_pd = pd.DataFrame({
+        "key": ["a", "a"], "t": [4, 40],
+        "score": [0.25, 0.75], "tag": ["lo", "hi"]})
+    payload = {"t": "asof_t", "score": "asof_score", "tag": "asof_tag"}
+    # repartition(4) gives single-row blocks -> the zz-only blocks hit
+    # the no-match fallback path
+    left = ray.data.from_pandas(left_pd).repartition(4)
+    got_b = asof_join_broadcast(
+        left, right_pd, key_col="key", left_time_col="t",
+        right_time_col="t", payload=payload).to_pandas()
+    got_g = asof_join_grouped(
+        left, ray.data.from_pandas(right_pd).repartition(2),
+        key_col="key", left_time_col="t", right_time_col="t",
+        payload=payload).to_pandas()
+    for got in (got_b, got_g):
+        got = got.sort_values("t", ignore_index=True)
+        assert got["t"].tolist() == [5, 50]
+        assert got["asof_score"].tolist() == [0.25, 0.75]
+        assert got["asof_tag"].tolist() == ["lo", "hi"]
+        assert got["asof_score"].dtype == np.float64
+        assert got["asof_t"].dtype == np.int64
+
+
+def test_asof_grouped_keeps_int64_precision(ray_session):
+    """Values beyond 2^53 must survive the grouped plan's null-padded
+    union (pandas group blocks would coerce them through float64)."""
+    big = (1 << 60) + 12345
+    left = ray.data.from_pandas(pd.DataFrame(
+        {"key": ["a"], "t": [100]}))
+    right = ray.data.from_pandas(pd.DataFrame(
+        {"key": ["a"], "t": [90], "val": np.array([big], dtype=np.int64)}))
+    got = asof_join_grouped(
+        left, right, key_col="key", left_time_col="t",
+        right_time_col="t", payload={"val": "asof_val"}).to_pandas()
+    assert got["asof_val"].tolist() == [big]
+
+
+def test_asof_rejects_duplicate_right_times(ray_session):
+    left = ray.data.from_pandas(pd.DataFrame({"key": ["a"], "t": [10]}))
+    dup = pd.DataFrame({"key": ["a", "a"], "t": [5, 5], "val": [1, 2]})
+    with pytest.raises(ValueError, match="unique"):
+        asof_join_broadcast(left, dup, key_col="key", left_time_col="t",
+                            right_time_col="t", payload={"val": "v"})
+
+
 def test_asof_inner_drops_preindex_rows(ray_session):
     left = ray.data.from_pandas(pd.DataFrame(
         {"key": ["a", "a", "zz"], "t": [5, 50, 10]}))
@@ -129,9 +181,9 @@ def test_sessionize_gaps_and_ties(ray_session):
     assert got["sum_v"].tolist() == [3, 7, 5, 13]
 
 
-def test_asof_and_sessionize_driver_bit_exact(ray_session):
-    """The full driver-contract compare for the two new queries (kept
-    out of FAST_ORACLE_QUERIES to keep that param list stable)."""
+def test_new_ops_driver_bit_exact(ray_session):
+    """The full driver-contract compare for the session's new queries
+    (kept out of FAST_ORACLE_QUERIES to keep that param list stable)."""
     import sys
     from pathlib import Path
 
@@ -143,7 +195,8 @@ def test_asof_and_sessionize_driver_bit_exact(ray_session):
     sf = "/root/testdata/sf0.001"
     con = duckdb.connect()
     con.sql(f"CREATE VIEW events AS SELECT * FROM '{sf}/events.parquet'")
-    for name in ("asof_join_1h", "sessionize"):
+    for name in ("asof_join_1h", "sessionize", "range_join_anomalies",
+                 "ewm_1h", "value_quantiles"):
         ours = e.queries()[name](sf)
         if isinstance(ours, ray.data.Dataset):
             ours = ours.to_pandas()
