@@ -37,61 +37,76 @@ from ..state.broadcast import put_once, resolve_broadcast
 
 
 def _build_index(right: pd.DataFrame, key_col: str, time_col: str,
-                 payload: dict[str, str]) -> tuple[dict, dict]:
-    """({key -> (sorted times int64, {out_col: values in time order})},
-    {out_col -> numpy dtype}). Right times must be UNIQUE per key (the
-    as-of semantics are ambiguous otherwise, and uniqueness is what
-    makes the broadcast and grouped plans trivially identical)."""
+                 payload: dict[str, str],
+                 end_col: str | None = None) -> tuple[dict, dict]:
+    """Broadcast lookup index shared by the as-of and interval plans:
+    ({key -> (sorted times, ends-or-None, {out_col: values in time
+    order})}, {out_col -> numpy dtype}).
+
+    ``end_col`` None = as-of (right times must be UNIQUE per key — the
+    semantics are ambiguous otherwise, and uniqueness is what makes the
+    broadcast and grouped plans trivially identical); set = half-open
+    intervals (must be non-overlapping per key)."""
     idx: dict = {}
     for key, g in right.groupby(key_col, sort=False):
         t = g[time_col].to_numpy(dtype=np.int64)
         order = np.argsort(t, kind="mergesort")
         t = t[order]
-        if np.any(np.diff(t) == 0):
-            raise ValueError(
-                f"duplicate right-side times for key {key!r}; as-of "
-                "join requires unique (key, time) on the right")
+        if end_col is None:
+            ends = None
+            if np.any(np.diff(t) == 0):
+                raise ValueError(
+                    f"duplicate right-side times for key {key!r}; as-of "
+                    "join requires unique (key, time) on the right")
+        else:
+            ends = g[end_col].to_numpy(dtype=np.int64)[order]
+            if np.any(ends[:-1] > t[1:]):
+                raise ValueError(f"overlapping intervals for key {key!r}")
         cols = {out: g[src].to_numpy()[order] for src, out in payload.items()}
-        idx[key] = (t, cols)
+        idx[key] = (t, ends, cols)
     dtypes = {out: np.asarray(right[src].to_numpy()).dtype
               for src, out in payload.items()}
     return idx, dtypes
 
 
-def _asof_batch(batch: pa.Table, *, index_ref, key_col: str,
-                time_col: str, out_cols: tuple[str, ...]) -> pa.Table:
+def _lookup_batch(batch: pa.Table, *, index_ref, key_col: str,
+                  time_col: str, out_cols: tuple[str, ...]) -> pa.Table:
+    """Shared broadcast kernel: one searchsorted per DISTINCT key in the
+    batch (keys are few: sources / event types), each fully vectorized
+    over its rows. A hit is the latest right time <= t (as-of), plus
+    t < end when the index carries interval ends."""
     index, dtypes = resolve_broadcast(index_ref)
     keys = batch[key_col].to_numpy(zero_copy_only=False)
     ts = batch[time_col].to_numpy(zero_copy_only=False).astype(np.int64)
     n = len(ts)
-    pos = np.full(n, -1, dtype=np.int64)
-    # one searchsorted per DISTINCT key in the batch (keys are few:
-    # sources / event types), each fully vectorized over its rows
+    valid = np.zeros(n, dtype=bool)
     out_arrays: dict[str, np.ndarray] = {}
     for key in pd.unique(keys):
         entry = index.get(key)
         if entry is None:
             continue
-        t_right, cols = entry
+        t_right, ends, cols = entry
         mask = keys == key
         p = np.searchsorted(t_right, ts[mask], side="right") - 1
-        pos[mask] = p
+        safe = np.maximum(p, 0)
+        hit = p >= 0
+        if ends is not None:
+            hit &= ts[mask] < ends[safe]
+        valid[mask] = hit
         for out, vals in cols.items():
             dst = out_arrays.setdefault(
                 out, np.zeros(n, dtype=np.asarray(vals).dtype))
-            dst[mask] = vals[np.maximum(p, 0)]
-    valid = pos >= 0
-    cols = {name: batch[name].filter(pa.array(valid))
-            for name in batch.column_names}
+            dst[mask] = vals[safe]
+    cols_out = {name: batch[name].filter(pa.array(valid))
+                for name in batch.column_names}
     for out in out_cols:
         vals = out_arrays.get(out)
         if vals is None:  # no key of this batch had an index entry:
             # typed empty column so block schemas agree across batches
-            vals = np.zeros(0, dtype=dtypes[out])
-            cols[out] = pa.array(vals)
+            cols_out[out] = pa.array(np.zeros(0, dtype=dtypes[out]))
         else:
-            cols[out] = pa.array(vals[valid])
-    return pa.table(cols)
+            cols_out[out] = pa.array(vals[valid])
+    return pa.table(cols_out)
 
 
 def asof_join_broadcast(
@@ -110,47 +125,13 @@ def asof_join_broadcast(
     ``{"bucket": "asof_bucket", "count": "asof_count"}``). Left rows
     with no right row at-or-before their time are dropped (inner).
     """
-    index = _build_index(right, key_col, right_time_col, payload)
-    ref = put_once(index)
-    out_cols = tuple(payload.values())
+    ref = put_once(_build_index(right, key_col, right_time_col, payload))
     return left.map_batches(
-        _asof_batch, batch_format="pyarrow",
+        _lookup_batch, batch_format="pyarrow",
         fn_kwargs={"index_ref": ref, "key_col": key_col,
-                   "time_col": left_time_col, "out_cols": out_cols},
+                   "time_col": left_time_col,
+                   "out_cols": tuple(payload.values())},
     )
-
-
-def _interval_batch(batch: pa.Table, *, index_ref, key_col: str,
-                    time_col: str, out_cols: tuple[str, ...]) -> pa.Table:
-    index, dtypes = resolve_broadcast(index_ref)
-    keys = batch[key_col].to_numpy(zero_copy_only=False)
-    ts = batch[time_col].to_numpy(zero_copy_only=False).astype(np.int64)
-    n = len(ts)
-    valid = np.zeros(n, dtype=bool)
-    out_arrays: dict[str, np.ndarray] = {}
-    for key in pd.unique(keys):
-        entry = index.get(key)
-        if entry is None:
-            continue
-        starts, ends, cols = entry
-        mask = keys == key
-        p = np.searchsorted(starts, ts[mask], side="right") - 1
-        safe = np.maximum(p, 0)
-        hit = (p >= 0) & (ts[mask] < ends[safe])
-        valid[mask] = hit
-        for out, vals in (("win_start", starts), ("win_end", ends),
-                          *cols.items()):
-            dst = out_arrays.setdefault(
-                out, np.zeros(n, dtype=np.asarray(vals).dtype))
-            dst[mask] = vals[safe]
-    cols_out = {name: batch[name].filter(pa.array(valid))
-                for name in batch.column_names}
-    for out in ("win_start", "win_end", *out_cols):
-        vals = out_arrays.get(out)
-        cols_out[out] = pa.array(
-            vals[valid] if vals is not None
-            else np.zeros(0, dtypes[out]))  # typed: block schemas agree
-    return pa.table(cols_out)
 
 
 def interval_join_broadcast(
@@ -175,27 +156,17 @@ def interval_join_broadcast(
     (validated here) — overlapping inputs would need an interval tree
     or a flatten-first normalization pass.
     """
-    payload = payload or {}
-    idx: dict = {}
-    for key, g in intervals.groupby(key_col, sort=False):
-        s = g[start_col].to_numpy(dtype=np.int64)
-        e = g[end_col].to_numpy(dtype=np.int64)
-        order = np.argsort(s, kind="mergesort")
-        s, e = s[order], e[order]
-        if np.any(e[:-1] > s[1:]):
-            raise ValueError(f"overlapping intervals for key {key!r}")
-        cols = {out: g[src].to_numpy()[order]
-                for src, out in payload.items()}
-        idx[key] = (s, e, cols)
-    dtypes = {"win_start": np.dtype(np.int64), "win_end": np.dtype(np.int64),
-              **{out: np.asarray(intervals[src].to_numpy()).dtype
-                 for src, out in payload.items()}}
-    ref = put_once((idx, dtypes))
+    # the window bounds ride the shared kernel as ordinary payload
+    # columns (win_start = the sorted interval starts themselves)
+    full_payload = {start_col: "win_start", end_col: "win_end",
+                    **(payload or {})}
+    ref = put_once(_build_index(intervals, key_col, start_col,
+                                full_payload, end_col=end_col))
     return left.map_batches(
-        _interval_batch, batch_format="pyarrow",
+        _lookup_batch, batch_format="pyarrow",
         fn_kwargs={"index_ref": ref, "key_col": key_col,
                    "time_col": time_col,
-                   "out_cols": tuple(payload.values())},
+                   "out_cols": tuple(full_payload.values())},
     )
 
 
