@@ -601,7 +601,7 @@ def oracle_sql() -> dict[str, str]:
     from feasts_ray.oracle.arma_sql import (
         arma_roots_sql, irf_sql, tsresiduals_sql)
 
-    return {
+    out = {
         "feat_acf_1h": feat_acf_sql(_SERIES_1H, period=24),
         "feat_pacf_1h": feat_pacf_sql(_SERIES_1H, period=24),
         "unitroot_pp_1h": pp_ztau_sql(_SERIES_1H),
@@ -937,3 +937,9 @@ JOIN series p ON p.event_type = s.event_type AND p.bucket = s.bucket - k.lag * 3
             "(PARTITION BY query_id ORDER BY sim DESC, vec_id) AS \"rank\" FROM sims) "
             "SELECT query_id, \"rank\", vec_id FROM ranked WHERE \"rank\" <= 10"),
     }
+    # The grouped (shuffle) physical plans are pinned bit-identical to
+    # their broadcast siblings, so they share the SAME oracle SQL — the
+    # driver then verifies BOTH plans against DuckDB independently.
+    out["asof_join_grouped_1h"] = out["asof_join_1h"]
+    out["range_join_grouped"] = out["range_join_anomalies"]
+    return out

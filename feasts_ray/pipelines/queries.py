@@ -1034,6 +1034,35 @@ def q_asof_join_1h(sf_dir: str):
     )
 
 
+def q_asof_join_grouped_1h(sf_dir: str):
+    """Same as-of semantics as q_asof_join_1h through the OTHER physical
+    plan — tag + union + one groupby(key) shuffle with a sorted-merge
+    group kernel (stages/joins.py:asof_join_grouped) for when the right
+    side is itself corpus-scale. Shares q_asof_join_1h's DuckDB ASOF
+    JOIN oracle, so the driver pins both plans bit-identical."""
+    from ..stages.joins import asof_join_grouped
+
+    right = rollup_table(_events(sf_dir), HOUR)
+
+    def _secs(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table({
+            "event_id": batch["event_id"],
+            "event_type": batch["event_type"],
+            "ts_sec": pa.array(ts // 1_000_000, type=pa.int64()),
+        })
+
+    left = ray.data.read_parquet(
+        _events(sf_dir), columns=["event_id", "event_type", "ts"]
+    ).map_batches(_secs, batch_format="pyarrow")
+    return asof_join_grouped(
+        left, right, key_col="event_type",
+        left_time_col="ts_sec", right_time_col="bucket",
+        payload={"bucket": "asof_bucket", "count": "asof_count",
+                 "sum_cents": "asof_sum_cents"},
+    )
+
+
 def q_ewm_1h(sf_dir: str):
     """Exponentially weighted mean (adjust=False recursion, alpha=0.25)
     over gap-filled hourly counts per event_type. alpha and 1-alpha are
@@ -1110,6 +1139,38 @@ def q_range_join_anomalies(sf_dir: str):
         start_col="start", end_col="end")
 
 
+def q_range_join_grouped(sf_dir: str):
+    """Same interval-containment semantics as q_range_join_anomalies
+    through the shuffle plan (stages/joins.py:interval_join_grouped) —
+    the plan for a corpus-scale interval side where a broadcast index
+    would blow the driver budget. Shares the BETWEEN-join oracle, so
+    the driver pins both interval plans bit-identical."""
+    from ..stages.joins import interval_join_grouped
+
+    anom = q_anomalies_1h(sf_dir).to_pandas()
+    anom = anom[anom["is_anomaly"]]
+    iv = pd.DataFrame({
+        "event_type": anom["event_type"].to_numpy(),
+        "start": anom["bucket"].to_numpy(dtype=np.int64),
+        "end": anom["bucket"].to_numpy(dtype=np.int64) + HOUR,
+    })
+
+    def _secs(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table({
+            "event_id": batch["event_id"],
+            "event_type": batch["event_type"],
+            "ts_sec": pa.array(ts // 1_000_000, type=pa.int64()),
+        })
+
+    left = ray.data.read_parquet(
+        _events(sf_dir), columns=["event_id", "event_type", "ts"]
+    ).map_batches(_secs, batch_format="pyarrow")
+    return interval_join_grouped(
+        left, ray.data.from_pandas(iv), key_col="event_type",
+        time_col="ts_sec", start_col="start", end_col="end")
+
+
 def q_sessionize(sf_dir: str):
     """Gap-based session windows per user (30 min inactivity splits a
     session): one groupby(user) shuffle, vectorized reduceat kernel.
@@ -1135,26 +1196,34 @@ def q_sessionize(sf_dir: str):
 
 
 ALL_QUERIES = {
-    "asof_join_1h": q_asof_join_1h,
-    "sessionize": q_sessionize,
+    # Never-yet-driver-sampled queries sort FIRST (the driver caps its
+    # CORRECTNESS sample at ~50 of the registered queries, taking them
+    # in registry order): round 5 adds the grouped (shuffle) physical
+    # plans of the as-of and interval joins, sharing their broadcast
+    # siblings' oracles so the driver pins the two plans independently.
+    "asof_join_grouped_1h": q_asof_join_grouped_1h,
+    "range_join_grouped": q_range_join_grouped,
+    # Next: the 10 queries green in r03 but rotated out of the r04
+    # driver sample by the 50-query cap (VERDICT r04 task #2) — they
+    # re-verify this round; the r04-new greens rotate to the tail.
+    "arma_roots_1h": q_arma_roots_1h,
+    "irf_1h": q_irf_1h,
+    "tsdisplay_1h": q_tsdisplay_1h,
+    "tsresiduals_1h": q_tsresiduals_1h,
+    "stl_1h": q_stl_1h,
+    "classical_1h": q_classical_1h,
+    "ccf_1h": q_ccf_1h,
+    "cointegration_1h": q_cointegration_1h,
+    "rolling_24h": q_rolling_24h,
+    "anomalies_1h": q_anomalies_1h,
+    # Greens that keep a sampled slot: touched this round
+    # (dedup_keep_best, range_join_anomalies share kernels with round-5
+    # work) or carry only ONE green round so far (x11_1h,
+    # value_quantiles).
     "range_join_anomalies": q_range_join_anomalies,
-    "ewm_1h": q_ewm_1h,
     "value_quantiles": q_value_quantiles,
-    # Never-yet-driver-sampled queries sort FIRST: the round-3 driver
-    # checked only the first 50 of 54 registered queries, skipping
-    # exactly the tail of this dict (x11_1h's SQL oracle has never
-    # produced a hard driver signal — VERDICT r03 item 1).
-    "word_freq_topk": q_word_freq_topk,
-    "decontaminate": q_decontaminate,
-    "sample_stratified": q_sample_stratified,
     "dedup_keep_best": q_dedup_keep_best,
-    "rollup_1m_incremental": q_rollup_1m_incremental,
-    "embedding_dedup_docs": q_embedding_dedup_docs,
-    "ngram_jaccard_dup_pairs": q_ngram_jaccard_dup_pairs,
     "x11_1h": q_x11_1h,
-    "seasonal_subseries_1h": q_seasonal_subseries_1h,
-    "seasonal_overlay_1h": q_seasonal_overlay_1h,
-    "lag_pairs_1h": q_lag_pairs_1h,
     "rollup_1m": q_rollup_1m,
     "rollup_1h_cascade": q_rollup_1h_cascade,
     "gapfill_1h": q_gapfill_1h,
@@ -1189,16 +1258,22 @@ ALL_QUERIES = {
     "arch_lm_1h": q_arch_lm_1h,
     "acf_table_1h": q_acf_table_1h,
     "pacf_table_1h": q_pacf_table_1h,
-    "arma_roots_1h": q_arma_roots_1h,
-    "irf_1h": q_irf_1h,
-    "tsdisplay_1h": q_tsdisplay_1h,
-    "tsresiduals_1h": q_tsresiduals_1h,
-    "stl_1h": q_stl_1h,
-    "classical_1h": q_classical_1h,
-    "ccf_1h": q_ccf_1h,
-    "cointegration_1h": q_cointegration_1h,
-    "rolling_24h": q_rolling_24h,
-    "anomalies_1h": q_anomalies_1h,
+    # Oracle-backed queries green in BOTH r03-era and r04 (two
+    # consecutive hard signals, kernels unchanged) rotate past the
+    # driver's ~50-query cap this round so the r03-only greens above
+    # can re-verify; each stays suite-pinned.
+    "asof_join_1h": q_asof_join_1h,
+    "sessionize": q_sessionize,
+    "ewm_1h": q_ewm_1h,
+    "word_freq_topk": q_word_freq_topk,
+    "decontaminate": q_decontaminate,
+    "sample_stratified": q_sample_stratified,
+    "rollup_1m_incremental": q_rollup_1m_incremental,
+    "embedding_dedup_docs": q_embedding_dedup_docs,
+    "ngram_jaccard_dup_pairs": q_ngram_jaccard_dup_pairs,
+    "seasonal_subseries_1h": q_seasonal_subseries_1h,
+    "seasonal_overlay_1h": q_seasonal_overlay_1h,
+    "lag_pairs_1h": q_lag_pairs_1h,
     # The 6 principled no-oracle queries (approximate recall / media /
     # optimizer outputs — see __ray_entry__.oracle_sql) sort LAST: when
     # the driver caps its sampled list, every sampled query is an

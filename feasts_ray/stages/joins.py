@@ -22,7 +22,11 @@ distributed operator with two physical plans picked by right-side size:
   right row before each range boundary is duplicated into the next
   range), which preserves as-of semantics exactly.
 
-Both plans produce identical rows (pinned in tests/test_joins.py).
+The interval (range) join gets the same two plans:
+``interval_join_broadcast`` for a small window table (anomaly spans,
+holdout ranges) and ``interval_join_grouped`` for a corpus-scale one
+(per-key maintenance windows) — both pinned identical in
+tests/test_joins.py, like the as-of pair.
 """
 
 from __future__ import annotations
@@ -174,15 +178,22 @@ class _GroupedAsofKernel:
     """Arrow-format kernel: pyarrow blocks keep each column's real type
     through the null-padded union (a pandas group would coerce
     right-only int64 columns to float64 via the left rows' nulls and
-    silently lose precision past 2^53 — e.g. microsecond timestamps)."""
+    silently lose precision past 2^53 — e.g. microsecond timestamps).
+
+    ``end_col`` None = as-of semantics (latest right time <= t; right
+    times must be unique per key); set = half-open interval semantics
+    (keep left rows with start <= t < end; intervals must be
+    non-overlapping per key) — the same dual contract as
+    :func:`_build_index` on the broadcast plans."""
 
     def __init__(self, key_col, left_time_col, right_time_col,
-                 payload, left_cols):
+                 payload, left_cols, end_col=None):
         self.key_col = key_col
         self.lt = left_time_col
         self.rt = right_time_col
         self.payload = payload
         self.left_cols = left_cols
+        self.end_col = end_col
 
     def __call__(self, group: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -194,13 +205,23 @@ class _GroupedAsofKernel:
             np.int64)
         order = np.argsort(t_right, kind="mergesort")
         t_sorted = t_right[order]
-        if np.any(np.diff(t_sorted) == 0):
-            raise ValueError(
-                "duplicate right-side times in as-of group; as-of join "
-                "requires unique (key, time) on the right")
+        if self.end_col is None:
+            ends = None
+            if np.any(np.diff(t_sorted) == 0):
+                raise ValueError(
+                    "duplicate right-side times in as-of group; as-of "
+                    "join requires unique (key, time) on the right")
+        else:
+            ends = right[self.end_col].to_numpy(
+                zero_copy_only=False).astype(np.int64)[order]
+            if np.any(ends[:-1] > t_sorted[1:]):
+                key = group[self.key_col][0]
+                raise ValueError(f"overlapping intervals for key {key!r}")
         ts = left[self.lt].to_numpy(zero_copy_only=False).astype(np.int64)
         pos = np.searchsorted(t_sorted, ts, side="right") - 1
         valid = pos >= 0
+        if ends is not None and len(ends):
+            valid &= ts < ends[np.maximum(pos, 0)]
         vmask = pa.array(valid)
         # right-row original indices of each match; .take preserves the
         # exact arrow type of every payload column
@@ -211,18 +232,10 @@ class _GroupedAsofKernel:
         return pa.table(out)
 
 
-def asof_join_grouped(
-    left: "ray.data.Dataset",
-    right: "ray.data.Dataset",
-    *,
-    key_col: str,
-    left_time_col: str,
-    right_time_col: str,
-    payload: dict[str, str],
-) -> "ray.data.Dataset":
-    """As-of join two big Datasets: tag + union + one groupby(key)
-    shuffle, sorted merge inside ``map_groups``. Same output as
-    :func:`asof_join_broadcast` (pinned in tests)."""
+def _tag_pad_union(left, right, key_col, r_cols):
+    """Shared physical plan prefix of the grouped joins: tag each side,
+    null-pad to a common schema (preserving every column's REAL Arrow
+    type), union into one Dataset ready for the groupby(key) shuffle."""
     left_cols = [c for c in left.schema().names]
 
     def _tag(side: int):
@@ -232,8 +245,7 @@ def asof_join_grouped(
         return _f
 
     # align schemas: union needs identical columns on both sides
-    r_cols = sorted({key_col, right_time_col, *payload})
-    right = right.select_columns(r_cols).map_batches(
+    right = right.select_columns(sorted(r_cols)).map_batches(
         _tag(0), batch_format="pyarrow")
     left = left.select_columns(left_cols).map_batches(
         _tag(1), batch_format="pyarrow")
@@ -255,8 +267,58 @@ def asof_join_grouped(
     types["__side"] = pa.int8()
     left = left.map_batches(_pad(types), batch_format="pyarrow")
     right = right.map_batches(_pad(types), batch_format="pyarrow")
-    both = left.union(right)
+    return left.union(right), left_cols
+
+
+def asof_join_grouped(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    *,
+    key_col: str,
+    left_time_col: str,
+    right_time_col: str,
+    payload: dict[str, str],
+) -> "ray.data.Dataset":
+    """As-of join two big Datasets: tag + union + one groupby(key)
+    shuffle, sorted merge inside ``map_groups``. Same output as
+    :func:`asof_join_broadcast` (pinned in tests)."""
+    both, left_cols = _tag_pad_union(
+        left, right, key_col, {key_col, right_time_col, *payload})
     kernel = _GroupedAsofKernel(key_col, left_time_col, right_time_col,
                                 payload, left_cols)
+    return both.groupby(key_col).map_groups(kernel.__call__,
+                                            batch_format="pyarrow")
+
+
+def interval_join_grouped(
+    left: "ray.data.Dataset",
+    intervals: "ray.data.Dataset",
+    *,
+    key_col: str,
+    time_col: str,
+    start_col: str,
+    end_col: str,
+    payload: dict[str, str] | None = None,
+) -> "ray.data.Dataset":
+    """Interval join two big Datasets — the shuffle plan for when the
+    interval side is itself corpus-scale (per-key maintenance windows,
+    billions of rows) and a broadcast index would blow the driver
+    budget. Tag + union + ONE groupby(key) shuffle; the group kernel
+    sorts the key's intervals once and answers every left row with a
+    single searchsorted + half-open end check. Same output as
+    :func:`interval_join_broadcast` (pinned in tests/test_joins.py).
+
+    Partitioning assumption (same as every grouped kernel here): one
+    key's rows fit in a group. A key that outgrows a worker would be
+    salted by time range with interval replication across range
+    boundaries (an interval spanning a boundary lands in both ranges),
+    which preserves containment semantics exactly."""
+    full_payload = {start_col: "win_start", end_col: "win_end",
+                    **(payload or {})}
+    both, left_cols = _tag_pad_union(
+        left, intervals, key_col,
+        {key_col, start_col, end_col, *full_payload})
+    kernel = _GroupedAsofKernel(key_col, time_col, start_col,
+                                full_payload, left_cols, end_col=end_col)
     return both.groupby(key_col).map_groups(kernel.__call__,
                                             batch_format="pyarrow")

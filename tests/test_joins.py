@@ -161,6 +161,47 @@ def test_interval_join_halfopen_contiguous_overlap(ray_session):
             key_col="key", time_col="t", start_col="s", end_col="e")
 
 
+def test_interval_grouped_matches_broadcast(ray_session):
+    """The shuffle plan for big interval sides (VERDICT r04 missing #1)
+    must produce the identical row set as the broadcast plan, across
+    randomized non-overlapping windows, keys with no intervals, and
+    intervals with no left rows."""
+    from feasts_ray.stages.joins import (interval_join_broadcast,
+                                         interval_join_grouped)
+
+    rng = np.random.default_rng(11)
+    n_left = 4000
+    left_pd = pd.DataFrame({
+        "key": rng.choice(["a", "b", "c", "noiv"], size=n_left),
+        "t": rng.integers(0, 100_000, size=n_left),
+        "row_id": np.arange(n_left, dtype=np.int64),
+    })
+    ivs = []
+    for key in ["a", "b", "c", "leftless"]:
+        # random non-overlapping half-open windows from sorted cuts
+        cuts = np.sort(rng.choice(100_000, size=40, replace=False))
+        for s, e in zip(cuts[::2], cuts[1::2]):
+            ivs.append((key, int(s), int(e), f"{key}:{s}"))
+    iv_pd = pd.DataFrame(ivs, columns=["key", "s", "e", "label"])
+    left = ray.data.from_pandas(left_pd).repartition(5)
+    kw = dict(key_col="key", time_col="t", start_col="s", end_col="e",
+              payload={"label": "win_label"})
+    got_b = interval_join_broadcast(left, iv_pd, **kw).to_pandas()
+    got_g = interval_join_grouped(
+        left, ray.data.from_pandas(iv_pd).repartition(3), **kw).to_pandas()
+    assert len(got_b) > 0
+    pd.testing.assert_frame_equal(_canon(got_b), _canon(got_g),
+                                  check_dtype=False)
+    # int64 precision through the null-padded union (like the as-of pin)
+    assert got_g["win_start"].dtype == np.int64
+    # the grouped plan rejects overlap too
+    bad = pd.DataFrame({"key": ["a", "a"], "s": [5, 8], "e": [10, 12]})
+    with pytest.raises(Exception, match="overlapping"):
+        interval_join_grouped(
+            left, ray.data.from_pandas(bad), key_col="key", time_col="t",
+            start_col="s", end_col="e").to_pandas()
+
+
 def test_sessionize_gaps_and_ties(ray_session):
     # user 1: gaps 10,200,10 with gap=100 -> sessions {0,1},{2,3};
     # user 2: single event; user 3: tie timestamps stay one session
