@@ -942,4 +942,24 @@ JOIN series p ON p.event_type = s.event_type AND p.bucket = s.bucket - k.lag * 3
     # driver then verifies BOTH plans against DuckDB independently.
     out["asof_join_grouped_1h"] = out["asof_join_1h"]
     out["range_join_grouped"] = out["range_join_anomalies"]
+    # Two-measure rollup: the Ray side decodes its result rows back OUT
+    # of the kernel-written Gorilla/dod blobs, so a hash match here also
+    # proves the multi-measure blob round-trip lossless. Means mirror the
+    # engine's expression tree: (CAST(sum AS DOUBLE)/count)[/scale].
+    out["rollup_daily_multi"] = """
+WITH t AS (
+  SELECT l_returnflag,
+         (epoch_us(l_shipdate) // 1000000 // 86400) * 86400 AS bucket,
+         CAST(ROUND(l_quantity) AS BIGINT) AS qty,
+         CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents
+  FROM lineitem)
+SELECT l_returnflag, bucket, COUNT(*) AS count,
+       CAST(SUM(qty) AS BIGINT) AS sum_qty,
+       MIN(qty) AS min_qty, MAX(qty) AS max_qty,
+       CAST(SUM(qty) AS DOUBLE) / COUNT(*) AS mean_qty,
+       CAST(SUM(cents) AS BIGINT) AS sum_price_cents,
+       MIN(cents) AS min_price_cents, MAX(cents) AS max_price_cents,
+       (CAST(SUM(cents) AS DOUBLE) / COUNT(*)) / 100.0 AS mean_price
+FROM t GROUP BY l_returnflag, bucket
+"""
     return out

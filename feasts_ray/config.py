@@ -59,7 +59,11 @@ DEFAULT_SALT = 8
 @dataclass
 class RollupConfig:
     tiers: tuple[Tier, ...] = TIERS
-    value_col: str = "n_tok"
+    # ONE measure column (str, legacy bare sum/min/max/mean point names)
+    # or SEVERAL (tuple -> sum_<m>/min_<m>/max_<m>/mean_<m> per measure
+    # with one shared count; the tier kernel shares the grouping argsort
+    # across measures so k measures cost one scan + one shuffle, not k)
+    value_col: str | tuple[str, ...] = "n_tok"
     series_key: str = SERIES_KEY
     segment_points: int = SEGMENT_POINTS
     gap_fill: bool = True
@@ -75,3 +79,22 @@ class RollupConfig:
     # ingest at 10^12 sequences touches O(1) partitions instead of
     # streaming every rolled point through a full rewrite.
     points_partition_segs: int = 16
+
+    @property
+    def measures(self) -> tuple[str, ...] | None:
+        """None = legacy single-measure contract; tuple of measure names
+        when value_col lists several columns (tier_kernel convention)."""
+        return None if isinstance(self.value_col, str) else tuple(self.value_col)
+
+    @property
+    def value_cols(self) -> tuple[str, ...]:
+        """Input measure columns as a tuple regardless of config form."""
+        return (self.value_col,) if isinstance(self.value_col, str) \
+            else tuple(self.value_col)
+
+    @property
+    def partial_cols(self) -> tuple[str, ...]:
+        """Point/partial aggregate column names (after count)."""
+        sfx = ("",) if isinstance(self.value_col, str) \
+            else tuple(f"_{m}" for m in self.value_col)
+        return tuple(f"{c}{x}" for x in sfx for c in ("sum", "min", "max"))

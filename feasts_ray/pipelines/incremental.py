@@ -337,6 +337,14 @@ def run_rollup_incremental(
     merge path ran.
     """
     cfg = cfg or RollupConfig()
+    if cfg.measures is not None:
+        # the selective-merge bookkeeping still assumes the legacy bare
+        # point columns; multi-measure ingest = full recompute until the
+        # merge path learns the suffixed columns (mechanical, see
+        # stages/tier_kernel.measure_suffixes)
+        raise NotImplementedError(
+            "incremental ingest supports single-measure configs; "
+            "run run_rollup (full) for multi-measure tiers")
     cfg_dict = _cfg_dict(cfg, encode)
     inv_now = _file_inventory(input_path)
     new_lineage = ckpt.lineage_hash(input_path, cfg_dict, inventory=inv_now)

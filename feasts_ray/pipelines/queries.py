@@ -82,6 +82,54 @@ def q_rollup_1m_incremental(sf_dir: str):
     return rollup_table_ingest(old, str(base / "new.parquet"), MIN)
 
 
+def q_rollup_daily_multi(sf_dir: str):
+    """Two-measure rollup (VERDICT r04 missing #3): daily lineitem per
+    returnflag rolls up qty AND price-cents in ONE scan + ONE shuffle
+    (the multi-measure tier kernel shares the grouping argsort across
+    measures), routed THROUGH the kernel's blob write: the result rows
+    are DECODED back from the Gorilla/dod segment blobs, so the
+    driver's hash-match against the plain GROUP-BY-two-aggregates
+    oracle also proves the blob round-trip lossless for both measures
+    (mean is stored as the exact double s/cnt; the /scale applied after
+    decode is the identical IEEE op the direct derive would run)."""
+    import hashlib
+    import shutil
+    from pathlib import Path
+
+    from ..stages.encode import decode_segments
+    from .events import rollup_table_multi
+
+    tag = hashlib.sha256(sf_dir.encode()).hexdigest()[:12]
+    blobs = Path(f"/tmp/feasts_ray_multi_blobs/{tag}")
+    if blobs.exists():
+        shutil.rmtree(blobs)
+    measures = (("qty", "l_quantity", 1), ("price", "l_extendedprice", 100))
+    rolled = rollup_table_multi(
+        f"{sf_dir}/lineitem.parquet", DAY, key_col="l_returnflag",
+        ts_col="l_shipdate", measures=measures, blobs_dir=str(blobs))
+    rolled.materialize()  # runs the kernel -> blob files land under tag dir
+
+    def _decode(batch: pa.Table) -> pa.Table:
+        pdf = decode_segments(batch, key_col="l_returnflag",
+                              measures=("qty", "price"))
+        return pa.table({
+            "l_returnflag": pa.array(pdf["l_returnflag"]),
+            "bucket": pa.array(pdf["bucket"].to_numpy(np.int64)),
+            "count": pa.array(pdf["count"].to_numpy(np.int64)),
+            "sum_qty": pa.array(pdf["sum_qty"].to_numpy(np.int64)),
+            "min_qty": pa.array(pdf["min_qty"].to_numpy(np.float64).astype(np.int64)),
+            "max_qty": pa.array(pdf["max_qty"].to_numpy(np.float64).astype(np.int64)),
+            "mean_qty": pa.array(pdf["mean_qty"].to_numpy(np.float64)),
+            "sum_price_cents": pa.array(pdf["sum_price"].to_numpy(np.int64)),
+            "min_price_cents": pa.array(pdf["min_price"].to_numpy(np.float64).astype(np.int64)),
+            "max_price_cents": pa.array(pdf["max_price"].to_numpy(np.float64).astype(np.int64)),
+            "mean_price": pa.array(pdf["mean_price"].to_numpy(np.float64) / 100.0),
+        })
+
+    return ray.data.read_parquet(str(blobs)).map_batches(
+        _decode, batch_format="pyarrow")
+
+
 def q_rollup_1h_cascade(sf_dir: str):
     """1h tier derived purely by re-aggregating the 1m tier (cascade)."""
     return rollup_table(_events(sf_dir), HOUR, cascade_from_s=MIN)
@@ -1203,6 +1251,7 @@ ALL_QUERIES = {
     # siblings' oracles so the driver pins the two plans independently.
     "asof_join_grouped_1h": q_asof_join_grouped_1h,
     "range_join_grouped": q_range_join_grouped,
+    "rollup_daily_multi": q_rollup_daily_multi,
     # Next: the 10 queries green in r03 but rotated out of the r04
     # driver sample by the 50-query cap (VERDICT r04 task #2) — they
     # re-verify this round; the r04-new greens rotate to the tail.
@@ -1221,7 +1270,6 @@ ALL_QUERIES = {
     # work) or carry only ONE green round so far (x11_1h,
     # value_quantiles).
     "range_join_anomalies": q_range_join_anomalies,
-    "value_quantiles": q_value_quantiles,
     "dedup_keep_best": q_dedup_keep_best,
     "x11_1h": q_x11_1h,
     "rollup_1m": q_rollup_1m,
@@ -1265,6 +1313,7 @@ ALL_QUERIES = {
     "asof_join_1h": q_asof_join_1h,
     "sessionize": q_sessionize,
     "ewm_1h": q_ewm_1h,
+    "value_quantiles": q_value_quantiles,
     "word_freq_topk": q_word_freq_topk,
     "decontaminate": q_decontaminate,
     "sample_stratified": q_sample_stratified,

@@ -350,7 +350,9 @@ def run_rollup(
                 shutil.rmtree(d)
         t0 = time.perf_counter()
         if k == 0:
-            ds = read_token_table(input_path)
+            ds = read_token_table(
+                input_path,
+                columns=("doc_id", *cfg.value_cols, cfg.series_key))
             ds = ds.map_batches(add_time_columns, batch_format="pyarrow")
             ds = ds.map_batches(
                 partial_rollup_batch,
@@ -394,10 +396,11 @@ def run_rollup(
             nblk = 1 if single else max(cpus, prev_bytes // (128 << 20))
             ds = ray.data.read_parquet(
                 str(prev_points),
-                columns=[cfg.series_key, "bucket", "count", "sum", "min", "max"],
+                columns=[cfg.series_key, "bucket", "count", *cfg.partial_cols],
                 override_num_blocks=nblk,
             ).map_batches(
-                cascade_batch, batch_format="pyarrow", fn_kwargs={"unit_s": tier.unit_s}
+                cascade_batch, batch_format="pyarrow",
+                fn_kwargs={"unit_s": tier.unit_s, "measures": cfg.measures}
             )
         # Spans (per-key bucket domain) are only needed for gap-filled
         # tiers. The raw tier is not gap-filled, so it streams straight
@@ -418,6 +421,7 @@ def run_rollup(
             blobs_dir=str(blobs_dir) if encode else None,
             key_col=cfg.series_key,
             single_block=(k > 0 and single),
+            measures=cfg.measures,
         )
         # The next tier re-reads this tier's parquet. Measured:
         # materializing points for in-memory reuse UN-fuses the write

@@ -90,11 +90,20 @@ def encode_tier(
     )
 
 
-def decode_segments(blob_rows: pa.Table | pd.DataFrame, key_col: str = "source") -> pd.DataFrame:
+def decode_segments(blob_rows: pa.Table | pd.DataFrame, key_col: str = "source",
+                    measures: tuple[str, ...] | None = None) -> pd.DataFrame:
     """Decode blob rows back to long (source, bucket, count, sum, min, max,
-    mean) form — used for the bit-exactness invariant and as a reader."""
+    mean) form — used for the bit-exactness invariant and as a reader.
+
+    ``measures``: decode a multi-measure blob (tier_kernel._write_blob
+    with measures set) — per measure the columns are sum_<m>/min_<m>/
+    max_<m>/mean_<m>, count is shared."""
     if isinstance(blob_rows, pa.Table):
         blob_rows = blob_rows.to_pandas()
+    sfx = ("",) if measures is None else tuple(f"_{m}" for m in measures)
+    int_cols = ["count"] + [f"sum{x}" for x in sfx]
+    nint_cols = [f"{c}{x}" for x in sfx for c in ("min", "max")]
+    nflt_cols = [f"mean{x}" for x in sfx]
     # row loop is fine here: one iteration decodes a whole 4096-point
     # segment (vectorized inside the codecs), so Python overhead is
     # ~0.02% of the work; the lockstep batch decoder (codecs.intcodec.
@@ -104,17 +113,18 @@ def decode_segments(blob_rows: pa.Table | pd.DataFrame, key_col: str = "source")
     for i in range(len(blob_rows)):
         buckets = decode_ints(blob_rows["bucket_blob"].iat[i])
         d = {key_col: cols[i], "bucket": buckets}
-        for c in _INT_COLS:
+        for c in int_cols:
             d[c] = decode_ints(blob_rows[f"{c}_blob"].iat[i])
-        for c in _FLOAT_COLS:
-            if c in ("min", "max"):
-                vals, _ = decode_nullable_ints(blob_rows[f"{c}_blob"].iat[i])
-            else:
-                vals, _ = decode_nullable_floats(blob_rows[f"{c}_blob"].iat[i])
+        for c in nint_cols:
+            vals, _ = decode_nullable_ints(blob_rows[f"{c}_blob"].iat[i])
+            d[c] = vals
+        for c in nflt_cols:
+            vals, _ = decode_nullable_floats(blob_rows[f"{c}_blob"].iat[i])
             d[c] = vals
         parts.append(pd.DataFrame(d))
     if not parts:
-        return pd.DataFrame(columns=[key_col, "bucket", *_INT_COLS, *_FLOAT_COLS])
+        return pd.DataFrame(
+            columns=[key_col, "bucket", *int_cols, *nint_cols, *nflt_cols])
     return pd.concat(parts, ignore_index=True).sort_values(
         [key_col, "bucket"], ignore_index=True
     )

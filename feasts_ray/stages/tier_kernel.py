@@ -45,6 +45,18 @@ from ..state.broadcast import (  # noqa: E402
 POINT_COLS = ("count", "sum", "min", "max")
 
 
+def measure_suffixes(measures: tuple[str, ...] | None) -> tuple[str, ...]:
+    """Column-name suffixes for a measure list. ``None`` (the legacy
+    single-measure contract) keeps the historical bare names
+    (sum/min/max/mean); a list names each measure's columns
+    sum_<m>/min_<m>/max_<m>/mean_<m> with ONE shared count column —
+    every measure of a row comes from the same observations, so a
+    per-measure count would be redundant."""
+    if measures is None:
+        return ("",)
+    return tuple(f"_{m}" for m in measures)
+
+
 def spans_from_partials(ds: "ray.data.Dataset", key_col: str = "source") -> dict[str, tuple[int, int]]:
     """Per-key (min_bucket, max_bucket) via per-batch partials + driver
     reduce. O(#batches x #keys) rows reach the driver — tiny at any scale."""
@@ -61,10 +73,12 @@ def spans_from_partials(ds: "ray.data.Dataset", key_col: str = "source") -> dict
 
 
 def skeleton_rows(spans: dict[str, tuple[int, int]], unit_s: int,
-                  seg_span: int, key_col: str = "source") -> "ray.data.Dataset":
+                  seg_span: int, key_col: str = "source",
+                  measures: tuple[str, ...] | None = None) -> "ray.data.Dataset":
     """One seed row per expected (source, segment) so empty segments still
     form groups. Generated distributively from ray.data.range — no giant
     driver list even with 10^8 segments."""
+    sfx = measure_suffixes(measures)
     keys = sorted(spans)
     lo = np.array([(spans[k][0] // unit_s) * unit_s for k in keys], dtype=np.int64)
     hi = np.array([spans[k][1] for k in keys], dtype=np.int64)
@@ -84,14 +98,16 @@ def skeleton_rows(spans: dict[str, tuple[int, int]], unit_s: int,
         seg = seg_lo[ki] + (ids - starts[ki])
         bucket = np.maximum(seg * seg_span, lo[ki])
         n = len(ids)
-        return pa.table({
+        cols = {
             key_col: pa.array(keys_arr[ki]),
             "bucket": pa.array(bucket, type=pa.int64()),
             "count": pa.array(np.zeros(n, dtype=np.int64)),
-            "sum": pa.array(np.zeros(n, dtype=np.int64)),
-            "min": pa.nulls(n, type=pa.int64()),
-            "max": pa.nulls(n, type=pa.int64()),
-        })
+        }
+        for s in sfx:
+            cols[f"sum{s}"] = pa.array(np.zeros(n, dtype=np.int64))
+            cols[f"min{s}"] = pa.nulls(n, type=pa.int64())
+            cols[f"max{s}"] = pa.nulls(n, type=pa.int64())
+        return pa.table(cols)
 
     return ray.data.range(total).map_batches(_emit, batch_format="numpy",
                                              batch_size=65536)
@@ -127,7 +143,8 @@ class TierSegmentKernel:
 
     def __init__(self, tier_name: str, unit_s: int, seg_span: int,
                  spans, gap_fill: bool,
-                 blobs_dir: str | None, key_col: str = "source"):
+                 blobs_dir: str | None, key_col: str = "source",
+                 measures: tuple[str, ...] | None = None):
         self.tier_name = tier_name
         self.unit_s = unit_s
         self.seg_span = seg_span
@@ -137,6 +154,8 @@ class TierSegmentKernel:
         self.gap_fill = gap_fill
         self.blobs_dir = blobs_dir
         self.key_col = key_col
+        # column-name suffixes, one per measure ("" = legacy single)
+        self.sfx = measure_suffixes(measures)
 
     @property
     def spans(self) -> dict:
@@ -160,11 +179,13 @@ class TierSegmentKernel:
         starts = np.flatnonzero(first)
         buckets = b_s[starts]
         cnt = np.add.reduceat(_col_i64(group["count"])[order], starts)
-        s = np.add.reduceat(_col_i64(group["sum"])[order], starts)
-        mn_in = _col_f64_nan(group["min"])[order]
-        mx_in = _col_f64_nan(group["max"])[order]
-        mn = np.fmin.reduceat(mn_in, starts)
-        mx = np.fmax.reduceat(mx_in, starts)
+        # per-measure merge: identical reduceat ops in a loop — with the
+        # legacy single measure this is byte-for-byte the historical path
+        s, mn, mx = {}, {}, {}
+        for x in self.sfx:
+            s[x] = np.add.reduceat(_col_i64(group[f"sum{x}"])[order], starts)
+            mn[x] = np.fmin.reduceat(_col_f64_nan(group[f"min{x}"])[order], starts)
+            mx[x] = np.fmax.reduceat(_col_f64_nan(group[f"max{x}"])[order], starts)
         if self.gap_fill:
             lo, hi = self.spans[key]
             lo = (lo // self.unit_s) * self.unit_s
@@ -179,12 +200,16 @@ class TierSegmentKernel:
             pos_c = np.minimum(pos, max(len(buckets) - 1, 0))
             hit = buckets[pos_c] == dense
             cnt = np.where(hit, cnt[pos_c], 0)
-            s = np.where(hit, s[pos_c], 0)
-            mn = np.where(hit, mn[pos_c], np.nan)
-            mx = np.where(hit, mx[pos_c], np.nan)
+            for x in self.sfx:
+                s[x] = np.where(hit, s[x][pos_c], 0)
+                mn[x] = np.where(hit, mn[x][pos_c], np.nan)
+                mx[x] = np.where(hit, mx[x][pos_c], np.nan)
             buckets = dense
+        mean = {}
         with np.errstate(invalid="ignore", divide="ignore"):
-            mean = np.where(cnt > 0, s / cnt.astype(np.float64), np.nan)
+            for x in self.sfx:
+                mean[x] = np.where(cnt > 0, s[x] / cnt.astype(np.float64),
+                                   np.nan)
         if self.blobs_dir is not None:
             self._write_blob(key, seg, buckets, cnt, s, mn, mx, mean)
         # historical output dtype semantics (pandas-era blocks): float64
@@ -195,20 +220,22 @@ class TierSegmentKernel:
             return (pa.array(v, mask=bad) if bad.any()
                     else pa.array(v.astype(np.int64)))
 
-        return pa.table({
+        out = {
             self.key_col: pa.array([key] * len(buckets),
                                    type=group.schema.field(self.key_col).type),
             "bucket": pa.array(buckets),
             "count": pa.array(cnt),
-            "sum": pa.array(s),
-            "min": _num(mn),
-            "max": _num(mx),
-            "mean": pa.array(mean, mask=np.isnan(mean)),
-        })
+        }
+        for x in self.sfx:
+            out[f"sum{x}"] = pa.array(s[x])
+            out[f"min{x}"] = _num(mn[x])
+            out[f"max{x}"] = _num(mx[x])
+            out[f"mean{x}"] = pa.array(mean[x], mask=np.isnan(mean[x]))
+        return pa.table(out)
 
     def _write_blob(self, key, seg, buckets, cnt, s, mn, mx, mean):
         valid_cnt = cnt > 0
-        blob = pa.table({
+        cols = {
             self.key_col: pa.array([key]),
             "tier": pa.array([self.tier_name]),
             "segment": pa.array([seg], type=pa.int64()),
@@ -216,13 +243,18 @@ class TierSegmentKernel:
             "first_bucket": pa.array([int(buckets[0])], type=pa.int64()),
             "bucket_blob": pa.array([encode_ints(buckets)]),
             "count_blob": pa.array([encode_ints(cnt)]),
-            "sum_blob": pa.array([encode_ints(s)]),
+        }
+        for x in self.sfx:
+            cols[f"sum{x}_blob"] = pa.array([encode_ints(s[x])])
             # min/max are integer measures (cents / token counts): the
             # dod-int path is ~8x faster and tighter than Gorilla
-            "min_blob": pa.array([encode_nullable_ints(mn, ~np.isnan(mn))]),
-            "max_blob": pa.array([encode_nullable_ints(mx, ~np.isnan(mx))]),
-            "mean_blob": pa.array([encode_nullable_floats(mean, valid_cnt)]),
-        })
+            cols[f"min{x}_blob"] = pa.array(
+                [encode_nullable_ints(mn[x], ~np.isnan(mn[x]))])
+            cols[f"max{x}_blob"] = pa.array(
+                [encode_nullable_ints(mx[x], ~np.isnan(mx[x]))])
+            cols[f"mean{x}_blob"] = pa.array(
+                [encode_nullable_floats(mean[x], valid_cnt)])
+        blob = pa.table(cols)
         import zlib
 
         shard = zlib.crc32(str(key).encode()) % 64
@@ -246,6 +278,7 @@ def run_tier(
     concurrency=(1, 16),
     single_block: bool = False,
     skeleton: bool = True,
+    measures: tuple[str, ...] | None = None,
 ) -> "ray.data.Dataset":
     """partials (key,bucket,count,sum,min,max) -> final tier points; the
     ONE shuffle is groupby(key, segment) with bounded groups.
@@ -265,7 +298,8 @@ def run_tier(
     seg_span = segment_points * unit_s
     seeded = partials
     if gap_fill and skeleton:
-        seeded = partials.union(skeleton_rows(spans, unit_s, seg_span, key_col))
+        seeded = partials.union(
+            skeleton_rows(spans, unit_s, seg_span, key_col, measures))
     with_seg = seeded.map_batches(add_segment, batch_format="pyarrow",
                                   fn_kwargs={"seg_span": seg_span})
     # task-based map_groups (function, not actor pool): tasks scale
@@ -275,19 +309,21 @@ def run_tier(
     # per task.
     kernel = TierSegmentKernel(tier_name, unit_s, seg_span,
                                _put_once(spans) if gap_fill else {},
-                               gap_fill, blobs_dir, key_col)
+                               gap_fill, blobs_dir, key_col, measures)
     if single_block:
         def _whole(t: pa.Table) -> pa.Table:
             if len(t) == 0:
-                return pa.table({
+                cols = {
                     key_col: pa.array([], type=pa.string()),
                     "bucket": pa.array([], type=pa.int64()),
                     "count": pa.array([], type=pa.int64()),
-                    "sum": pa.array([], type=pa.int64()),
-                    "min": pa.array([], type=pa.float64()),
-                    "max": pa.array([], type=pa.float64()),
-                    "mean": pa.array([], type=pa.float64()),
-                })
+                }
+                for x in measure_suffixes(measures):
+                    cols[f"sum{x}"] = pa.array([], type=pa.int64())
+                    cols[f"min{x}"] = pa.array([], type=pa.float64())
+                    cols[f"max{x}"] = pa.array([], type=pa.float64())
+                    cols[f"mean{x}"] = pa.array([], type=pa.float64())
+                return pa.table(cols)
             # group boundaries via one stable lexsort over (key, segment);
             # each group is a zero-copy table slice into the same kernel
             # the distributed path runs
