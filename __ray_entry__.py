@@ -119,7 +119,8 @@ p2 AS (SELECT l.event_type, 'acf' AS panel, l.lag AS px,
   FROM lags l JOIN stats st ON st.event_type = l.event_type),
 p3 AS (SELECT event_type, 'season' AS panel, (bucket % 86400) // 3600 AS px,
          CAST(SUM(x) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS py
-       FROM series GROUP BY event_type, (bucket % 86400) // 3600)
+       FROM series WHERE x > 0
+       GROUP BY event_type, (bucket % 86400) // 3600)
 SELECT event_type, panel, px AS x, py AS y FROM p1
 UNION ALL SELECT event_type, panel, px, py FROM p2
 UNION ALL SELECT event_type, panel, px, py FROM p3

@@ -12,6 +12,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray.data
 from ray.data.aggregate import Count, Max, Min, Sum
@@ -768,12 +769,20 @@ def q_irf_1h(sf_dir: str):
         _kernel, batch_format="pandas")
 
 
-def q_tsdisplay_1h(sf_dir: str):
+def q_tsdisplay_1h(sf_dir: str, season_observed_only: bool = True):
     """gg_tsdisplay data layer (reference R/graphics.R): three panels in
     one long table — the gap-filled hourly series, its exact-power-sum
     ACF (lags 1..24), and the hour-of-day seasonal means — columns
     (event_type, panel, x, y); every y rides an already-bit-exact
-    expression, so the union oracle is bit-exact too."""
+    expression, so the union oracle is bit-exact too.
+
+    The season panel matches the reference's gg_season: means over
+    OBSERVED points only (gap hours excluded). For a count rollup the
+    observed set is exactly the rows with count > 0, so the panel is a
+    filter of the shared gap-filled series, not a second events scan.
+    Pass season_observed_only=False for means over the gap-filled
+    series (gaps counted as 0) — the pre-round-5 behavior, kept as an
+    option."""
     # three consumers (series/acf/season panels): materialize the tiny
     # gap-filled series once instead of re-running the events rollup 3x
     series = _hourly_count_series(sf_dir).materialize()
@@ -803,6 +812,8 @@ def q_tsdisplay_1h(sf_dir: str):
         _acf_panel, batch_format="pyarrow")
 
     def _season_partial(b: pa.Table) -> pa.Table:
+        if season_observed_only:
+            b = b.filter(pc.greater(b["value"], 0.0))
         df = pa.table({
             "event_type": b["event_type"],
             "hod": pa.array((b["bucket"].to_numpy(zero_copy_only=False)
