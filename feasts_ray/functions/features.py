@@ -419,9 +419,14 @@ def coef_hurst(x: np.ndarray, period: int = 1) -> dict[str, float]:
     1989 approximate MLE). Here d is the EXACT Gaussian MLE for
     ARFIMA(0,d,0): Durbin-Levinson innovations likelihood with Hosking's
     closed-form PACF d/(k-d), minimized by Brent on (-0.5, 0.5) — the
-    same model/quantity, the exact rather than approximate likelihood
-    (documented deviation: values may differ from fracdiff by the
-    approximation error of H&R, typically < 0.01).
+    same model/quantity, the exact rather than approximate likelihood.
+    Documented deviation, MEASURED: tests/test_functions.py pins the
+    innovations likelihood == the full Toeplitz-Cholesky Gaussian
+    likelihood (1e-13 relative) and the |d| gap to the H&R truncated
+    likelihood (fracdiff's M=100 scheme) at 0.0003-0.0073 (< 0.01)
+    across d in [-0.2, 0.42] — the engine differs from the reference by
+    at most the published approximation's own error, in the exact
+    direction.
 
     O(n^2) per likelihood eval; series longer than 2048 use the longest
     contiguous run's last 2048 points (d is a long-memory parameter —
