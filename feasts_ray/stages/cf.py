@@ -20,7 +20,7 @@ from __future__ import annotations
 import math
 
 import numpy as np
-import pandas as pd
+import pyarrow as pa
 
 import ray.data
 
@@ -47,14 +47,34 @@ class _CFKernel:
         self.tapered = tapered
         self.time_col = time_col
 
-    def __call__(self, group: pd.DataFrame) -> pd.DataFrame:
+    @staticmethod
+    def _series(group, col, order):
+        """Column -> float64 numpy in time order (nulls -> NaN), no
+        pandas conversion: Arrow float columns surface nulls as NaN via
+        to_numpy(zero_copy_only=False)."""
+        x = group[col].to_numpy(zero_copy_only=False)
+        x = np.asarray(x, dtype=np.float64)
+        return x if order is None else x[order]
+
+    def _emit(self, group, lags, col, vals, num_obs):
+        m = len(lags)
+        zeros = pa.array(np.zeros(m, dtype=np.int64))
+        out = {k: group[k].take(zeros) for k in self.key_cols}
+        out["lag"] = pa.array(np.asarray(lags, dtype=np.int64))
+        out[col] = pa.array(np.asarray(vals, dtype=np.float64))
+        out["num_obs"] = pa.array(np.full(m, num_obs, dtype=np.int64))
+        return pa.table(out)
+
+    def __call__(self, group: pa.Table) -> pa.Table:
+        order = None
         if self.time_col is not None:
-            group = group.sort_values(self.time_col, kind="mergesort")
-        x = group[self.value_col].to_numpy(dtype=np.float64, na_value=np.nan)
+            t = group[self.time_col].to_numpy(zero_copy_only=False)
+            order = np.argsort(t, kind="mergesort")
+        x = self._series(group, self.value_col, order)
         num_obs = len(x)
         if self.mode == "ccf":
             # na.contiguous over the BIVARIATE series (R ts.intersect + na.action)
-            y2 = group[self.value2_col].to_numpy(dtype=np.float64, na_value=np.nan)
+            y2 = self._series(group, self.value2_col, order)
             ok = ~(np.isnan(x) | np.isnan(y2))
             if not ok.all():
                 from ..functions.stats_utils import longest_contiguous_run
@@ -62,12 +82,7 @@ class _CFKernel:
                 lo, hi = longest_contiguous_run(ok)
                 x, y2 = x[lo:hi], y2[lo:hi]
             lags, vals = ccf_kernel(x, y2, self.lag_max, kind=self.kind)
-            col = "ccf"
-            out = {k: np.repeat(group[k].iloc[0], len(lags)) for k in self.key_cols}
-            out["lag"] = lags.astype(np.int64)
-            out[col] = np.asarray(vals, dtype=np.float64)
-            out["num_obs"] = np.full(len(lags), num_obs, dtype=np.int64)
-            return pd.DataFrame(out)
+            return self._emit(group, lags, "ccf", vals, num_obs)
         x = na_contiguous(x)
         n = len(x)
         # integer-valued series + plain correlation: route through the
@@ -104,11 +119,7 @@ class _CFKernel:
             vals = vals[1:]  # reference drops lag 0 (R/acf.R:78-80)
             lags = np.arange(1, len(vals) + 1)
             col = "acf"
-        out = {k: np.repeat(group[k].iloc[0], len(lags)) for k in self.key_cols}
-        out["lag"] = lags.astype(np.int64)
-        out[col] = np.asarray(vals, dtype=np.float64)
-        out["num_obs"] = np.full(len(lags), num_obs, dtype=np.int64)
-        return pd.DataFrame(out)
+        return self._emit(group, lags, col, vals, num_obs)
 
 
 def _build_cf(ds, mode, value_col, key_cols, time_col, value2_col=None,
@@ -117,7 +128,7 @@ def _build_cf(ds, mode, value_col, key_cols, time_col, value2_col=None,
         _CFKernel,
         fn_constructor_args=(mode, value_col, value2_col, tuple(key_cols),
                              lag_max, kind, tapered, time_col),
-        batch_format="pandas",
+        batch_format="pyarrow",
         concurrency=concurrency,
     )
 

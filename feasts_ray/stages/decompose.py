@@ -16,10 +16,19 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray.data
 
 from ..functions.stl import classical_decompose, estimate_stl
+
+
+def _time_sorted(group: pa.Table, time_col) -> pa.Table:
+    if time_col is None:
+        return group
+    t = group[time_col].to_numpy(zero_copy_only=False)
+    return group.take(pa.array(np.argsort(t, kind="mergesort")))
 
 
 class _STLKernel:
@@ -31,10 +40,10 @@ class _STLKernel:
         self.iterations = iterations
         self.stl_args = dict(stl_args or {})
 
-    def __call__(self, group: pd.DataFrame) -> pd.DataFrame:
-        if self.time_col is not None:
-            group = group.sort_values(self.time_col, kind="mergesort")
-        y = group[self.value_col].to_numpy(dtype=np.float64, na_value=np.nan)
+    def __call__(self, group: pa.Table) -> pa.Table:
+        group = _time_sorted(group, self.time_col)
+        y = np.asarray(group[self.value_col].to_numpy(zero_copy_only=False),
+                       dtype=np.float64)
         # drop periods with fewer than two full cycles (R/stl.R:30)
         season_args = {
             str(p): {"period": p, **self.stl_args.get(p, {})}
@@ -42,10 +51,10 @@ class _STLKernel:
             if p > 1 and len(y) / p >= 2
         }
         dcmp = estimate_stl(y, season_args=season_args, iterations=self.iterations)
-        out = group.copy()
         for k, v in dcmp.items():
-            out[k] = v
-        return out
+            group = group.append_column(
+                k, pa.array(np.asarray(v, dtype=np.float64)))
+        return group
 
 
 class _ClassicalKernel:
@@ -56,15 +65,15 @@ class _ClassicalKernel:
         self.time_col = time_col
         self.type_ = type_
 
-    def __call__(self, group: pd.DataFrame) -> pd.DataFrame:
-        if self.time_col is not None:
-            group = group.sort_values(self.time_col, kind="mergesort")
-        y = group[self.value_col].to_numpy(dtype=np.float64, na_value=np.nan)
+    def __call__(self, group: pa.Table) -> pa.Table:
+        group = _time_sorted(group, self.time_col)
+        y = np.asarray(group[self.value_col].to_numpy(zero_copy_only=False),
+                       dtype=np.float64)
         dcmp = classical_decompose(y, self.period, self.type_)
-        out = group.copy()
         for k, v in dcmp.items():
-            out[k] = v
-        return out
+            group = group.append_column(
+                k, pa.array(np.asarray(v, dtype=np.float64)))
+        return group
 
 
 class Decomposition:
@@ -85,18 +94,17 @@ class Decomposition:
         """fitted = y - remainder (R/stl.R:132-135)."""
         value_col = self.value_col
 
-        def _f(df: pd.DataFrame) -> pd.DataFrame:
-            df[".fitted"] = df[value_col] - df["remainder"]
-            return df
+        def _f(b: pa.Table) -> pa.Table:
+            return b.append_column(
+                ".fitted", pc.subtract(b[value_col], b["remainder"]))
 
-        return self.dataset.map_batches(_f, batch_format="pandas")
+        return self.dataset.map_batches(_f, batch_format="pyarrow")
 
     def residuals(self) -> "ray.data.Dataset":
-        def _f(df: pd.DataFrame) -> pd.DataFrame:
-            df[".resid"] = df["remainder"]
-            return df
+        def _f(b: pa.Table) -> pa.Table:
+            return b.append_column(".resid", b["remainder"])
 
-        return self.dataset.map_batches(_f, batch_format="pandas")
+        return self.dataset.map_batches(_f, batch_format="pyarrow")
 
 
 def stl_decomposition(
@@ -113,7 +121,7 @@ def stl_decomposition(
         _STLKernel,
         fn_constructor_args=(value_col, tuple(key_cols), tuple(periods), time_col,
                              iterations, stl_args),
-        batch_format="pandas",
+        batch_format="pyarrow",
         concurrency=concurrency,
     )
     return Decomposition(out, value_col, "STL", [f"season_{p}" for p in periods])
@@ -131,7 +139,7 @@ def classical_decomposition(
     out = ds.groupby(list(key_cols)).map_groups(
         _ClassicalKernel,
         fn_constructor_args=(value_col, tuple(key_cols), period, time_col, type_),
-        batch_format="pandas",
+        batch_format="pyarrow",
         concurrency=concurrency,
     )
     return Decomposition(out, value_col, "Classical", ["seasonal"])
@@ -188,17 +196,17 @@ class _X11Kernel:
         self.time_col = time_col
         self.type_ = type_
 
-    def __call__(self, group: pd.DataFrame) -> pd.DataFrame:
+    def __call__(self, group: pa.Table) -> pa.Table:
         from ..functions.x11 import x11_decompose
 
-        if self.time_col is not None:
-            group = group.sort_values(self.time_col, kind="mergesort")
-        y = group[self.value_col].to_numpy(dtype=np.float64, na_value=np.nan)
+        group = _time_sorted(group, self.time_col)
+        y = np.asarray(group[self.value_col].to_numpy(zero_copy_only=False),
+                       dtype=np.float64)
         dcmp = x11_decompose(y, self.period, self.type_)
-        out = group.copy()
         for k, v in dcmp.items():
-            out[k] = v
-        return out
+            group = group.append_column(
+                k, pa.array(np.asarray(v, dtype=np.float64)))
+        return group
 
 
 def x11_decomposition(
@@ -217,5 +225,5 @@ def x11_decomposition(
     documented deviation)."""
     kernel = _X11Kernel(value_col, tuple(key_cols), period, time_col, type_)
     out = ds.groupby(list(key_cols)).map_groups(kernel.__call__,
-                                                batch_format="pandas")
+                                                batch_format="pyarrow")
     return Decomposition(out, value_col, "X11", ["seasonal"])

@@ -70,14 +70,17 @@ class SeriesFeatureKernel:
         self.time_col = time_col
         self.columns = _probe_columns(self.specs, period)
 
-    def __call__(self, group: pd.DataFrame) -> pd.DataFrame:
+    def __call__(self, group: pa.Table) -> pa.Table:
+        x = np.asarray(group[self.value_col].to_numpy(zero_copy_only=False),
+                       dtype=np.float64)
         if self.time_col is not None:
-            group = group.sort_values(self.time_col, kind="mergesort")
-        x = group[self.value_col].to_numpy(dtype=np.float64, na_value=np.nan)
+            t = group[self.time_col].to_numpy(zero_copy_only=False)
+            x = x[np.argsort(t, kind="mergesort")]
         row = _fused_row(x, self.period, self.specs)
-        out = {k: [group[k].iloc[0]] for k in self.key_cols}
-        out.update({k: [row.get(k, np.nan)] for k in self.columns})
-        return pd.DataFrame(out)
+        out = {k: group[k].slice(0, 1) for k in self.key_cols}
+        out.update({k: pa.array([row.get(k, np.nan)], type=pa.float64())
+                    for k in self.columns})
+        return pa.table(out)
 
 
 def extract_features(
@@ -93,7 +96,7 @@ def extract_features(
     return ds.groupby(list(key_cols)).map_groups(
         SeriesFeatureKernel,
         fn_constructor_args=(value_col, tuple(key_cols), period, names, tags, time_col),
-        batch_format="pandas",
+        batch_format="pyarrow",
         concurrency=concurrency,
     )
 

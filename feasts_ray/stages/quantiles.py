@@ -15,7 +15,7 @@ bound the per-key point count).
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
+import pyarrow as pa
 
 import ray.data
 
@@ -26,17 +26,19 @@ class _QuantileKernel:
         self.key_col = key_col
         self.qs = tuple(qs)
 
-    def __call__(self, group: pd.DataFrame) -> pd.DataFrame:
-        v = np.sort(group[self.value_col].to_numpy())
+    def __call__(self, group: pa.Table) -> pa.Table:
+        v = np.sort(group[self.value_col].to_numpy(zero_copy_only=False))
         n = len(v)
-        out = {self.key_col: [group[self.key_col].iloc[0]],
-               "n_vals": np.array([n], dtype=np.int64)}
+        out = {self.key_col: group[self.key_col].slice(0, 1),
+               "n_vals": pa.array([n], type=pa.int64())}
+        vtype = group.schema.field(self.value_col).type
         for q in self.qs:
             # 1-based rank ceil(q*n), computed in float64 exactly like
             # DuckDB quantile_disc so boundary ranks agree
             idx = max(int(np.ceil(q * n)) - 1, 0)
-            out[f"p{round(q * 1000):03d}"] = v[idx : idx + 1]
-        return pd.DataFrame(out)
+            out[f"p{round(q * 1000):03d}"] = pa.array(v[idx : idx + 1],
+                                                      type=vtype)
+        return pa.table(out)
 
 
 def group_quantiles(
@@ -49,4 +51,4 @@ def group_quantiles(
     ``value_col`` (p500 = median). Integer dtype passes through."""
     kernel = _QuantileKernel(value_col, key_col, qs)
     return ds.groupby(key_col).map_groups(kernel.__call__,
-                                          batch_format="pandas")
+                                          batch_format="pyarrow")

@@ -10,7 +10,7 @@ prefix sums (mean/sum/var) — no per-window loops.
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
+import pyarrow as pa
 
 import ray.data
 
@@ -38,28 +38,31 @@ class _RollingKernel:
         self.stats = tuple(stats)
         self.min_periods = min_periods
 
-    def __call__(self, group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values(self.time_col, kind="mergesort")
-        x = g[self.value_col].to_numpy(dtype=np.float64, na_value=np.nan)
+    def __call__(self, group: pa.Table) -> pa.Table:
+        t = group[self.time_col].to_numpy(zero_copy_only=False)
+        order = np.argsort(t, kind="mergesort")
+        x = np.asarray(group[self.value_col].to_numpy(zero_copy_only=False),
+                       dtype=np.float64)[order]
         s, c, q = _trailing_windows(x, self.size)
         enough = c >= self.min_periods
-        out = pd.DataFrame({
-            self.key_col: g[self.key_col].to_numpy(),
-            self.time_col: g[self.time_col].to_numpy(),
-            self.value_col: x,
-        })
+        take = pa.array(order)
+        out = {
+            self.key_col: group[self.key_col].take(take),
+            self.time_col: group[self.time_col].take(take),
+            self.value_col: pa.array(x),
+        }
         with np.errstate(invalid="ignore", divide="ignore"):
             if "mean" in self.stats:
-                out["roll_mean"] = np.where(enough, s / c, np.nan)
+                out["roll_mean"] = pa.array(np.where(enough, s / c, np.nan))
             if "sum" in self.stats:
-                out["roll_sum"] = np.where(enough, s, np.nan)
+                out["roll_sum"] = pa.array(np.where(enough, s, np.nan))
             if "var" in self.stats:
                 mu = s / c
                 var = np.where(c > 1, (q - c * mu * mu) / (c - 1), np.nan)
-                out["roll_var"] = np.where(enough, var, np.nan)
+                out["roll_var"] = pa.array(np.where(enough, var, np.nan))
             if "count" in self.stats:
-                out["roll_count"] = c
-        return out
+                out["roll_count"] = pa.array(c)
+        return pa.table(out)
 
 
 def rolling(
@@ -74,7 +77,8 @@ def rolling(
     """Trailing rolling stats per key, O(n) prefix-sum kernels."""
     kernel = _RollingKernel(value_col, key_col, time_col, size, stats,
                             min_periods)
-    return ds.groupby(key_col).map_groups(kernel.__call__, batch_format="pandas")
+    return ds.groupby(key_col).map_groups(kernel.__call__,
+                                          batch_format="pyarrow")
 
 
 class _EwmKernel:
@@ -84,9 +88,11 @@ class _EwmKernel:
         self.time_col = time_col
         self.alpha = float(alpha)
 
-    def __call__(self, group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values(self.time_col, kind="mergesort")
-        x = g[self.value_col].to_numpy(dtype=np.float64)
+    def __call__(self, group: pa.Table) -> pa.Table:
+        t = group[self.time_col].to_numpy(zero_copy_only=False)
+        order = np.argsort(t, kind="mergesort")
+        x = np.asarray(group[self.value_col].to_numpy(zero_copy_only=False),
+                       dtype=np.float64)[order]
         a, b = self.alpha, 1.0 - self.alpha
         s = np.empty(len(x))
         acc = x[0]
@@ -99,11 +105,12 @@ class _EwmKernel:
         for i in range(1, len(x)):
             acc = a * x[i] + b * acc
             s[i] = acc
-        return pd.DataFrame({
-            self.key_col: g[self.key_col].to_numpy(),
-            self.time_col: g[self.time_col].to_numpy(),
-            self.value_col: x,
-            "ewm_mean": s,
+        take = pa.array(order)
+        return pa.table({
+            self.key_col: group[self.key_col].take(take),
+            self.time_col: group[self.time_col].take(take),
+            self.value_col: pa.array(x),
+            "ewm_mean": pa.array(s),
         })
 
 
@@ -121,4 +128,4 @@ def ewm_mean(
     and the kernel/SQL expression trees agree to the last ulp."""
     kernel = _EwmKernel(value_col, key_col, time_col, alpha)
     return ds.groupby(key_col).map_groups(kernel.__call__,
-                                          batch_format="pandas")
+                                          batch_format="pyarrow")

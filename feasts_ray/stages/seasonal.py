@@ -80,25 +80,35 @@ class _LagPairKernel:
         self.time_col = time_col
         self.lags = tuple(lags)
 
-    def __call__(self, group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values(self.time_col, kind="mergesort")
-        y = g[self.value_col].to_numpy(dtype=np.float64, na_value=np.nan)
-        t = g[self.time_col].to_numpy()
-        outs = []
+    def __call__(self, group: pa.Table) -> pa.Table:
+        t = group[self.time_col].to_numpy(zero_copy_only=False)
+        order = np.argsort(t, kind="mergesort")
+        t = t[order]
+        y = np.asarray(group[self.value_col].to_numpy(zero_copy_only=False),
+                       dtype=np.float64)[order]
+        n = len(y)
+        ttype = group.schema.field(self.time_col).type
+        ts, ys, yl, lg = [], [], [], []
         for k in self.lags:
-            if k >= len(y):
+            if k >= n:
                 continue
-            outs.append(pd.DataFrame({
-                self.key_col: g[self.key_col].iloc[0],
-                "lag": np.int64(k),
-                self.time_col: t[k:],
-                "y": y[k:],
-                "y_lagged": y[:-k],
-            }))
-        if not outs:
-            return pd.DataFrame({self.key_col: [], "lag": [], self.time_col: [],
-                                 "y": [], "y_lagged": []})
-        return pd.concat(outs, ignore_index=True)
+            ts.append(t[k:])
+            ys.append(y[k:])
+            yl.append(y[:-k])
+            lg.append(np.full(n - k, k, dtype=np.int64))
+        m = sum(len(a) for a in ts)
+        return pa.table({
+            self.key_col: group[self.key_col].take(
+                pa.array(np.zeros(m, dtype=np.int64))),
+            "lag": pa.array(np.concatenate(lg) if lg
+                            else np.empty(0, dtype=np.int64)),
+            self.time_col: pa.array(
+                np.concatenate(ts) if ts else [], type=ttype),
+            "y": pa.array(np.concatenate(ys) if ys
+                          else np.empty(0, dtype=np.float64)),
+            "y_lagged": pa.array(np.concatenate(yl) if yl
+                                 else np.empty(0, dtype=np.float64)),
+        })
 
 
 def lag_pairs(
@@ -110,7 +120,8 @@ def lag_pairs(
 ) -> "ray.data.Dataset":
     """Long (key, lag, t, y, y_lagged) table for lag scatter displays."""
     kernel = _LagPairKernel(value_col, key_col, time_col, lags)
-    return ds.groupby(key_col).map_groups(kernel.__call__, batch_format="pandas")
+    return ds.groupby(key_col).map_groups(kernel.__call__,
+                                          batch_format="pyarrow")
 
 
 def seasonal_overlay(

@@ -19,7 +19,7 @@ per-batch min/max pass, which preserves session identity exactly).
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
+import pyarrow as pa
 
 import ray.data
 
@@ -32,8 +32,9 @@ class _SessionKernel:
         self.gap = gap
         self.sum_col = sum_col
 
-    def __call__(self, group: pd.DataFrame) -> pd.DataFrame:
-        t = group[self.time_col].to_numpy(dtype=np.int64)
+    def __call__(self, group: pa.Table) -> pa.Table:
+        t = np.asarray(group[self.time_col].to_numpy(zero_copy_only=False),
+                       dtype=np.int64)
         order = np.argsort(t, kind="mergesort")
         t = t[order]
         brk = np.empty(len(t), dtype=np.int64)
@@ -42,18 +43,22 @@ class _SessionKernel:
         sid = np.cumsum(brk)
         starts = np.flatnonzero(np.concatenate(([1], brk[1:])))
         ends = np.concatenate((starts[1:], [len(t)])) - 1
+        m = len(starts)
         out = {
-            self.key_col: np.repeat(group[self.key_col].iloc[0],
-                                    len(starts)),
-            "session_id": sid[starts],
-            "session_start": t[starts],
-            "session_end": t[ends],
-            "n_events": np.diff(np.concatenate((starts, [len(t)]))),
+            self.key_col: group[self.key_col].take(
+                pa.array(np.zeros(m, dtype=np.int64))),
+            "session_id": pa.array(sid[starts]),
+            "session_start": pa.array(t[starts]),
+            "session_end": pa.array(t[ends]),
+            "n_events": pa.array(
+                np.diff(np.concatenate((starts, [len(t)])))),
         }
         if self.sum_col is not None:
-            v = group[self.sum_col].to_numpy(dtype=np.int64)[order]
-            out["sum_" + self.sum_col] = np.add.reduceat(v, starts)
-        return pd.DataFrame(out)
+            v = np.asarray(group[self.sum_col]
+                           .to_numpy(zero_copy_only=False),
+                           dtype=np.int64)[order]
+            out["sum_" + self.sum_col] = pa.array(np.add.reduceat(v, starts))
+        return pa.table(out)
 
 
 def sessionize(
@@ -70,4 +75,4 @@ def sessionize(
     optionally sum_<sum_col> (integer-exact)."""
     kernel = _SessionKernel(key_col, time_col, gap, sum_col)
     return ds.groupby(key_col).map_groups(kernel.__call__,
-                                          batch_format="pandas")
+                                          batch_format="pyarrow")
