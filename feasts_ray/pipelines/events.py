@@ -329,9 +329,11 @@ class _ExactACFKernel:
         self.value_col = value_col
         self.lag_max = lag_max
 
-    def __call__(self, group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values("bucket", kind="mergesort")
-        x = g[self.value_col].to_numpy(dtype=np.int64)
+    def __call__(self, group: pa.Table) -> pa.Table:
+        b = group["bucket"].to_numpy(zero_copy_only=False)
+        order = np.argsort(b, kind="mergesort")
+        x = np.asarray(group[self.value_col].to_numpy(zero_copy_only=False),
+                       dtype=np.int64)[order]
         n = len(x)
         S = int(x.sum())
         SS = int(np.dot(x, x))
@@ -345,10 +347,12 @@ class _ExactACFKernel:
             num = (sxy - m * (h + t)) + ((n - k) * m) * m
             lags.append(k)
             vals.append(num / den if den != 0 else float("nan"))
-        return pd.DataFrame({
-            self.key_col: np.repeat(g[self.key_col].iloc[0], len(lags)),
-            "lag": np.array(lags, dtype=np.int64),
-            "acf": np.array(vals, dtype=np.float64),
+        m_rows = len(lags)
+        return pa.table({
+            self.key_col: group[self.key_col].take(
+                pa.array(np.zeros(m_rows, dtype=np.int64))),
+            "lag": pa.array(np.array(lags, dtype=np.int64)),
+            "acf": pa.array(np.array(vals, dtype=np.float64)),
         })
 
 
@@ -362,6 +366,6 @@ def acf_of_counts(
     return rolled.groupby(key_col).map_groups(
         _ExactACFKernel,
         fn_constructor_args=(key_col, value_col, lag_max),
-        batch_format="pandas",
+        batch_format="pyarrow",
         concurrency=(1, 8),
     )

@@ -43,29 +43,36 @@ class SegmentEncoder:
         self.tier_name = tier_name
         self.key_col = key_col
 
-    def __call__(self, group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values("bucket", kind="mergesort")
-        buckets = g["bucket"].to_numpy(dtype=np.int64)
+    def __call__(self, group: pa.Table) -> pa.Table:
+        b = group["bucket"].to_numpy(zero_copy_only=False)
+        order = np.argsort(b, kind="mergesort")
+        buckets = np.asarray(b, dtype=np.int64)[order]
         row = {
-            self.key_col: [g[self.key_col].iloc[0]],
-            "tier": [self.tier_name],
-            "segment": [int(g["segment"].iloc[0])],
-            "n_points": [len(g)],
-            "first_bucket": [int(buckets[0])],
-            "bucket_blob": [encode_ints(buckets)],
+            self.key_col: group[self.key_col].slice(0, 1),
+            "tier": pa.array([self.tier_name]),
+            "segment": group["segment"].slice(0, 1),
+            "n_points": pa.array([len(group)], type=pa.int64()),
+            "first_bucket": pa.array([int(buckets[0])], type=pa.int64()),
+            "bucket_blob": pa.array([encode_ints(buckets)],
+                                    type=pa.binary()),
         }
         for c in _INT_COLS:
-            v = g[c].to_numpy(dtype=np.int64)
-            row[f"{c}_blob"] = [encode_ints(v)]
+            v = np.asarray(group[c].to_numpy(zero_copy_only=False),
+                           dtype=np.int64)[order]
+            row[f"{c}_blob"] = pa.array([encode_ints(v)], type=pa.binary())
         for c in _FLOAT_COLS:
-            col = g[c]
-            valid = col.notna().to_numpy()
-            vals = col.to_numpy(dtype=np.float64, na_value=np.nan)
+            # Arrow nulls surface as NaN in the float view — identical
+            # valid-mask semantics to the prior pandas notna() path
+            vals = np.asarray(group[c].to_numpy(zero_copy_only=False),
+                              dtype=np.float64)[order]
+            valid = ~np.isnan(vals)
             if c in ("min", "max"):  # integer measures: dod-int path
-                row[f"{c}_blob"] = [encode_nullable_ints(vals, valid)]
+                row[f"{c}_blob"] = pa.array(
+                    [encode_nullable_ints(vals, valid)], type=pa.binary())
             else:
-                row[f"{c}_blob"] = [encode_nullable_floats(vals, valid)]
-        return pd.DataFrame(row)
+                row[f"{c}_blob"] = pa.array(
+                    [encode_nullable_floats(vals, valid)], type=pa.binary())
+        return pa.table(row)
 
 
 def encode_tier(
@@ -85,7 +92,7 @@ def encode_tier(
     return with_seg.groupby([key_col, "segment"]).map_groups(
         SegmentEncoder,
         fn_constructor_args=(tier_name, key_col),
-        batch_format="pandas",
+        batch_format="pyarrow",
         concurrency=(1, 8),
     )
 
