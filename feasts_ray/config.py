@@ -98,3 +98,9 @@ class RollupConfig:
         sfx = ("",) if isinstance(self.value_col, str) \
             else tuple(f"_{m}" for m in self.value_col)
         return tuple(f"{c}{x}" for x in sfx for c in ("sum", "min", "max"))
+
+    @property
+    def mean_cols(self) -> tuple[str, ...]:
+        """Derived mean point column names (one per measure)."""
+        return ("mean",) if isinstance(self.value_col, str) \
+            else tuple(f"mean_{m}" for m in self.value_col)

@@ -113,10 +113,15 @@ def _filter_by_touched(batch: pa.Table, key_col: str, seg_span: int,
     return batch.filter(m if keep_touched else pc.invert(m))
 
 
-def _points_to_partials(batch: pa.Table, key_col: str) -> pa.Table:
+def _points_to_partials(batch: pa.Table, key_col: str,
+                        partial_cols: tuple[str, ...] = ("sum", "min", "max"),
+                        ) -> pa.Table:
     """A tier's points rows re-enter the kernel as partials: drop derived
-    columns (mean) and any gap rows (count==0 — null min/max)."""
-    t = batch.select([key_col, "bucket", "count", "sum", "min", "max"])
+    columns (mean / mean_<m>) and any gap rows (count==0 — null min/max).
+    ``partial_cols``: RollupConfig.partial_cols — bare names for the
+    legacy single-measure contract, suffixed sum_<m>/min_<m>/max_<m>
+    for multi-measure tiers."""
+    t = batch.select([key_col, "bucket", "count", *partial_cols])
     return t.filter(pc.greater(t["count"], 0))
 
 
@@ -162,7 +167,9 @@ def _extension_groups(prior_spans: dict, new_spans: dict,
 
 
 def _seed_rows(touched: set[str], spans: dict, unit_s: int, seg_span: int,
-               key_col: str) -> pa.Table:
+               key_col: str,
+               partial_cols: tuple[str, ...] = ("sum", "min", "max"),
+               ) -> pa.Table:
     """One count-0 seed partial per touched group so pure-gap groups
     still form (mirrors tier_kernel.skeleton_rows: bucket =
     max(seg * seg_span, unit-floored span lo); a count-0 partial is a
@@ -176,14 +183,16 @@ def _seed_rows(touched: set[str], spans: dict, unit_s: int, seg_span: int,
         keys.append(k)
         buckets.append(max(seg * seg_span, lo))
     n = len(keys)
-    return pa.table({
+    cols = {
         key_col: pa.array(keys, type=pa.string()),
         "bucket": pa.array(buckets, type=pa.int64()),
         "count": pa.array([0] * n, type=pa.int64()),
-        "sum": pa.array([0] * n, type=pa.int64()),
-        "min": pa.nulls(n, type=pa.int64()),
-        "max": pa.nulls(n, type=pa.int64()),
-    })
+    }
+    for c in partial_cols:
+        # count-0 partial: sums are the additive identity, min/max null
+        cols[c] = (pa.array([0] * n, type=pa.int64()) if c.startswith("sum")
+                   else pa.nulls(n, type=pa.int64()))
+    return pa.table(cols)
 
 
 def _selective_tier_merge(
@@ -219,7 +228,7 @@ def _selective_tier_merge(
 
     fk = {"key_col": cfg.series_key, "seg_span": seg_span,
           "ref": put_once(pa.array(sorted(touched), type=pa.string()))}
-    part_cols = [cfg.series_key, "bucket", "count", "sum", "min", "max"]
+    part_cols = [cfg.series_key, "bucket", "count", *cfg.partial_cols]
     merge_in = delta_partials
     if seeds is not None and len(seeds):
         merge_in = merge_in.union(ray.data.from_arrow(seeds))
@@ -237,11 +246,13 @@ def _selective_tier_merge(
                                     fn_kwargs=dict(fk, keep_touched=True))
                        .map_batches(_points_to_partials,
                                     batch_format="pyarrow",
-                                    fn_kwargs={"key_col": cfg.series_key}))
+                                    fn_kwargs={
+                                        "key_col": cfg.series_key,
+                                        "partial_cols": cfg.partial_cols}))
         # rows in touched partitions whose (key, segment) group the
         # delta does NOT touch: stream through to the rewrite of their
         # partition, bypassing the shuffle
-        untouched = (_sized_read(tpaths, part_cols + ["mean"],
+        untouched = (_sized_read(tpaths, part_cols + list(cfg.mean_cols),
                                  touched_bytes)
                      .map_batches(_filter_by_touched,
                                   batch_format="pyarrow",
@@ -251,7 +262,7 @@ def _selective_tier_merge(
         merge_in, tier.name, tier.unit_s, cfg.segment_points,
         spans if gap_fill else {}, gap_fill=gap_fill,
         blobs_dir=str(blobs_dir) if encode else None,
-        key_col=cfg.series_key, skeleton=False)
+        key_col=cfg.series_key, skeleton=False, measures=cfg.measures)
     out = merged if untouched is None else untouched.union(merged)
     # touched blob files mutate in place while this executes: invalidate
     # the manifest FIRST so a crash anywhere falls back to a full
@@ -337,14 +348,6 @@ def run_rollup_incremental(
     merge path ran.
     """
     cfg = cfg or RollupConfig()
-    if cfg.measures is not None:
-        # the selective-merge bookkeeping still assumes the legacy bare
-        # point columns; multi-measure ingest = full recompute until the
-        # merge path learns the suffixed columns (mechanical, see
-        # stages/tier_kernel.measure_suffixes)
-        raise NotImplementedError(
-            "incremental ingest supports single-measure configs; "
-            "run run_rollup (full) for multi-measure tiers")
     cfg_dict = _cfg_dict(cfg, encode)
     inv_now = _file_inventory(input_path)
     new_lineage = ckpt.lineage_hash(input_path, cfg_dict, inventory=inv_now)
@@ -385,7 +388,8 @@ def run_rollup_incremental(
     t0 = time.perf_counter()
 
     # ---- merged raw tier: scan ONLY the new files; old points are partials
-    ds_new = _sized_read(new_paths, ["doc_id", cfg.value_col, cfg.series_key],
+    ds_new = _sized_read(new_paths,
+                         ["doc_id", *cfg.value_cols, cfg.series_key],
                          new_bytes)
     ds_new = ds_new.map_batches(add_time_columns, batch_format="pyarrow")
     ds_new = ds_new.map_batches(
@@ -395,7 +399,7 @@ def run_rollup_incremental(
                    "key_col": cfg.series_key})
     rows_old, _wm_old = _points_stats(raw_points_dir)
     old_bytes = ckpt.dir_bytes(raw_points_dir)
-    part_cols = [cfg.series_key, "bucket", "count", "sum", "min", "max"]
+    part_cols = [cfg.series_key, "bucket", "count", *cfg.partial_cols]
     tier_gap_fill = cfg.gap_fill and raw_tier.gap_fill
     tmp_points = raw_points_dir.parent / "points.ingest-tmp"
     tmp_blobs = raw_blobs_dir.parent / "blobs.ingest-tmp"
@@ -442,14 +446,15 @@ def run_rollup_incremental(
         old_parts = _sized_read(str(raw_points_dir), part_cols,
                                 old_bytes).map_batches(
             _points_to_partials, batch_format="pyarrow",
-            fn_kwargs={"key_col": cfg.series_key})
+            fn_kwargs={"key_col": cfg.series_key,
+                       "partial_cols": cfg.partial_cols})
         partials = old_parts.union(ds_new).materialize()
         spans = spans_from_partials(partials, key_col=cfg.series_key)
         points = run_tier(
             partials, raw_tier.name, raw_tier.unit_s, cfg.segment_points,
             spans, gap_fill=True,
             blobs_dir=str(tmp_blobs) if encode else None,
-            key_col=cfg.series_key)
+            key_col=cfg.series_key, measures=cfg.measures)
         write_tier_points(points, tmp_points, cfg, raw_tier.unit_s)
         if mpath.exists():
             mpath.unlink()
@@ -496,14 +501,16 @@ def run_rollup_incremental(
             seg_span_k = cfg.segment_points * tier.unit_s
             delta_k = ds_new.map_batches(
                 cascade_batch, batch_format="pyarrow",
-                fn_kwargs={"unit_s": tier.unit_s}).materialize()
+                fn_kwargs={"unit_s": tier.unit_s,
+                           "measures": cfg.measures}).materialize()
             touched_k = _collect_groups(delta_k, cfg.series_key, seg_span_k)
             tier_gap = cfg.gap_fill and tier.gap_fill
             seeds = None
             if tier_gap:
                 touched_k |= _extension_groups(prior_spans, spans, seg_span_k)
                 seeds = _seed_rows(touched_k, spans, tier.unit_s, seg_span_k,
-                                   cfg.series_key)
+                                   cfg.series_key,
+                                   partial_cols=cfg.partial_cols)
             if not _selective_tier_merge(p_dir, b_dir, tier, cfg, delta_k,
                                          touched_k, encode=encode,
                                          gap_fill=tier_gap, spans=spans,

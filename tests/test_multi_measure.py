@@ -101,9 +101,42 @@ def test_multi_blob_roundtrip_both_measures(runs, tier):
             np.testing.assert_array_equal(g, e, err_msg=f"{tier}/{c}_{m}")
 
 
-def test_incremental_rejects_multi(two_measure_table):
+def test_incremental_multi_measure_bit_identical(two_measure_table):
+    """Multi-measure ingest == multi-measure full recompute, every tier,
+    points AND blobs (the suffixed-column selective merge)."""
+    import glob
+    import os
+
     from feasts_ray.pipelines.incremental import run_rollup_incremental
 
-    with pytest.raises(NotImplementedError, match="single-measure"):
-        run_rollup_incremental(two_measure_table, f"{BASE}/out_inc",
-                               cfg=RollupConfig(value_col=("n_tok", "n_alt")))
+    cfg = RollupConfig(value_col=("n_tok", "n_alt"))
+    parts = sorted(glob.glob(f"{two_measure_table}/*.parquet"))
+    assert len(parts) >= 1
+    # split the FIRST part file into base + delta (same recipe as
+    # tests/test_incremental.py): base run sees rows [0, split), the
+    # appended file carries the rest
+    src = pq.read_table(parts[0])
+    split = len(src) // 2
+    in_dir = f"{BASE}/in_inc"
+    shutil.rmtree(in_dir, ignore_errors=True)
+    os.makedirs(in_dir)
+    pq.write_table(src.slice(0, split), f"{in_dir}/part-00000.parquet")
+    out_inc = f"{BASE}/out_inc"
+    out_full = f"{BASE}/out_inc_full"
+    for d in (out_inc, out_full):
+        shutil.rmtree(d, ignore_errors=True)
+    run_rollup(in_dir, out_inc, cfg=cfg)
+    pq.write_table(src.slice(split), f"{in_dir}/part-00001.parquet")
+    m1 = run_rollup_incremental(in_dir, out_inc, cfg=cfg)
+    assert m1["raw"].get("incremental") is True
+    run_rollup(in_dir, out_full, cfg=cfg)
+    for tier in [t.name for t in TIERS]:
+        for sub, keys in (("points", ["source", "bucket"]),
+                          ("blobs", ["source", "segment"])):
+            a = (pads.dataset(f"{out_inc}/tier={tier}/{sub}").to_table()
+                 .to_pandas().sort_values(keys, ignore_index=True))
+            b = (pads.dataset(f"{out_full}/tier={tier}/{sub}").to_table()
+                 .to_pandas().sort_values(keys, ignore_index=True))
+            pd.testing.assert_frame_equal(
+                a[sorted(a.columns)], b[sorted(b.columns)],
+                check_exact=True, obj=f"{tier}/{sub}")
