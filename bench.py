@@ -89,6 +89,8 @@ def run_queries() -> dict[str, float]:
              "minhash_dup_pairs", "simhash_dup_pairs", "dedup_keep_best",
              "word_freq_topk", "decontaminate", "sample_stratified",
              "asof_join_1h", "sessionize", "range_join_anomalies",
+             "asof_join_grouped_1h", "range_join_grouped",
+             "rollup_daily_multi",
              "ann_topk", "features_1h", "stl_1h"]
     out: dict[str, float] = {}
     for name in names:
