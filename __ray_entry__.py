@@ -919,6 +919,39 @@ JOIN series p ON p.event_type = s.event_type AND p.bucket = s.bucket - k.lag * 3
             + word_hash_expr("CAST(doc_id AS VARCHAR)")
             + " % 100 < CASE WHEN lang = 'en' THEN 5 ELSE 25 END"),
         "dedup_keep_best": _DEDUP_KEEP_BEST,
+        # per-group top-k selection: (n_words DESC, doc_id ASC) makes the
+        # pick unique; n_words uses the token_counts expression verbatim
+        "quality_topk_per_lang": (
+            "WITH nw AS (SELECT lang, doc_id, "
+            "CAST(CASE WHEN regexp_replace(text, '^\\s+|\\s+$', '', 'g') = '' "
+            "THEN 0 ELSE len(regexp_split_to_array("
+            "regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+')) END AS BIGINT) "
+            "AS n_words FROM documents), "
+            "r AS (SELECT lang, doc_id, n_words, ROW_NUMBER() OVER ("
+            "PARTITION BY lang ORDER BY n_words DESC, doc_id ASC) AS rn FROM nw) "
+            "SELECT lang, doc_id, n_words FROM r WHERE rn <= 20"),
+        "distinct_users_by_type": (
+            "SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) "
+            "AS n_users FROM events GROUP BY event_type"),
+        # duplicated word-3-gram spans: the tri CTE mirrors the MinHash
+        # oracle's shingle definition (string 3-grams; the kernel's 64-bit
+        # shingle hashes are collision-free at this scale — the
+        # exact-Jaccard oracle above already relies on that equivalence)
+        "dup_span_stats": (
+            "WITH w AS (SELECT doc_id, list_filter("
+            "string_split_regex(text, '\\s+'), x -> x <> '') AS ws "
+            "FROM documents), "
+            "tok AS (SELECT doc_id, unnest(ws) AS tkn, "
+            "generate_subscripts(ws, 1) AS i FROM w), "
+            "tri AS (SELECT DISTINCT a.doc_id, "
+            "a.tkn || ' ' || b.tkn || ' ' || c.tkn AS sh FROM tok a "
+            "JOIN tok b ON b.doc_id = a.doc_id AND b.i = a.i + 1 "
+            "JOIN tok c ON c.doc_id = a.doc_id AND c.i = a.i + 2), "
+            "nd AS (SELECT sh, COUNT(*) AS n FROM tri GROUP BY sh) "
+            "SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans, "
+            "CAST(SUM(CASE WHEN nd.n >= 2 THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS n_dup_spans FROM tri t JOIN nd ON nd.sh = t.sh "
+            "GROUP BY t.doc_id"),
         # exact all-pairs cosine baseline: list_cosine_similarity over
         # FLOAT[] is a float32 sequential fold of dot/(|x| * |y|), which
         # the kernel mirrors with float32 cumsum-last folds

@@ -511,6 +511,46 @@ def q_sample_stratified(sf_dir: str):
     return sample_stratified(ds, rates={"en": 5}, default_rate=25)
 
 
+def q_quality_topk_per_lang(sf_dir: str):
+    """Per-language top-20 documents by word count (the data-selection
+    step of a curation pipeline: keep the k "best" docs per stratum).
+    Per-block per-group top-k partials -> ONE groupby(lang) shuffle of
+    <= k rows per group per block -> per-group head; (n_words DESC,
+    doc_id ASC) makes the selection unique, so the ROW_NUMBER oracle
+    matches bit-for-bit (feasts_ray/text/corpus.py::topk_per_group)."""
+    from feasts_ray.text.corpus import topk_per_group
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text", "lang"])
+    scored = ds.map_batches(add_token_counts, batch_format="pyarrow"
+                            ).select_columns(["lang", "doc_id", "n_words"])
+    return topk_per_group(scored, "lang", ["n_words", "doc_id"],
+                          [False, True], k=20)
+
+
+def q_distinct_users_by_type(sf_dir: str):
+    """Exact COUNT(DISTINCT user_id) per event_type: map-side pair
+    dedup -> one value-salted bounded-group shuffle of distinct pairs ->
+    vectorized within-group dedup + per-key partials -> tiny per-key Sum
+    (feasts_ray/text/corpus.py::count_distinct)."""
+    from feasts_ray.text.corpus import count_distinct
+
+    ds = ray.data.read_parquet(_events(sf_dir),
+                               columns=["event_type", "user_id"])
+    return count_distinct(ds, "event_type", "user_id", alias="n_users")
+
+
+def q_dup_span_stats(sf_dir: str):
+    """Per-doc duplicated word-3-gram span counts (n_spans distinct
+    spans, n_dup_spans of them shared with >= 1 other doc) — the
+    substring-duplication curation signal (Lee et al. ACL 2022). One
+    corpus scan -> span-salted bounded-group shuffle -> per-doc Sum
+    (feasts_ray/text/corpus.py::dup_span_stats)."""
+    from feasts_ray.text.corpus import dup_span_stats
+
+    return dup_span_stats(_documents(sf_dir), k=3)
+
+
 def q_bpe_token_counts(sf_dir: str):
     return _documents(sf_dir).map_batches(
         BpeishTokenCounter, fn_constructor_args=("text",),
@@ -1280,6 +1320,9 @@ ALL_QUERIES = {
     "asof_join_grouped_1h": q_asof_join_grouped_1h,
     "range_join_grouped": q_range_join_grouped,
     "rollup_daily_multi": q_rollup_daily_multi,
+    "quality_topk_per_lang": q_quality_topk_per_lang,
+    "distinct_users_by_type": q_distinct_users_by_type,
+    "dup_span_stats": q_dup_span_stats,
     # Next: the 10 queries green in r03 but rotated out of the r04
     # driver sample by the 50-query cap (VERDICT r04 task #2) — they
     # re-verify this round; the r04-new greens rotate to the tail.
@@ -1331,13 +1374,13 @@ ALL_QUERIES = {
     "feat_acf_1h": q_feat_acf_1h,
     "feat_pacf_1h": q_feat_pacf_1h,
     "unitroot_pp_1h": q_unitroot_pp_1h,
-    "arch_lm_1h": q_arch_lm_1h,
-    "acf_table_1h": q_acf_table_1h,
-    "pacf_table_1h": q_pacf_table_1h,
     # Oracle-backed queries green in BOTH r03-era and r04 (two
     # consecutive hard signals, kernels unchanged) rotate past the
     # driver's ~50-query cap this round so the r03-only greens above
     # can re-verify; each stays suite-pinned.
+    "arch_lm_1h": q_arch_lm_1h,
+    "acf_table_1h": q_acf_table_1h,
+    "pacf_table_1h": q_pacf_table_1h,
     "asof_join_1h": q_asof_join_1h,
     "sessionize": q_sessionize,
     "ewm_1h": q_ewm_1h,

@@ -132,6 +132,145 @@ def _id_hash64(ids: pa.Array) -> np.ndarray:
     return hash_words_arrow(pc.cast(ids, pa.string()))
 
 
+_MIX64 = np.uint64(0x9E3779B97F4A7C15)
+
+
+def topk_per_group(ds: "ray.data.Dataset", group_col: str,
+                   sort_cols: list[str], ascending: list[bool],
+                   k: int) -> "ray.data.Dataset":
+    """Per-group top-k selection (e.g. "keep the k best documents per
+    language" — the data-selection step of a curation pipeline). Each
+    input block first keeps its own per-group top-k (a global top-k row
+    always survives its block's top-k), so the single ``groupby`` shuffle
+    moves <= k * #groups * #blocks rows — never O(corpus); the final
+    per-group head runs over <= k * #blocks rows. Ties are broken by the
+    caller's trailing sort columns, so with a unique id in ``sort_cols``
+    the result set is deterministic and SQL ROW_NUMBER-mirrorable."""
+
+    def _head(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(sort_cols, ascending=ascending,
+                              kind="mergesort").groupby(
+            group_col, sort=False).head(k)
+
+    part = ds.map_batches(_head, batch_format="pandas")
+    # per-group finalize: #groups bounded (strata), each group <= k*#blocks
+    return part.groupby(group_col).map_groups(_head, batch_format="pandas")
+
+
+def count_distinct(ds: "ray.data.Dataset", key_col: str, value_col: str,
+                   num_groups: int = 64,
+                   alias: str = "n_distinct") -> "ray.data.Dataset":
+    """Exact per-key COUNT(DISTINCT value) for an integer value column.
+
+    Map-side dedup (per-batch Arrow ``group_by`` keeps each (key, value)
+    combination once, so the shuffle moves distinct pairs, not rows) →
+    ONE bounded shuffle into ``num_groups`` hash groups salted by the
+    VALUE (all copies of a value land in one group, so the within-group
+    lexsort dedup is globally exact and every pair contributes to exactly
+    one group's per-key partial) → a tiny per-key Sum of the partials.
+    No stage holds more than a block of distinct pairs."""
+
+    def _local(batch: pa.Table) -> pa.Table:
+        u = pa.table({key_col: batch[key_col], value_col: batch[value_col]}
+                     ).group_by([key_col, value_col]).aggregate([])
+        v = u[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        g = ((v.view(np.uint64) * _MIX64) % np.uint64(num_groups)
+             ).astype(np.int64)
+        return u.append_column("_g", pa.array(g, type=pa.int64()))
+
+    def _per_group(group: pa.Table) -> pa.Table:
+        enc = group[key_col].combine_chunks().dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        v = group[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((v, codes))
+        c_s, v_s = codes[order], v[order]
+        first = np.ones(len(c_s), dtype=bool)
+        first[1:] = (c_s[1:] != c_s[:-1]) | (v_s[1:] != v_s[:-1])
+        c_u = c_s[first]
+        kb = np.flatnonzero(np.concatenate(
+            [[True], c_u[1:] != c_u[:-1]])) if len(c_u) else np.array([], np.int64)
+        n = np.diff(np.append(kb, len(c_u))).astype(np.int64)
+        return pa.table({key_col: enc.dictionary.take(pa.array(c_u[kb])),
+                         "partial": pa.array(n, type=pa.int64())})
+
+    partials = ds.map_batches(_local, batch_format="pyarrow").groupby(
+        "_g").map_groups(_per_group, batch_format="pyarrow")
+    return partials.groupby(key_col).aggregate(
+        Sum("partial", alias_name=alias))
+
+
+def dup_span_stats(ds: "ray.data.Dataset", k: int = 3,
+                   num_groups: int = 64, id_col: str = "doc_id",
+                   text_col: str = "text") -> "ray.data.Dataset":
+    """Per-document duplicated-span statistics: for every document with
+    >= k words, ``n_spans`` = its number of DISTINCT word k-grams and
+    ``n_dup_spans`` = how many of those occur in at least one other
+    document — the per-doc duplication signal behind substring-level
+    training-data dedup (Lee et al., "Deduplicating Training Data Makes
+    Language Models Better", ACL 2022; the reference computes per-series
+    features only, /root/reference/R/features.R).
+
+    Scale shape: ONE corpus scan emits (span-hash, doc) pairs, distinct
+    per doc (each doc lives in one batch, so per-batch dedup is global);
+    pairs shuffle ONCE into ``num_groups`` hash groups salted by the
+    span hash — every occurrence of a span lands in one group, so the
+    within-group run length IS the span's global doc count — and the
+    vectorized group kernel folds per-doc partials; a final per-doc Sum
+    (second, partial-sized shuffle) assembles the counts. Span identity
+    is the same 64-bit polynomial shingle hash the MinHash path uses
+    (collision-free at this scale — the exact-Jaccard oracle already
+    relies on that equivalence, dedup/minhash.py)."""
+    from ..dedup.hashing import shingle_hashes_batch, tokenize_arrow
+
+    def _spans(batch: pa.Table) -> pa.Table:
+        whash, offsets, counts = tokenize_arrow(batch[text_col])
+        flat, out_offs = shingle_hashes_batch(whash, offsets, k)
+        out_counts = np.diff(out_offs)
+        doc_of = np.repeat(np.arange(len(out_counts)), out_counts)
+        # docs with < k words get shingle_hashes_batch's short fold —
+        # drop them to match the oracle's k-gram-only definition
+        keep = counts[doc_of] >= k
+        sh = flat[keep].view(np.int64)
+        did = batch[id_col].to_numpy(zero_copy_only=False)[doc_of[keep]]
+        order = np.lexsort((sh, did))
+        sh, did = sh[order], did[order]
+        if len(sh):
+            first = np.ones(len(sh), dtype=bool)
+            first[1:] = (did[1:] != did[:-1]) | (sh[1:] != sh[:-1])
+            sh, did = sh[first], did[first]
+        g = ((sh.view(np.uint64) * _MIX64) % np.uint64(num_groups)
+             ).astype(np.int64)
+        return pa.table({"sh": pa.array(sh, type=pa.int64()),
+                         id_col: pa.array(did, type=pa.int64()),
+                         "_g": pa.array(g, type=pa.int64())})
+
+    def _per_group(group: pa.Table) -> pa.Table:
+        sh = group["sh"].to_numpy(zero_copy_only=False)
+        did = group[id_col].to_numpy(zero_copy_only=False)
+        if len(sh) == 0:
+            return pa.table({id_col: pa.array([], type=pa.int64()),
+                             "ns": pa.array([], type=pa.int64()),
+                             "nd": pa.array([], type=pa.int64())})
+        order = np.argsort(sh, kind="stable")
+        sh_s, did_s = sh[order], did[order]
+        runs = np.flatnonzero(np.concatenate([[True], sh_s[1:] != sh_s[:-1]]))
+        run_len = np.diff(np.append(runs, len(sh_s)))
+        dup_row = np.repeat((run_len >= 2).astype(np.int64), run_len)
+        o2 = np.argsort(did_s, kind="stable")
+        d2, dupv = did_s[o2], dup_row[o2]
+        db = np.flatnonzero(np.concatenate([[True], d2[1:] != d2[:-1]]))
+        return pa.table({
+            id_col: pa.array(d2[db], type=pa.int64()),
+            "ns": pa.array(np.diff(np.append(db, len(d2))), type=pa.int64()),
+            "nd": pa.array(np.add.reduceat(dupv, db), type=pa.int64()),
+        })
+
+    partials = ds.map_batches(_spans, batch_format="pyarrow").groupby(
+        "_g").map_groups(_per_group, batch_format="pyarrow")
+    return partials.groupby(id_col).aggregate(
+        Sum("ns", alias_name="n_spans"), Sum("nd", alias_name="n_dup_spans"))
+
+
 def sample_stratified(ds: "ray.data.Dataset", rates: dict[str, int],
                       default_rate: int, mod: int = 100,
                       strat_col: str = "lang", id_col: str = "doc_id",

@@ -123,3 +123,115 @@ class TestSampleStratified:
         # loose binomial bounds — deterministic, so these never flake
         assert 0 < k_en < 0.15 * n_en
         assert 0.12 * n_rest < k_rest < 0.40 * n_rest
+
+
+class TestTopkPerGroup:
+    def test_matches_duckdb_row_number(self, docs_ds):
+        from feasts_ray.text.analysis import add_token_counts
+        from feasts_ray.text.corpus import topk_per_group
+
+        scored = docs_ds.map_batches(
+            add_token_counts, batch_format="pyarrow"
+        ).select_columns(["lang", "doc_id", "n_words"])
+        got = (topk_per_group(scored, "lang", ["n_words", "doc_id"],
+                              [False, True], k=3)
+               .to_pandas().sort_values(["lang", "doc_id"])
+               .reset_index(drop=True)[["lang", "doc_id", "n_words"]])
+        exp = _con().execute("""
+            WITH nw AS (SELECT lang, doc_id,
+              CAST(CASE WHEN regexp_replace(text, '^\\s+|\\s+$', '', 'g') = ''
+              THEN 0 ELSE len(regexp_split_to_array(
+              regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+')) END
+              AS BIGINT) AS n_words FROM documents),
+            r AS (SELECT lang, doc_id, n_words, ROW_NUMBER() OVER (
+              PARTITION BY lang ORDER BY n_words DESC, doc_id ASC) AS rn
+              FROM nw)
+            SELECT lang, doc_id, n_words FROM r WHERE rn <= 3
+            ORDER BY lang, doc_id
+        """).df()
+        pd.testing.assert_frame_equal(got, exp)
+
+    def test_small_group_returns_all(self, docs_ds):
+        from feasts_ray.text.analysis import add_token_counts
+        from feasts_ray.text.corpus import topk_per_group
+
+        scored = docs_ds.map_batches(
+            add_token_counts, batch_format="pyarrow"
+        ).select_columns(["lang", "doc_id", "n_words"])
+        got = topk_per_group(scored, "lang", ["n_words", "doc_id"],
+                             [False, True], k=1000).to_pandas()
+        # k exceeds every group: the op must return the whole input
+        assert len(got) == len(DOCS)
+
+
+class TestCountDistinct:
+    def test_matches_duckdb(self, ray_session):
+        from feasts_ray.text.corpus import count_distinct
+
+        rng = np.random.default_rng(7)
+        ev = pd.DataFrame({
+            "event_type": rng.choice(["a", "b", "c"], size=5000),
+            "user_id": rng.integers(0, 200, size=5000).astype(np.int64),
+        })
+        got = (count_distinct(ray.data.from_pandas(ev).repartition(8),
+                              "event_type", "user_id", alias="n_users")
+               .to_pandas().sort_values("event_type")
+               .reset_index(drop=True))
+        con = duckdb.connect()
+        con.register("events", ev)
+        exp = con.execute(
+            "SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) "
+            "AS n_users FROM events GROUP BY event_type "
+            "ORDER BY event_type").df()
+        pd.testing.assert_frame_equal(got, exp)
+
+    def test_single_key_single_value(self, ray_session):
+        from feasts_ray.text.corpus import count_distinct
+
+        ev = pd.DataFrame({"k": ["x"] * 100,
+                           "v": np.zeros(100, dtype=np.int64)})
+        got = count_distinct(ray.data.from_pandas(ev).repartition(4),
+                             "k", "v").to_pandas()
+        assert got["n_distinct"].tolist() == [1]
+
+
+class TestDupSpanStats:
+    def test_matches_duckdb(self, docs_ds):
+        from feasts_ray.text.corpus import dup_span_stats
+
+        got = (dup_span_stats(docs_ds, k=3).to_pandas()
+               .sort_values("doc_id").reset_index(drop=True))
+        exp = _con().execute("""
+            WITH w AS (SELECT doc_id, list_filter(
+                string_split_regex(text, '\\s+'), x -> x <> '') AS ws
+              FROM documents),
+            tok AS (SELECT doc_id, unnest(ws) AS tkn,
+                    generate_subscripts(ws, 1) AS i FROM w),
+            tri AS (SELECT DISTINCT a.doc_id,
+                    a.tkn || ' ' || b.tkn || ' ' || c.tkn AS sh FROM tok a
+              JOIN tok b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+              JOIN tok c ON c.doc_id = a.doc_id AND c.i = a.i + 2),
+            nd AS (SELECT sh, COUNT(*) AS n FROM tri GROUP BY sh)
+            SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+              CAST(SUM(CASE WHEN nd.n >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_dup_spans FROM tri t JOIN nd ON nd.sh = t.sh
+            GROUP BY t.doc_id ORDER BY t.doc_id
+        """).df()
+        pd.testing.assert_frame_equal(got, exp)
+        # short (<3 words) and empty docs are excluded by definition
+        assert not set(got["doc_id"]) & {2, 4}
+        # planted near-dups: docs 0/3/5 share the 8-word phrase's 3-grams
+        row0 = got.set_index("doc_id").loc[0]
+        assert row0["n_dup_spans"] >= 6
+
+    def test_disjoint_corpus_has_no_dups(self, ray_session):
+        from feasts_ray.text.corpus import dup_span_stats
+
+        docs = pd.DataFrame({
+            "doc_id": np.arange(50, dtype=np.int64),
+            "text": [f"w{3*i} w{3*i+1} w{3*i+2} tail{i}" for i in range(50)],
+        })
+        got = dup_span_stats(ray.data.from_pandas(docs).repartition(4),
+                             k=3).to_pandas()
+        assert (got["n_dup_spans"] == 0).all()
+        assert (got["n_spans"] == 2).all()
