@@ -21,7 +21,8 @@ FAST_ORACLE_QUERIES = [
     "acf_table_1h", "pacf_table_1h", "classical_1h", "features_basic_1h",
     "bpe_token_counts", "seasonal_overlay_1h", "arch_lm_1h",
     "simhash_dup_pairs", "fingerprint", "embedding_dedup_docs",
-    "rollup_1m_incremental",
+    "rollup_1m_incremental", "quality_topk_per_lang",
+    "distinct_users_by_type", "dup_span_stats",
 ]
 
 
