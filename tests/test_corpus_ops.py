@@ -9,6 +9,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
 
 import ray
 
@@ -235,3 +237,68 @@ class TestDupSpanStats:
                              k=3).to_pandas()
         assert (got["n_dup_spans"] == 0).all()
         assert (got["n_spans"] == 2).all()
+
+
+class TestCorpusOpsProperties:
+    """Hypothesis property tests: the distributed kernels vs pure-Python
+    brute force on arbitrary small corpora (ray_session is
+    session-scoped, so per-example reuse is safe)."""
+
+    @settings(max_examples=15, deadline=None)
+    @given(data=st.lists(st.lists(st.integers(0, 30), max_size=12),
+                         min_size=1, max_size=30))
+    def test_dup_span_stats_matches_bruteforce(self, ray_session, data):
+        from collections import Counter
+
+        from feasts_ray.text.corpus import dup_span_stats
+
+        docs = pd.DataFrame({
+            "doc_id": np.arange(len(data), dtype=np.int64),
+            "text": [" ".join(f"w{t}" for t in toks) for toks in data],
+        })
+        got = dup_span_stats(ray.data.from_pandas(docs).repartition(3),
+                             k=3).to_pandas()
+        spans = {i: {tuple(toks[j:j + 3]) for j in range(len(toks) - 2)}
+                 for i, toks in enumerate(data) if len(toks) >= 3}
+        cnt = Counter(s for ss in spans.values() for s in ss)
+        exp = {i: (len(ss), sum(1 for s in ss if cnt[s] >= 2))
+               for i, ss in spans.items()}
+        got_d = {int(r.doc_id): (int(r.n_spans), int(r.n_dup_spans))
+                 for r in got.itertuples()}
+        assert got_d == exp
+
+    @settings(max_examples=15, deadline=None)
+    @given(rows=st.lists(st.tuples(st.sampled_from(["a", "b", "c"]),
+                                   st.integers(-5, 5)),
+                         min_size=1, max_size=200))
+    def test_count_distinct_matches_pandas(self, ray_session, rows):
+        from feasts_ray.text.corpus import count_distinct
+
+        df = pd.DataFrame(rows, columns=["k", "v"])
+        df["v"] = df["v"].astype(np.int64)
+        got = (count_distinct(ray.data.from_pandas(df).repartition(3),
+                              "k", "v").to_pandas()
+               .set_index("k")["n_distinct"].to_dict())
+        exp = df.groupby("k")["v"].nunique().to_dict()
+        assert got == exp
+
+    @settings(max_examples=15, deadline=None)
+    @given(rows=st.lists(st.tuples(st.sampled_from(["g1", "g2"]),
+                                   st.integers(0, 9)),
+                         min_size=1, max_size=100),
+           k=st.integers(1, 5))
+    def test_topk_per_group_matches_pandas(self, ray_session, rows, k):
+        from feasts_ray.text.corpus import topk_per_group
+
+        df = pd.DataFrame(rows, columns=["g", "score"])
+        df["score"] = df["score"].astype(np.int64)
+        df["rid"] = np.arange(len(df), dtype=np.int64)  # unique tiebreak
+        got = topk_per_group(
+            ray.data.from_pandas(df).repartition(3), "g",
+            ["score", "rid"], [False, True], k=k).to_pandas()
+        exp = df.sort_values(["score", "rid"], ascending=[False, True],
+                             kind="mergesort").groupby("g", sort=False).head(k)
+        key = ["g", "score", "rid"]
+        pd.testing.assert_frame_equal(
+            got.sort_values(key).reset_index(drop=True)[key],
+            exp.sort_values(key).reset_index(drop=True)[key])
