@@ -39,6 +39,13 @@ def main() -> int:
                          "files wholly older than watermark-SECS (recorded "
                          "in _RETENTION.json and re-applied by every later "
                          "run at the advancing watermark)")
+    ap.add_argument("--compact", action="store_true",
+                    help="after the run, rewrite fragmented points "
+                         "partitions into the minimal file count "
+                         "(point set preserved bit-exactly; crash-safe "
+                         "via the manifest-invalidate protocol)")
+    ap.add_argument("--compact-target-mb", type=int, default=128,
+                    help="compaction target file size in MiB")
     args = ap.parse_args()
 
     import ray
@@ -61,6 +68,11 @@ def main() -> int:
         horizons = {k: int(v) for k, v in
                     (kv.split("=", 1) for kv in args.retain.split(","))}
         metrics["retention"] = enforce_retention(args.out, horizons)
+    if args.compact:
+        from feasts_ray.pipelines.compaction import compact_all
+
+        metrics["compaction"] = compact_all(
+            args.out, target_bytes=args.compact_target_mb << 20)
     print(json.dumps(metrics, default=str))
     ray.shutdown()
     return 0
