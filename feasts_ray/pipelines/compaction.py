@@ -107,6 +107,11 @@ def compact_points(out_dir: str | Path, tier_name: str,
     cfg = cfg or RollupConfig()
     points_dir, _ = _tier_dirs(str(out_dir), tier_name)
     tier_dir = points_dir.parent
+    # stray tmp dirs from a crashed pass (the missing manifest already
+    # forces a tier recompute, which clears them — this just keeps a
+    # later compaction of a REBUILT tier from tripping over leftovers)
+    for stray in points_dir.glob("_compact_tmp_*"):
+        shutil.rmtree(stray, ignore_errors=True)
     todo = plan_partitions(points_dir, target_bytes)
     n_parts = len(list(points_dir.glob("seg_part=*")))
     report = {"tier": tier_name, "partitions_scanned": n_parts,
@@ -153,9 +158,105 @@ def compact_points(out_dir: str | Path, tier_name: str,
     return report
 
 
+def _flat_bins(files: list[Path], target_bytes: int) -> list[list[str]]:
+    """Greedy consecutive bin-pack of a sorted file list; only bins that
+    would actually merge (>= 2 files) are returned."""
+    bins: list[list[str]] = []
+    cur: list[str] = []
+    cur_b = 0
+    for f in files:
+        sz = f.stat().st_size
+        if cur and cur_b + sz > target_bytes:
+            bins.append(cur)
+            cur, cur_b = [], 0
+        cur.append(str(f))
+        cur_b += sz
+    if cur:
+        bins.append(cur)
+    return [b for b in bins if len(b) > 1]
+
+
+def compact_flat(stage_dir: str | Path, data_subdir: str,
+                 sort_key: str = "doc_id",
+                 target_bytes: int = TARGET_BYTES) -> dict:
+    """Compact a flat per-doc stage output (``features/points``,
+    ``tokens_archive/blobs``) — these stages write one small parquet
+    file per map batch for retry idempotence (same batch → same stem →
+    overwrite; docs/ROADMAP.md known-limitation #0), so a completed
+    stage holds corpus_rows / batch_size files. After completion the
+    retry concern is gone and consecutive files bin-pack into
+    ``target_bytes`` outputs, one bin per task.
+
+    Rows never move across directories (ingest-<lineage> subdirs keep
+    their provenance — each directory compacts independently), the row
+    SET is preserved exactly (merged files re-sort by ``sort_key`` for
+    determinism), and the same manifest-invalidate protocol makes a
+    crash fall back to a stage recompute."""
+    stage_dir = Path(stage_dir)
+    data_dir = stage_dir / data_subdir
+    report = {"stage": stage_dir.name, "bins": 0, "files_before": 0,
+              "files_after": 0, "bytes_rewritten": 0}
+    if not data_dir.exists():
+        return report
+    for stray in data_dir.rglob("_flatcompact-*"):
+        stray.unlink()
+    dirs = [data_dir] + sorted(d for d in data_dir.rglob("*") if d.is_dir())
+    bins = []
+    for d in dirs:
+        files = sorted(f for f in d.glob("*.parquet"))
+        bins.extend(_flat_bins(files, target_bytes))
+    if not bins:
+        return report
+    manifest = ckpt.load_manifest(stage_dir)
+    mpath = ckpt.manifest_path(stage_dir)
+    if mpath.exists():
+        mpath.unlink()
+
+    def _merge_bin(paths: list[str]) -> dict:
+        files = [Path(p) for p in paths]
+        in_bytes = sum(f.stat().st_size for f in files)
+        table = pa.concat_tables([pq.read_table(f) for f in files])
+        table = table.sort_by([(sort_key, "ascending")])
+        d = files[0].parent
+        import zlib
+
+        tag = format(zlib.crc32("\x1f".join(paths).encode()), "08x")
+        tmp = d / f"_flatcompact-{tag}.parquet"
+        pq.write_table(table, tmp, row_group_size=128 * 1024)
+        final = d / f"compact-{tag}-{len(files)}.parquet"
+        os.replace(tmp, final)
+        for f in files:
+            f.unlink()
+        return {"files": len(files), "bytes": in_bytes}
+
+    def _run(batch: pa.Table) -> pa.Table:
+        rows = [_merge_bin(list(p)) for p in batch["paths"].to_pylist()]
+        return pa.table({
+            "files": pa.array([r["files"] for r in rows], pa.int64()),
+            "bytes": pa.array([r["bytes"] for r in rows], pa.int64()),
+        })
+
+    stats = (ray.data.from_items([{"paths": b} for b in bins])
+             .map_batches(_run, batch_format="pyarrow", batch_size=1)
+             .to_pandas())
+    report["bins"] = len(stats)
+    report["files_before"] = int(stats["files"].sum())
+    report["files_after"] = len(stats)
+    report["bytes_rewritten"] = int(stats["bytes"].sum())
+    if manifest is not None:
+        import json
+
+        tmp = str(mpath) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f, indent=1, default=str)
+        os.replace(tmp, mpath)
+    return report
+
+
 def compact_all(out_dir: str | Path, cfg: RollupConfig | None = None,
                 target_bytes: int = TARGET_BYTES) -> dict[str, dict]:
-    """Compaction pass over every tier with a points dir."""
+    """Compaction pass over every tier points dir plus the flat per-doc
+    stage outputs (features, verified token archive) when present."""
     cfg = cfg or RollupConfig()
     out = {}
     for tier in cfg.tiers:
@@ -163,4 +264,9 @@ def compact_all(out_dir: str | Path, cfg: RollupConfig | None = None,
         if points_dir.exists():
             out[tier.name] = compact_points(out_dir, tier.name, cfg,
                                             target_bytes)
+    for stage, sub in (("features", "points"), ("tokens_archive", "blobs")):
+        stage_dir = Path(out_dir) / stage
+        if (stage_dir / sub).exists():
+            out[stage] = compact_flat(stage_dir, sub,
+                                      target_bytes=target_bytes)
     return out

@@ -171,6 +171,11 @@ def count_distinct(ds: "ray.data.Dataset", key_col: str, value_col: str,
     No stage holds more than a block of distinct pairs."""
 
     def _local(batch: pa.Table) -> pa.Table:
+        if not pa.types.is_integer(batch.schema.field(value_col).type):
+            raise TypeError(
+                f"count_distinct value column {value_col!r} must be an "
+                "integer type (the group salt is an integer mix); hash "
+                "string values to int64 upstream")
         u = pa.table({key_col: batch[key_col], value_col: batch[value_col]}
                      ).group_by([key_col, value_col]).aggregate([])
         v = u[value_col].to_numpy(zero_copy_only=False).astype(np.int64)

@@ -164,3 +164,102 @@ class TestCompaction:
                                           _points_df(out_b, t))
         for t in ("raw", "1m"):
             assert _blob_bytes(out_a, t) == _blob_bytes(out_b, t)
+
+    def test_retention_after_compaction_partition_exact(self, built,
+                                                        tmp_path):
+        """Compaction preserves partition boundaries, so retention expiry
+        over a compacted store stays partition-exact."""
+        from feasts_ray.pipelines.retention import (enforce_retention,
+                                                    retention_cutoff)
+        from feasts_ray.pipelines.rollup_pipeline import _points_part_span
+
+        _src, _split, _in, out, metrics = _copy(built, tmp_path)
+        _fragment(out, "raw")
+        compact_points(out, "raw", CFG)
+        full = _points_df(out, "raw")
+        points_dir, _ = _tier_dirs(str(out), "raw")
+        wm = max(m["watermark"] for m in metrics.values()
+                 if isinstance(m, dict) and m.get("watermark") is not None)
+        span = _points_part_span(CFG, 1)
+        first = min(int(d.name.split("=", 1)[1])
+                    for d in points_dir.glob("seg_part=*"))
+        horizon = wm - (first + 1) * span
+        rep = enforce_retention(out, {"raw": horizon}, cfg=CFG)
+        cutoff = retention_cutoff(wm, horizon, span)
+        assert rep["raw"]["expired_parts"] > 0
+        kept = _points_df(out, "raw")
+        exp = full[full["bucket"] >= cutoff].reset_index(drop=True)
+        pd.testing.assert_frame_equal(kept, exp)
+
+
+class TestCompactFlat:
+    """Flat per-doc stage compaction (features/points and
+    tokens_archive/blobs): row-set identity, manifest restore, resume
+    still skips the completed stages."""
+
+    @pytest.fixture(scope="class")
+    def built_docs(self, ray_session, tmp_path_factory):
+        out = tmp_path_factory.mktemp("flat") / "out"
+        in_dir = ensure_token_table(20000)
+        run_rollup(str(in_dir), str(out), cfg=RollupConfig(),
+                   token_features=True, token_archive=True)
+        return in_dir, out
+
+    @staticmethod
+    def _stage_df(out, stage, sub):
+        df = pads.dataset(str(Path(out) / stage / sub)).to_table().to_pandas()
+        return df.sort_values("doc_id", ignore_index=True, kind="mergesort")
+
+    def test_row_set_identity_and_resume(self, built_docs, tmp_path):
+        from feasts_ray.pipelines.compaction import compact_flat
+
+        in_dir, out0 = built_docs
+        out = tmp_path / "out"
+        shutil.copytree(out0, out)
+        before = {s: self._stage_df(out, s, sub)
+                  for s, sub in (("features", "points"),
+                                 ("tokens_archive", "blobs"))}
+        mans = {s: ckpt.load_manifest(out / s)
+                for s in ("features", "tokens_archive")}
+        reps = {}
+        for s, sub in (("features", "points"), ("tokens_archive", "blobs")):
+            reps[s] = compact_flat(out / s, sub)
+            assert reps[s]["bins"] >= 1
+            assert reps[s]["files_after"] < reps[s]["files_before"]
+            pd.testing.assert_frame_equal(
+                self._stage_df(out, s, sub), before[s])
+            assert ckpt.load_manifest(out / s) == mans[s]
+        # a repeat pass finds nothing (single file per bin now)
+        for s, sub in (("features", "points"), ("tokens_archive", "blobs")):
+            assert compact_flat(out / s, sub)["bins"] == 0
+        # resume: the completed stages are skipped, files untouched
+        files_now = sorted(str(p) for p in (out / "features").rglob("*.parquet"))
+        run_rollup(str(in_dir), str(out), cfg=RollupConfig(),
+                   token_features=True, token_archive=True)
+        assert sorted(str(p) for p in (out / "features").rglob("*.parquet")) \
+            == files_now
+
+    def test_subdirs_compact_independently(self, built_docs, tmp_path):
+        """Rows never cross directories: an ingest-<lineage> subdir keeps
+        its own files."""
+        from feasts_ray.pipelines.compaction import compact_flat
+
+        _in, out0 = built_docs
+        out = tmp_path / "out"
+        shutil.copytree(out0, out)
+        pdir = out / "features" / "points"
+        sub = pdir / "ingest-deadbeef"
+        sub.mkdir()
+        # split one top-level file into two inside the subdir
+        f = sorted(pdir.glob("*.parquet"))[0]
+        t = pq.read_table(f)
+        half = t.num_rows // 2
+        pq.write_table(t.slice(0, half), sub / "a.parquet")
+        pq.write_table(t.slice(half), sub / "b.parquet")
+        f.unlink()
+        before = self._stage_df(out, "features", "points")
+        compact_flat(out / "features", "points")
+        pd.testing.assert_frame_equal(
+            self._stage_df(out, "features", "points"), before)
+        merged = list(sub.glob("*.parquet"))
+        assert len(merged) == 1 and merged[0].name.startswith("compact-")
