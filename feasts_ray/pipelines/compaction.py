@@ -31,6 +31,11 @@ manifest is restored at the end — a crash anywhere leaves the next
 run_rollup falling back to a full recompute instead of trusting a
 half-compacted tier.
 
+Maintenance passes are serial by contract: compaction, retention and
+ingest all use the manifest as their crash fence, so run them one at a
+time against a store (the CLI composes them in order: run → retain →
+compact).
+
 Blob files are deliberately NOT compacted: the tier kernel names them
 ``blob-<crc>-<segment>.parquet`` so retention expiry and resume can
 address them by segment without opening them (pipelines/retention.py);
