@@ -933,6 +933,72 @@ JOIN series p ON p.event_type = s.event_type AND p.bucket = s.bucket - k.lag * 3
         "distinct_users_by_type": (
             "SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) "
             "AS n_users FROM events GROUP BY event_type"),
+        # Gopher-style repetition signals (Rae et al. 2021 §A1.1): the
+        # kernel groups n-grams by 64-bit shingle hash, the SQL by the
+        # joined string (same collision-free equivalence as
+        # dup_span_stats); char lengths are exact ints, fractions one
+        # IEEE DOUBLE division on both sides
+        "repetition_signals": (
+            "WITH w AS (SELECT doc_id, list_filter("
+            "string_split_regex(text, '\\s+'), x -> x <> '') AS ws "
+            "FROM documents), "
+            "tok AS (SELECT doc_id, unnest(ws) AS tkn, "
+            "generate_subscripts(ws, 1) AS i FROM w), "
+            "tot AS (SELECT doc_id, CAST(SUM(length(tkn)) AS BIGINT) AS tc "
+            "FROM tok GROUP BY doc_id), "
+            "bi AS (SELECT a.doc_id, a.i, a.tkn || ' ' || b.tkn AS g, "
+            "length(a.tkn) + length(b.tkn) + 1 AS cl "
+            "FROM tok a JOIN tok b ON b.doc_id = a.doc_id AND b.i = a.i + 1), "
+            "bc AS (SELECT doc_id, g, CAST(COUNT(*) AS BIGINT) AS n, "
+            "MAX(cl) AS cl FROM bi GROUP BY doc_id, g), "
+            "bmax AS (SELECT doc_id, MAX(n) AS nmax FROM bc GROUP BY doc_id), "
+            "topc AS (SELECT bc.doc_id, "
+            "CAST(bmax.nmax * MAX(bc.cl) AS BIGINT) AS top_chars "
+            "FROM bc JOIN bmax ON bmax.doc_id = bc.doc_id AND bc.n = bmax.nmax "
+            "GROUP BY bc.doc_id, bmax.nmax), "
+            "tri AS (SELECT a.doc_id, a.i, "
+            "a.tkn || ' ' || b.tkn || ' ' || c.tkn AS g "
+            "FROM tok a JOIN tok b ON b.doc_id = a.doc_id AND b.i = a.i + 1 "
+            "JOIN tok c ON c.doc_id = a.doc_id AND c.i = a.i + 2), "
+            "dupg AS (SELECT doc_id, g FROM tri GROUP BY doc_id, g "
+            "HAVING COUNT(*) >= 2), "
+            "dpos AS (SELECT DISTINCT t.doc_id, t.i + u.o AS j "
+            "FROM tri t JOIN dupg d ON d.doc_id = t.doc_id AND d.g = t.g "
+            "CROSS JOIN generate_series(0, 2) AS u(o)), "
+            "cov AS (SELECT p.doc_id, CAST(SUM(length(k.tkn)) AS BIGINT) "
+            "AS cc FROM dpos p JOIN tok k ON k.doc_id = p.doc_id "
+            "AND k.i = p.j GROUP BY p.doc_id) "
+            "SELECT d.doc_id, COALESCE(tot.tc, 0) AS word_chars, "
+            "COALESCE(topc.top_chars, 0) AS top_ngram_chars, "
+            "CASE WHEN COALESCE(tot.tc, 0) > 0 THEN "
+            "CAST(COALESCE(topc.top_chars, 0) AS DOUBLE) / "
+            "CAST(tot.tc AS DOUBLE) ELSE 0.0 END AS top_ngram_frac, "
+            "COALESCE(cov.cc, 0) AS dup_ngram_chars, "
+            "CASE WHEN COALESCE(tot.tc, 0) > 0 THEN "
+            "CAST(COALESCE(cov.cc, 0) AS DOUBLE) / "
+            "CAST(tot.tc AS DOUBLE) ELSE 0.0 END AS dup_ngram_frac "
+            "FROM documents d "
+            "LEFT JOIN tot ON tot.doc_id = d.doc_id "
+            "LEFT JOIN topc ON topc.doc_id = d.doc_id "
+            "LEFT JOIN cov ON cov.doc_id = d.doc_id"),
+        # rational tf-idf (score = tf/df; documented deviation from
+        # tf*ln(N/df) — IEEE-reproducible, no libm): both engines divide
+        # the same exact ints once, ties break on the binary-smallest term
+        "tfidf_top_terms": (
+            "WITH w AS (SELECT doc_id, list_filter("
+            "string_split_regex(text, '\\s+'), x -> x <> '') AS ws "
+            "FROM documents), "
+            "tok AS (SELECT doc_id, unnest(ws) AS tkn FROM w), "
+            "tf AS (SELECT doc_id, tkn, CAST(COUNT(*) AS BIGINT) AS tf "
+            "FROM tok GROUP BY doc_id, tkn), "
+            "df AS (SELECT tkn, CAST(COUNT(*) AS BIGINT) AS df FROM "
+            "(SELECT DISTINCT doc_id, tkn FROM tok) GROUP BY tkn), "
+            "s AS (SELECT tf.doc_id, tf.tkn AS term, tf.tf, df.df, "
+            "CAST(tf.tf AS DOUBLE) / CAST(df.df AS DOUBLE) AS score, "
+            "ROW_NUMBER() OVER (PARTITION BY tf.doc_id "
+            "ORDER BY CAST(tf.tf AS DOUBLE) / CAST(df.df AS DOUBLE) DESC, "
+            "tf.tkn ASC) AS rn FROM tf JOIN df ON df.tkn = tf.tkn) "
+            "SELECT doc_id, term, tf, df, score FROM s WHERE rn = 1"),
         # duplicated word-3-gram spans: the tri CTE mirrors the MinHash
         # oracle's shingle definition (string 3-grams; the kernel's 64-bit
         # shingle hashes are collision-free at this scale — the

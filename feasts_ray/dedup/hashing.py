@@ -128,6 +128,45 @@ def tokenize_arrow(arr) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     return hash_words_arrow(enc.dictionary)[idx], offsets, counts
 
 
+def tokenize_arrow_with_lengths(
+        arr) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray,
+                      "object"]:
+    """``tokenize_arrow`` plus per-word CODEPOINT lengths (DuckDB
+    ``length()`` semantics, pc.utf8_length) and the flat kept-word
+    Arrow array itself — for character-fraction repetition signals and
+    tf-idf, which need word sizes / strings alongside the hashes.
+    Kept separate from ``tokenize_arrow`` so the minhash/shingle hot
+    paths don't pay the extra length pass.
+
+    Returns (word_hashes, offsets, counts, word_lengths, flat_words)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    n = len(arr)
+    if arr.null_count:
+        arr = arr.fill_null("")
+    parts = split_whitespace_safe(arr)
+    lens = pc.list_value_length(parts).to_numpy(zero_copy_only=False)
+    flat = pc.list_flatten(parts)
+    parents = np.repeat(np.arange(n, dtype=np.int64),
+                        lens.astype(np.int64))
+    keep = pc.not_equal(flat, "")
+    keep_np = keep.to_numpy(zero_copy_only=False)
+    flat = flat.filter(keep)
+    counts = np.bincount(parents[keep_np], minlength=n).astype(np.int64)
+    offsets = np.concatenate([[0], np.cumsum(counts)])
+    if len(flat) == 0:
+        empty = np.array([], dtype=np.uint64)
+        return (empty, offsets, counts, np.array([], dtype=np.int64), flat)
+    wlen = pc.utf8_length(flat).to_numpy(zero_copy_only=False).astype(
+        np.int64)
+    enc = flat.dictionary_encode()
+    idx = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    return hash_words_arrow(enc.dictionary)[idx], offsets, counts, wlen, flat
+
+
 def shingle_hashes(word_hashes: np.ndarray, k: int) -> np.ndarray:
     """k-word shingle hashes (vectorized polynomial combine, uint64)."""
     n = len(word_hashes)

@@ -551,6 +551,28 @@ def q_dup_span_stats(sf_dir: str):
     return dup_span_stats(_documents(sf_dir), k=3)
 
 
+def q_repetition_signals(sf_dir: str):
+    """Gopher-style per-doc repetition signals (Rae et al. 2021 §A1.1):
+    most-frequent-word-2-gram character fraction + duplicated-3-gram
+    positional-coverage character fraction. Pure per-document operator:
+    ONE corpus scan, zero shuffles
+    (feasts_ray/text/corpus.py::repetition_signals)."""
+    from feasts_ray.text.corpus import repetition_signals
+
+    return repetition_signals(_documents(sf_dir), top_n=2, dup_n=3)
+
+
+def q_tfidf_top_terms(sf_dir: str):
+    """Per-doc top tf-idf term under exact rational scoring tf/df
+    (documented deviation from tf*ln(N/df): IEEE-reproducible, no libm).
+    One corpus scan -> term-salted bounded-group shuffle (in-group run
+    length = global df, no vocabulary broadcast) -> doc-salted group
+    argmax (feasts_ray/text/corpus.py::tfidf_top_terms)."""
+    from feasts_ray.text.corpus import tfidf_top_terms
+
+    return tfidf_top_terms(_documents(sf_dir))
+
+
 def q_bpe_token_counts(sf_dir: str):
     return _documents(sf_dir).map_batches(
         BpeishTokenCounter, fn_constructor_args=("text",),
@@ -1317,6 +1339,8 @@ ALL_QUERIES = {
     # in registry order): round 5 adds the grouped (shuffle) physical
     # plans of the as-of and interval joins, sharing their broadcast
     # siblings' oracles so the driver pins the two plans independently.
+    "repetition_signals": q_repetition_signals,
+    "tfidf_top_terms": q_tfidf_top_terms,
     "asof_join_grouped_1h": q_asof_join_grouped_1h,
     "range_join_grouped": q_range_join_grouped,
     "rollup_daily_multi": q_rollup_daily_multi,

@@ -297,3 +297,214 @@ def sample_stratified(ds: "ray.data.Dataset", rates: dict[str, int],
         return batch.filter(pa.array(h < thr_by_code[codes]))
 
     return ds.map_batches(_keep, batch_format="pyarrow")
+
+
+_MIX64_REP = np.uint64(0x9E3779B97F4A7C15)
+
+
+def repetition_signals(ds: "ray.data.Dataset", top_n: int = 2,
+                       dup_n: int = 3, id_col: str = "doc_id",
+                       text_col: str = "text") -> "ray.data.Dataset":
+    """Per-document repetition signals in the style of the Gopher
+    quality filters (Rae et al. 2021, "Scaling Language Models", §A1.1;
+    no feasts counterpart — the reference computes per-series features
+    only, /root/reference/R/features.R). For each doc:
+
+    - ``word_chars``: total codepoints across whitespace words.
+    - ``top_ngram_chars``: occurrences x joined-string length of the
+      most frequent word ``top_n``-gram (ties by count broken by the
+      LONGER gram — any residual tie yields the same product, so the
+      value is uniquely defined); 0 for docs with < top_n words.
+    - ``top_ngram_frac`` = top_ngram_chars / word_chars (IEEE double).
+    - ``dup_ngram_chars``: codepoints of words covered by the UNION of
+      positions of ``dup_n``-grams occurring >= 2 times within the doc
+      (each character counted once however many dup grams cover it).
+    - ``dup_ngram_frac`` = dup_ngram_chars / word_chars.
+
+    Scale shape: a pure per-document operator — ONE corpus scan, zero
+    shuffles, nothing leaves the workers but the per-doc stat rows.
+    N-gram identity is the 64-bit polynomial shingle hash the MinHash
+    path uses (collision-free at this scale; the exact-Jaccard oracle
+    already relies on that equivalence). Joined-string length counts
+    words + (n-1) single spaces, mirroring the oracle's
+    ``length(a || ' ' || b)``.
+    """
+    from ..dedup.hashing import shingle_hashes_batch, \
+        tokenize_arrow_with_lengths
+
+    def _batch(batch: pa.Table) -> pa.Table:
+        whash, offsets, counts, wlen, _ = tokenize_arrow_with_lengths(
+            batch[text_col])
+        nd = len(counts)
+        cs = np.concatenate([[0], np.cumsum(wlen)])
+        total_chars = cs[offsets[1:]] - cs[offsets[:-1]]
+
+        def occurrences(n: int):
+            """(hash, doc, start-word-global-idx) of every n-gram
+            occurrence; docs with < n words emit none (the batched
+            shingle fold's short-doc fallback rows are masked out)."""
+            flat_h, out_offs = shingle_hashes_batch(whash, offsets, n)
+            occ_counts = np.diff(out_offs)
+            doc_of = np.repeat(np.arange(nd), occ_counts)
+            valid = counts[doc_of] >= n
+            pos = np.arange(len(flat_h)) - out_offs[:-1][doc_of]
+            gidx = offsets[:-1][doc_of] + pos
+            return (flat_h[valid].view(np.int64), doc_of[valid],
+                    gidx[valid])
+
+        # most frequent top_n-gram: chars = count * joined length
+        top_chars = np.zeros(nd, dtype=np.int64)
+        h, d, g = occurrences(top_n)
+        if len(h):
+            clen = cs[g + top_n] - cs[g] + (top_n - 1)
+            order = np.lexsort((h, d))
+            hs, ds_, cls = h[order], d[order], clen[order]
+            runs = np.flatnonzero(np.concatenate(
+                [[True], (ds_[1:] != ds_[:-1]) | (hs[1:] != hs[:-1])]))
+            rcount = np.diff(np.append(runs, len(hs)))
+            rdoc, rcl = ds_[runs], cls[runs]
+            o2 = np.lexsort((rcl, rcount, rdoc))
+            rd2 = rdoc[o2]
+            last = np.flatnonzero(np.concatenate(
+                [rd2[1:] != rd2[:-1], [True]]))
+            top_chars[rd2[last]] = rcount[o2][last] * rcl[o2][last]
+
+        # positional coverage union of duplicated dup_n-grams
+        dup_chars = np.zeros(nd, dtype=np.int64)
+        h, d, g = occurrences(dup_n)
+        if len(h):
+            order = np.lexsort((h, d))
+            hs, ds_, gs = h[order], d[order], g[order]
+            runs = np.flatnonzero(np.concatenate(
+                [[True], (ds_[1:] != ds_[:-1]) | (hs[1:] != hs[:-1])]))
+            run_len = np.diff(np.append(runs, len(hs)))
+            is_dup = np.repeat(run_len >= 2, run_len)
+            gd = gs[is_dup]
+            if len(gd):
+                m = len(wlen) + 1
+                delta = (np.bincount(gd, minlength=m)
+                         - np.bincount(gd + dup_n, minlength=m))
+                covered = np.cumsum(delta[:-1]) > 0
+                covc = np.concatenate(
+                    [[0], np.cumsum(np.where(covered, wlen, 0))])
+                dup_chars = covc[offsets[1:]] - covc[offsets[:-1]]
+
+        tc = total_chars.astype(np.float64)
+        nz = total_chars > 0
+        top_frac = np.divide(top_chars, tc, out=np.zeros(nd), where=nz)
+        dup_frac = np.divide(dup_chars, tc, out=np.zeros(nd), where=nz)
+        return pa.table({
+            id_col: batch[id_col],
+            "word_chars": pa.array(total_chars, type=pa.int64()),
+            "top_ngram_chars": pa.array(top_chars, type=pa.int64()),
+            "top_ngram_frac": pa.array(top_frac, type=pa.float64()),
+            "dup_ngram_chars": pa.array(dup_chars, type=pa.int64()),
+            "dup_ngram_frac": pa.array(dup_frac, type=pa.float64()),
+        })
+
+    return ds.map_batches(_batch, batch_format="pyarrow")
+
+
+def tfidf_top_terms(ds: "ray.data.Dataset", num_groups: int = 64,
+                    id_col: str = "doc_id", text_col: str = "text",
+                    ) -> "ray.data.Dataset":
+    """Per-document top tf-idf term under the RATIONAL scoring
+    ``score = tf / df`` (tf = the term's occurrence count in the doc,
+    df = the number of docs containing the term). Ranking by tf/df is
+    the rational-idf variant of tf-idf (idf = 1/df; N is constant per
+    corpus): chosen over tf*ln(N/df) because the division is exactly
+    reproducible in IEEE doubles on both engines, while a libm log's
+    last ulp is implementation-defined. Ties break on the
+    lexicographically SMALLEST term (binary collation == Python str
+    order for UTF-8). Output: (doc_id, term, tf, df, score).
+
+    Scale shape (no driver state, no broadcast — the corpus vocabulary
+    of a 100 TB crawl does not fit a broadcast side): one corpus scan
+    emits per-doc (term, tf) pairs (a doc is one row, so per-batch tf
+    is global); pairs shuffle ONCE into term-hash-salted bounded groups
+    where the within-group run length per term IS its global df (every
+    doc of a term lands in one group — the dup_span_stats pattern);
+    df-attached pairs shuffle a second time into doc-salted groups for
+    the vectorized per-doc argmax. Both shuffles move O(distinct
+    (doc, term) pairs), never the text."""
+    from ..dedup.hashing import tokenize_arrow_with_lengths
+
+    def _pairs(batch: pa.Table) -> pa.Table:
+        whash, offsets, counts, _, flat = tokenize_arrow_with_lengths(
+            batch[text_col])
+        nd = len(counts)
+        if len(whash) == 0:
+            return pa.table({
+                id_col: pa.array([], type=pa.int64()),
+                "term": pa.array([], type=pa.string()),
+                "wh": pa.array([], type=pa.int64()),
+                "tf": pa.array([], type=pa.int64()),
+                "_g": pa.array([], type=pa.int64())})
+        doc_of = np.repeat(np.arange(nd), counts)
+        h = whash.view(np.int64)
+        order = np.lexsort((h, doc_of))
+        hs, ds_ = h[order], doc_of[order]
+        runs = np.flatnonzero(np.concatenate(
+            [[True], (ds_[1:] != ds_[:-1]) | (hs[1:] != hs[:-1])]))
+        tf = np.diff(np.append(runs, len(hs)))
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        rh = hs[runs]
+        g = ((rh.view(np.uint64) * _MIX64_REP) % np.uint64(num_groups)
+             ).astype(np.int64)
+        return pa.table({
+            id_col: pa.array(ids[ds_[runs]], type=pa.int64()),
+            "term": flat.take(pa.array(order[runs], type=pa.int64())),
+            "wh": pa.array(rh, type=pa.int64()),
+            "tf": pa.array(tf, type=pa.int64()),
+            "_g": pa.array(g, type=pa.int64())})
+
+    def _attach_df(group: pa.Table) -> pa.Table:
+        wh = group["wh"].to_numpy(zero_copy_only=False)
+        if len(wh) == 0:
+            return group.drop_columns(["wh", "_g"]).append_column(
+                "df", pa.array([], type=pa.int64()))
+        order = np.argsort(wh, kind="stable")
+        runs = np.flatnonzero(np.concatenate(
+            [[True], wh[order][1:] != wh[order][:-1]]))
+        run_len = np.diff(np.append(runs, len(wh)))
+        df = np.empty(len(wh), dtype=np.int64)
+        df[order] = np.repeat(run_len, run_len)
+        ids = group[id_col].to_numpy(zero_copy_only=False)
+        g2 = ((ids.astype(np.uint64) * _MIX64_REP)
+              % np.uint64(num_groups)).astype(np.int64)
+        return pa.table({
+            id_col: group[id_col], "term": group["term"],
+            "tf": group["tf"], "df": pa.array(df, type=pa.int64()),
+            "_g2": pa.array(g2, type=pa.int64())})
+
+    def _pick(group: pa.Table) -> pa.Table:
+        ids = group[id_col].to_numpy(zero_copy_only=False)
+        if len(ids) == 0:
+            return pa.table({
+                id_col: pa.array([], type=pa.int64()),
+                "term": pa.array([], type=pa.string()),
+                "tf": pa.array([], type=pa.int64()),
+                "df": pa.array([], type=pa.int64()),
+                "score": pa.array([], type=pa.float64())})
+        tf = group["tf"].to_numpy(zero_copy_only=False)
+        df = group["df"].to_numpy(zero_copy_only=False)
+        score = tf / df.astype(np.float64)
+        terms = np.asarray(group["term"].to_pylist(), dtype=object)
+        # doc asc, then -score asc (= score desc), then term asc;
+        # the FIRST row of each doc segment is the winner
+        order = np.lexsort((terms, -score, ids))
+        ido = ids[order]
+        first = np.flatnonzero(np.concatenate(
+            [[True], ido[1:] != ido[:-1]]))
+        w = order[first]
+        return pa.table({
+            id_col: pa.array(ids[w], type=pa.int64()),
+            "term": group["term"].take(pa.array(w, type=pa.int64())),
+            "tf": pa.array(tf[w], type=pa.int64()),
+            "df": pa.array(df[w], type=pa.int64()),
+            "score": pa.array(score[w], type=pa.float64())})
+
+    pairs = ds.map_batches(_pairs, batch_format="pyarrow")
+    with_df = pairs.groupby("_g").map_groups(
+        _attach_df, batch_format="pyarrow")
+    return with_df.groupby("_g2").map_groups(_pick, batch_format="pyarrow")

@@ -302,3 +302,190 @@ class TestCorpusOpsProperties:
         pd.testing.assert_frame_equal(
             got.sort_values(key).reset_index(drop=True)[key],
             exp.sort_values(key).reset_index(drop=True)[key])
+
+
+class TestRepetitionSignals:
+    def test_matches_duckdb(self, docs_ds):
+        from feasts_ray.text.corpus import repetition_signals
+
+        got = (repetition_signals(docs_ds, top_n=2, dup_n=3).to_pandas()
+               .sort_values("doc_id").reset_index(drop=True))
+        exp = _con().execute(r"""
+            WITH w AS (SELECT doc_id, list_filter(
+                string_split_regex(text, '\s+'), x -> x <> '') AS ws
+              FROM documents),
+            tok AS (SELECT doc_id, unnest(ws) AS tkn,
+                    generate_subscripts(ws, 1) AS i FROM w),
+            tot AS (SELECT doc_id, CAST(SUM(length(tkn)) AS BIGINT) AS tc
+                    FROM tok GROUP BY doc_id),
+            bi AS (SELECT a.doc_id, a.i, a.tkn || ' ' || b.tkn AS g,
+                          length(a.tkn) + length(b.tkn) + 1 AS cl
+                   FROM tok a JOIN tok b
+                   ON b.doc_id = a.doc_id AND b.i = a.i + 1),
+            bc AS (SELECT doc_id, g, CAST(COUNT(*) AS BIGINT) AS n,
+                   MAX(cl) AS cl FROM bi GROUP BY doc_id, g),
+            bmax AS (SELECT doc_id, MAX(n) AS nmax FROM bc GROUP BY doc_id),
+            topc AS (SELECT bc.doc_id,
+                     CAST(bmax.nmax * MAX(bc.cl) AS BIGINT) AS top_chars
+                     FROM bc JOIN bmax ON bmax.doc_id = bc.doc_id
+                     AND bc.n = bmax.nmax GROUP BY bc.doc_id, bmax.nmax),
+            tri AS (SELECT a.doc_id, a.i,
+                    a.tkn || ' ' || b.tkn || ' ' || c.tkn AS g
+                    FROM tok a
+                    JOIN tok b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+                    JOIN tok c ON c.doc_id = a.doc_id AND c.i = a.i + 2),
+            dupg AS (SELECT doc_id, g FROM tri GROUP BY doc_id, g
+                     HAVING COUNT(*) >= 2),
+            dpos AS (SELECT DISTINCT t.doc_id, t.i + u.o AS j
+                     FROM tri t JOIN dupg d
+                     ON d.doc_id = t.doc_id AND d.g = t.g
+                     CROSS JOIN generate_series(0, 2) AS u(o)),
+            cov AS (SELECT p.doc_id, CAST(SUM(length(k.tkn)) AS BIGINT)
+                    AS cc FROM dpos p JOIN tok k
+                    ON k.doc_id = p.doc_id AND k.i = p.j GROUP BY p.doc_id)
+            SELECT d.doc_id, COALESCE(tot.tc, 0) AS word_chars,
+              COALESCE(topc.top_chars, 0) AS top_ngram_chars,
+              CASE WHEN COALESCE(tot.tc, 0) > 0 THEN
+                CAST(COALESCE(topc.top_chars, 0) AS DOUBLE) /
+                CAST(tot.tc AS DOUBLE) ELSE 0.0 END AS top_ngram_frac,
+              COALESCE(cov.cc, 0) AS dup_ngram_chars,
+              CASE WHEN COALESCE(tot.tc, 0) > 0 THEN
+                CAST(COALESCE(cov.cc, 0) AS DOUBLE) /
+                CAST(tot.tc AS DOUBLE) ELSE 0.0 END AS dup_ngram_frac
+            FROM documents d
+            LEFT JOIN tot ON tot.doc_id = d.doc_id
+            LEFT JOIN topc ON topc.doc_id = d.doc_id
+            LEFT JOIN cov ON cov.doc_id = d.doc_id
+            ORDER BY d.doc_id
+        """).df()
+        exp["doc_id"] = exp["doc_id"].astype("int64")
+        pd.testing.assert_frame_equal(got, exp)
+        # empty and 1-word docs: all zeros
+        z = got.set_index("doc_id")
+        assert z.loc[2, "word_chars"] == 0 and z.loc[2, "top_ngram_frac"] == 0.0
+
+    def test_bruteforce_semantics(self, ray_session):
+        from feasts_ray.text.corpus import repetition_signals
+
+        # "a b a b a b c": top bigram ("a","b") occurs 3x, joined len 3;
+        # every trigram ("a b a", "b a b") duplicated -> full coverage
+        df = pd.DataFrame({"doc_id": np.array([0], dtype=np.int64),
+                           "text": ["a b a b a b c"]})
+        got = repetition_signals(
+            ray.data.from_pandas(df), top_n=2, dup_n=3).to_pandas()
+        r = got.iloc[0]
+        assert r["word_chars"] == 7
+        assert r["top_ngram_chars"] == 9          # 3 occurrences x len 3
+        assert r["top_ngram_frac"] == 9 / 7.0     # overlaps double-count
+        assert r["dup_ngram_chars"] == 6          # words 0..5 covered, not "c"
+        assert r["dup_ngram_frac"] == 6 / 7.0
+
+    @settings(max_examples=15, deadline=None)
+    @given(data=st.lists(st.lists(st.integers(0, 6), max_size=12),
+                         min_size=1, max_size=25))
+    def test_matches_bruteforce(self, ray_session, data):
+        from collections import Counter
+
+        from feasts_ray.text.corpus import repetition_signals
+
+        docs = pd.DataFrame({
+            "doc_id": np.arange(len(data), dtype=np.int64),
+            "text": [" ".join(f"w{t}" for t in toks) for toks in data],
+        })
+        got = repetition_signals(
+            ray.data.from_pandas(docs).repartition(3),
+            top_n=2, dup_n=3).to_pandas().set_index("doc_id")
+        for i, toks in enumerate(data):
+            words = [f"w{t}" for t in toks]
+            tc = sum(len(w) for w in words)
+            bigrams = [tuple(words[j:j + 2]) for j in range(len(words) - 1)]
+            top = 0
+            if bigrams:
+                cnt = Counter(bigrams)
+                nmax = max(cnt.values())
+                cl = max(len(" ".join(g)) for g, n in cnt.items()
+                         if n == nmax)
+                top = nmax * cl
+            tris = [tuple(words[j:j + 3]) for j in range(len(words) - 2)]
+            covered = set()
+            cnt3 = Counter(tris)
+            for j, g in enumerate(tris):
+                if cnt3[g] >= 2:
+                    covered.update(range(j, j + 3))
+            cc = sum(len(words[j]) for j in covered)
+            row = got.loc[i]
+            assert int(row["word_chars"]) == tc
+            assert int(row["top_ngram_chars"]) == top
+            assert int(row["dup_ngram_chars"]) == cc
+            assert row["top_ngram_frac"] == (top / float(tc) if tc else 0.0)
+            assert row["dup_ngram_frac"] == (cc / float(tc) if tc else 0.0)
+
+
+class TestTfidfTopTerms:
+    def test_matches_duckdb(self, docs_ds):
+        from feasts_ray.text.corpus import tfidf_top_terms
+
+        got = (tfidf_top_terms(docs_ds, num_groups=8).to_pandas()
+               .sort_values("doc_id").reset_index(drop=True))
+        exp = _con().execute(r"""
+            WITH w AS (SELECT doc_id, list_filter(
+                string_split_regex(text, '\s+'), x -> x <> '') AS ws
+              FROM documents),
+            tok AS (SELECT doc_id, unnest(ws) AS tkn FROM w),
+            tf AS (SELECT doc_id, tkn, CAST(COUNT(*) AS BIGINT) AS tf
+                   FROM tok GROUP BY doc_id, tkn),
+            df AS (SELECT tkn, CAST(COUNT(*) AS BIGINT) AS df FROM
+                   (SELECT DISTINCT doc_id, tkn FROM tok) GROUP BY tkn),
+            s AS (SELECT tf.doc_id, tf.tkn AS term, tf.tf, df.df,
+                  CAST(tf.tf AS DOUBLE) / CAST(df.df AS DOUBLE) AS score,
+                  ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+                    ORDER BY CAST(tf.tf AS DOUBLE) / CAST(df.df AS DOUBLE)
+                    DESC, tf.tkn ASC) AS rn
+                  FROM tf JOIN df ON df.tkn = tf.tkn)
+            SELECT doc_id, term, tf, df, score FROM s WHERE rn = 1
+            ORDER BY doc_id
+        """).df()
+        exp["doc_id"] = exp["doc_id"].astype("int64")
+        pd.testing.assert_frame_equal(got, exp)
+        # empty doc 2 contributes no row; unique{u} terms (df=1) win
+        assert 2 not in set(got["doc_id"])
+        filler = got.set_index("doc_id").loc[6]
+        assert filler["term"] == "unique0" and filler["df"] == 1
+
+    @settings(max_examples=15, deadline=None)
+    @given(data=st.lists(st.lists(st.integers(0, 6), min_size=0,
+                                  max_size=10),
+                         min_size=1, max_size=25))
+    def test_matches_bruteforce(self, ray_session, data):
+        from collections import Counter
+
+        from feasts_ray.text.corpus import tfidf_top_terms
+
+        docs = pd.DataFrame({
+            "doc_id": np.arange(len(data), dtype=np.int64),
+            "text": [" ".join(f"w{t}" for t in toks) for toks in data],
+        })
+        got = tfidf_top_terms(
+            ray.data.from_pandas(docs).repartition(3),
+            num_groups=4).to_pandas()
+        if "doc_id" not in got.columns:
+            # all-empty corpus: Ray drops the schema of an empty grouped
+            # dataset — nothing to compare beyond "no rows"
+            assert len(got) == 0 and all(len(t) == 0 for t in data)
+            return
+        got = got.set_index("doc_id")
+        dfc = Counter()
+        for toks in data:
+            dfc.update({f"w{t}" for t in toks})
+        for i, toks in enumerate(data):
+            words = [f"w{t}" for t in toks]
+            if not words:
+                assert i not in got.index
+                continue
+            tfs = Counter(words)
+            best = min(tfs, key=lambda w: (-(tfs[w] / dfc[w]), w))
+            row = got.loc[i]
+            assert row["term"] == best
+            assert int(row["tf"]) == tfs[best]
+            assert int(row["df"]) == dfc[best]
+            assert row["score"] == tfs[best] / float(dfc[best])
