@@ -981,6 +981,19 @@ JOIN series p ON p.event_type = s.event_type AND p.bucket = s.bucket - k.lag * 3
             "LEFT JOIN tot ON tot.doc_id = d.doc_id "
             "LEFT JOIN topc ON topc.doc_id = d.doc_id "
             "LEFT JOIN cov ON cov.doc_id = d.doc_id"),
+        # per-language quality-threshold selection: the engine's exact
+        # discrete quantile IS quantile_disc (stages/quantiles.py), so
+        # the integer threshold compare is bit-exact
+        "quality_filter_by_lang": (
+            "WITH nw AS (SELECT doc_id, lang, "
+            "CAST(CASE WHEN regexp_replace(text, '^\\s+|\\s+$', '', 'g') = '' "
+            "THEN 0 ELSE len(regexp_split_to_array("
+            "regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+')) END "
+            "AS BIGINT) AS n_words FROM documents), "
+            "t AS (SELECT lang, quantile_disc(n_words, 0.5) AS thr "
+            "FROM nw GROUP BY lang) "
+            "SELECT nw.doc_id, nw.lang, nw.n_words FROM nw "
+            "JOIN t ON t.lang = nw.lang WHERE nw.n_words >= t.thr"),
         # rational tf-idf (score = tf/df; documented deviation from
         # tf*ln(N/df) — IEEE-reproducible, no libm): both engines divide
         # the same exact ints once, ties break on the binary-smallest term

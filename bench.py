@@ -92,7 +92,8 @@ def run_queries() -> dict[str, float]:
              "asof_join_grouped_1h", "range_join_grouped",
              "rollup_daily_multi",
              "quality_topk_per_lang", "distinct_users_by_type",
-             "dup_span_stats",
+             "dup_span_stats", "repetition_signals", "tfidf_top_terms",
+             "quality_filter_by_lang",
              "ann_topk", "features_1h", "stl_1h"]
     out: dict[str, float] = {}
     for name in names:

@@ -573,6 +573,21 @@ def q_tfidf_top_terms(sf_dir: str):
     return tfidf_top_terms(_documents(sf_dir))
 
 
+def q_quality_filter_by_lang(sf_dir: str):
+    """Per-language quality-threshold selection: keep docs whose word
+    count is >= their language's median (DuckDB quantile_disc
+    definition). Thresholds from one bounded groupby(lang) shuffle,
+    broadcast once; corpus scanned once, never shuffled
+    (feasts_ray/text/corpus.py::filter_by_group_quantile)."""
+    from feasts_ray.text.corpus import filter_by_group_quantile
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text", "lang"])
+    scored = ds.map_batches(add_token_counts, batch_format="pyarrow"
+                            ).select_columns(["doc_id", "lang", "n_words"])
+    return filter_by_group_quantile(scored, "n_words", "lang", q=0.5)
+
+
 def q_bpe_token_counts(sf_dir: str):
     return _documents(sf_dir).map_batches(
         BpeishTokenCounter, fn_constructor_args=("text",),
@@ -1341,6 +1356,7 @@ ALL_QUERIES = {
     # siblings' oracles so the driver pins the two plans independently.
     "repetition_signals": q_repetition_signals,
     "tfidf_top_terms": q_tfidf_top_terms,
+    "quality_filter_by_lang": q_quality_filter_by_lang,
     "asof_join_grouped_1h": q_asof_join_grouped_1h,
     "range_join_grouped": q_range_join_grouped,
     "rollup_daily_multi": q_rollup_daily_multi,

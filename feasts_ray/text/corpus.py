@@ -508,3 +508,40 @@ def tfidf_top_terms(ds: "ray.data.Dataset", num_groups: int = 64,
     with_df = pairs.groupby("_g").map_groups(
         _attach_df, batch_format="pyarrow")
     return with_df.groupby("_g2").map_groups(_pick, batch_format="pyarrow")
+
+
+def filter_by_group_quantile(ds: "ray.data.Dataset", value_col: str,
+                             key_col: str, q: float = 0.5,
+                             ) -> "ray.data.Dataset":
+    """Quality-threshold data selection: keep rows whose ``value_col``
+    is >= their group's q-th DISCRETE quantile (DuckDB quantile_disc
+    definition — sorted[ceil(q*n) - 1] — so integer thresholds compare
+    bit-exactly; see stages/quantiles.py). The canonical curation step
+    "keep the top half of each language by quality score".
+
+    Scale shape: thresholds come from ONE bounded groupby(key) shuffle
+    (stages/quantiles.group_quantiles — the group key is a stratum:
+    language / domain / source, a small dimension); the per-stratum
+    threshold table is broadcast once via ray.put and the corpus is
+    scanned exactly once with a vectorized compare — never shuffled.
+    For an unbounded key this would become a hash join on the key; the
+    stratum contract keeps it a broadcast."""
+    from ..stages.quantiles import group_quantiles
+    from ..state.broadcast import put_once, resolve_broadcast
+
+    col = f"p{round(q * 1000):03d}"
+    thr = group_quantiles(ds.select_columns([key_col, value_col]),
+                          value_col, key_col, qs=(q,)).to_pandas()
+    thr_ref = put_once(dict(zip(thr[key_col], thr[col])))
+
+    def _keep(batch: pa.Table) -> pa.Table:
+        thr_by_key = resolve_broadcast(thr_ref)
+        enc = batch[key_col].combine_chunks().dictionary_encode()
+        # only the (few) distinct strata cross into Python
+        tvals = np.array([thr_by_key[v] for v in enc.dictionary.to_pylist()],
+                         dtype=np.int64)
+        codes = enc.indices.to_numpy(zero_copy_only=False)
+        v = batch[value_col].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(v >= tvals[codes]))
+
+    return ds.map_batches(_keep, batch_format="pyarrow")

@@ -489,3 +489,53 @@ class TestTfidfTopTerms:
             assert int(row["tf"]) == tfs[best]
             assert int(row["df"]) == dfc[best]
             assert row["score"] == tfs[best] / float(dfc[best])
+
+
+class TestFilterByGroupQuantile:
+    def test_matches_duckdb(self, docs_ds):
+        from feasts_ray.text.analysis import add_token_counts
+        from feasts_ray.text.corpus import filter_by_group_quantile
+
+        scored = docs_ds.map_batches(
+            add_token_counts, batch_format="pyarrow").select_columns(
+            ["doc_id", "lang", "n_words"])
+        got = (filter_by_group_quantile(scored, "n_words", "lang", q=0.5)
+               .to_pandas().sort_values("doc_id").reset_index(drop=True))
+        exp = _con().execute(r"""
+            WITH nw AS (SELECT doc_id, lang,
+              CAST(CASE WHEN regexp_replace(text, '^\s+|\s+$', '', 'g') = ''
+                THEN 0 ELSE len(regexp_split_to_array(
+                regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) END
+                AS BIGINT) AS n_words FROM documents),
+            t AS (SELECT lang, quantile_disc(n_words, 0.5) AS thr
+                  FROM nw GROUP BY lang)
+            SELECT nw.doc_id, nw.lang, nw.n_words FROM nw
+            JOIN t ON t.lang = nw.lang WHERE nw.n_words >= t.thr
+            ORDER BY nw.doc_id
+        """).df()
+        exp["doc_id"] = exp["doc_id"].astype("int64")
+        pd.testing.assert_frame_equal(got, exp)
+        assert len(got) > 0
+
+    @settings(max_examples=15, deadline=None)
+    @given(rows=st.lists(st.tuples(st.sampled_from(["g1", "g2", "g3"]),
+                                   st.integers(0, 20)),
+                         min_size=1, max_size=120),
+           q=st.sampled_from([0.25, 0.5, 0.9]))
+    def test_matches_bruteforce(self, ray_session, rows, q):
+        import math
+
+        from feasts_ray.text.corpus import filter_by_group_quantile
+
+        df = pd.DataFrame(rows, columns=["g", "v"])
+        df["v"] = df["v"].astype(np.int64)
+        df["rid"] = np.arange(len(df), dtype=np.int64)
+        got = (filter_by_group_quantile(
+            ray.data.from_pandas(df).repartition(3), "v", "g", q=q)
+            .to_pandas().sort_values("rid").reset_index(drop=True))
+        thr = {g: sorted(s)[max(math.ceil(q * len(s)) - 1, 0)]
+               for g, s in df.groupby("g")["v"]}
+        exp = df[df.apply(lambda r: r["v"] >= thr[r["g"]], axis=1)
+                 ].sort_values("rid").reset_index(drop=True)
+        pd.testing.assert_frame_equal(
+            got[["g", "v", "rid"]], exp[["g", "v", "rid"]])

@@ -23,7 +23,7 @@ FAST_ORACLE_QUERIES = [
     "simhash_dup_pairs", "fingerprint", "embedding_dedup_docs",
     "rollup_1m_incremental", "quality_topk_per_lang",
     "distinct_users_by_type", "dup_span_stats",
-    "repetition_signals", "tfidf_top_terms",
+    "repetition_signals", "tfidf_top_terms", "quality_filter_by_lang",
 ]
 
 
