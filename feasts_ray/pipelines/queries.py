@@ -1351,9 +1351,12 @@ def q_sessionize(sf_dir: str):
 ALL_QUERIES = {
     # Never-yet-driver-sampled queries sort FIRST (the driver caps its
     # CORRECTNESS sample at ~50 of the registered queries, taking them
-    # in registry order): round 5 adds the grouped (shuffle) physical
-    # plans of the as-of and interval joins, sharing their broadcast
-    # siblings' oracles so the driver pins the two plans independently.
+    # in registry order): round 5 adds the Gopher repetition signals,
+    # rational tf-idf, per-group quantile filtering, the grouped
+    # (shuffle) physical plans of the as-of and interval joins (sharing
+    # their broadcast siblings' oracles so the driver pins the two
+    # plans independently), multi-measure rollups, and three corpus
+    # curation ops.
     "repetition_signals": q_repetition_signals,
     "tfidf_top_terms": q_tfidf_top_terms,
     "quality_filter_by_lang": q_quality_filter_by_lang,
