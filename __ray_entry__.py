@@ -795,6 +795,24 @@ FROM series
 WINDOW w AS (PARTITION BY event_type ORDER BY bucket
              ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
 """.format(sec2=_EV_SEC.format(u=3600)),
+        # rolling discrete quantiles: selection-only (the output is an
+        # ELEMENT of the window under the quantile_disc definition
+        # sorted[ceil(q*n)-1]) — no float arithmetic on either side
+        "rolling_median_24h": """
+WITH sec AS ({sec2}),
+agg AS (SELECT event_type, bucket, COUNT(*) AS x FROM sec GROUP BY event_type, bucket),
+span AS (SELECT event_type, MIN(bucket) AS lo, MAX(bucket) AS hi FROM agg GROUP BY event_type),
+dense AS (SELECT event_type, unnest(generate_series(lo, hi, 3600)) AS bucket FROM span),
+series AS (
+  SELECT d.event_type, d.bucket, CAST(COALESCE(a.x, 0) AS BIGINT) AS x
+  FROM dense d LEFT JOIN agg a ON a.event_type = d.event_type AND a.bucket = d.bucket)
+SELECT event_type, bucket, x AS value,
+  quantile_disc(x, 0.5) OVER w AS roll_p500,
+  quantile_disc(x, 0.9) OVER w AS roll_p900
+FROM series
+WINDOW w AS (PARTITION BY event_type ORDER BY bucket
+             ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
+""".format(sec2=_EV_SEC.format(u=3600)),
         "lag_pairs_1h": """
 WITH sec AS ({sec}),
 agg AS (SELECT event_type, bucket, COUNT(*) AS x FROM sec GROUP BY event_type, bucket),
@@ -994,6 +1012,47 @@ JOIN series p ON p.event_type = s.event_type AND p.bucket = s.bucket - k.lag * 3
             "FROM nw GROUP BY lang) "
             "SELECT nw.doc_id, nw.lang, nw.n_words FROM nw "
             "JOIN t ON t.lang = nw.lang WHERE nw.n_words >= t.thr"),
+        # per-doc quality percentile within language: PERCENT_RANK is
+        # (rank-1)/(n-1), one IEEE division of exact BIGINTs — the
+        # engine's histogram-broadcast kernel divides the same two ints
+        "percent_rank_by_lang": (
+            "WITH nw AS (SELECT doc_id, lang, "
+            "CAST(CASE WHEN regexp_replace(text, '^\\s+|\\s+$', '', 'g') = '' "
+            "THEN 0 ELSE len(regexp_split_to_array("
+            "regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+')) END "
+            "AS BIGINT) AS n_words FROM documents) "
+            "SELECT doc_id, lang, n_words, PERCENT_RANK() OVER ("
+            "PARTITION BY lang ORDER BY n_words) AS pct_rank FROM nw"),
+        # fixed-length sequence chunking: per-chunk exact scalar
+        # summaries; chunk_idx = (i-1)//64 over the 1-based word index
+        "chunk_words_64": (
+            "WITH w AS (SELECT doc_id, list_filter("
+            "string_split_regex(text, '\\s+'), x -> x <> '') AS ws "
+            "FROM documents), "
+            "tok AS (SELECT doc_id, unnest(ws) AS tkn, "
+            "generate_subscripts(ws, 1) AS i FROM w) "
+            "SELECT doc_id, CAST((i - 1) // 64 AS BIGINT) AS chunk_idx, "
+            "CAST(COUNT(*) AS BIGINT) AS n_words_chunk, "
+            "CAST(SUM(length(tkn)) AS BIGINT) AS chunk_chars, "
+            "arg_min(tkn, i) AS first_word, arg_max(tkn, i) AS last_word "
+            "FROM tok GROUP BY doc_id, (i - 1) // 64"),
+        # eval-set n-gram decontamination: the kernel counts by 64-bit
+        # shingle hash, the SQL by the joined string (same
+        # collision-free equivalence as dup_span_stats)
+        "ngram_decontaminate": (
+            "WITH w AS (SELECT doc_id, list_filter("
+            "string_split_regex(text, '\\s+'), x -> x <> '') AS ws "
+            "FROM documents), "
+            "g AS (SELECT DISTINCT doc_id, gram FROM ("
+            "SELECT doc_id, unnest(list_transform("
+            "generate_series(1, len(ws) - 4), "
+            "i -> array_to_string(ws[i:i+4], ' '))) AS gram "
+            "FROM w WHERE len(ws) >= 5)), "
+            "bl AS (SELECT DISTINCT gram FROM g WHERE doc_id % 101 = 0), "
+            "h AS (SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n "
+            "FROM g JOIN bl USING (gram) GROUP BY g.doc_id) "
+            "SELECT d.doc_id, COALESCE(h.n, 0) AS n_gram_hits "
+            "FROM documents d LEFT JOIN h ON h.doc_id = d.doc_id"),
         # rational tf-idf (score = tf/df; documented deviation from
         # tf*ln(N/df) — IEEE-reproducible, no libm): both engines divide
         # the same exact ints once, ties break on the binary-smallest term

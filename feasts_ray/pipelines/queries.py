@@ -588,6 +588,69 @@ def q_quality_filter_by_lang(sf_dir: str):
     return filter_by_group_quantile(scored, "n_words", "lang", q=0.5)
 
 
+def q_percent_rank_by_lang(sf_dir: str):
+    """Per-doc quality percentile within its language: PERCENT_RANK of
+    the word count over the lang stratum — the per-doc score behind
+    percentile-based data selection. One bounded groupby(lang) shuffle
+    builds the per-stratum value histogram; scores come from a single
+    broadcast + corpus scan; the only float op is one IEEE division of
+    exact ints (feasts_ray/text/corpus.py::percent_rank_by_group)."""
+    from feasts_ray.text.corpus import percent_rank_by_group
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text", "lang"])
+    scored = ds.map_batches(add_token_counts, batch_format="pyarrow"
+                            ).select_columns(["doc_id", "lang", "n_words"])
+    return percent_rank_by_group(scored, "n_words", "lang")
+
+
+def q_chunk_words_64(sf_dir: str):
+    """Fixed-length sequence chunking (the training-sequence shaping
+    op): split each doc's whitespace words into 64-word windows, last
+    window partial; per-chunk exact summary scalars (count, summed
+    codepoints, first/last word) so the tok-CTE oracle matches
+    bit-exactly. One corpus scan, zero shuffles
+    (feasts_ray/text/chunking.py::chunk_words)."""
+    from feasts_ray.text.chunking import chunk_words
+
+    return chunk_words(_documents(sf_dir), size=64)
+
+
+def q_ngram_decontaminate(sf_dir: str):
+    """Eval-set n-gram decontamination (GPT-3 appendix-C method, Brown
+    et al. 2020 — 13-grams there, 5-grams at this scale): n_gram_hits =
+    number of distinct eval 5-grams each doc contains, eval set = the
+    5-grams of every 101st doc (deterministic stand-in for the external
+    eval artifact). Blocklist broadcast once; corpus scanned once,
+    never shuffled (feasts_ray/text/corpus.py::ngram_decontaminate)."""
+    from feasts_ray.text.corpus import ngram_decontaminate
+
+    return ngram_decontaminate(_documents(sf_dir), n=5, every=101)
+
+
+def q_rolling_median_24h(sf_dir: str):
+    """Trailing 24h rolling MEDIAN and p90 of hourly event counts per
+    type — the robust-statistics sibling of rolling_24h. Selection-only
+    kernel (a window ELEMENT is returned, no float arithmetic), so the
+    windowed quantile_disc oracle matches bit-exactly
+    (feasts_ray/stages/rolling.py::rolling_quantile)."""
+    from ..stages.rolling import rolling_quantile
+
+    rolled = rollup_table(_events(sf_dir), HOUR, fill_gaps=True)
+
+    def _int_series(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": batch["event_type"],
+            "bucket": batch["bucket"].cast(pa.int64()),
+            "value": batch["count"].cast(pa.int64()),
+        })
+
+    series = rolled.map_batches(_int_series, batch_format="pyarrow")
+    return rolling_quantile(series, value_col="value",
+                            key_col="event_type", time_col="bucket",
+                            size=24, qs=(0.5, 0.9))
+
+
 def q_bpe_token_counts(sf_dir: str):
     return _documents(sf_dir).map_batches(
         BpeishTokenCounter, fn_constructor_args=("text",),
@@ -1356,7 +1419,12 @@ ALL_QUERIES = {
     # (shuffle) physical plans of the as-of and interval joins (sharing
     # their broadcast siblings' oracles so the driver pins the two
     # plans independently), multi-measure rollups, and three corpus
-    # curation ops.
+    # curation ops; the fourth session adds percent-rank scoring,
+    # sequence chunking, n-gram decontamination and rolling quantiles.
+    "percent_rank_by_lang": q_percent_rank_by_lang,
+    "chunk_words_64": q_chunk_words_64,
+    "ngram_decontaminate": q_ngram_decontaminate,
+    "rolling_median_24h": q_rolling_median_24h,
     "repetition_signals": q_repetition_signals,
     "tfidf_top_terms": q_tfidf_top_terms,
     "quality_filter_by_lang": q_quality_filter_by_lang,

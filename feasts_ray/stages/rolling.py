@@ -81,6 +81,71 @@ def rolling(
                                           batch_format="pyarrow")
 
 
+class _RollingQuantileKernel:
+    """Trailing-window DISCRETE quantiles per key (rolling median /
+    robust percentile bands). Selection only — the output is an ELEMENT
+    of the window (DuckDB quantile_disc definition sorted[ceil(q*n)-1]),
+    so there is no float arithmetic at all and the windowed
+    quantile_disc SQL oracle matches bit-exactly for any dtype.
+
+    Kernel: one sliding_window_view + per-row sort, O(n * w log w) per
+    series — w is a small constant (24/168-style windows) and n is one
+    series' bucket count, far off the corpus-scan hot path. Head
+    windows are partial (ROWS BETWEEN w-1 PRECEDING AND CURRENT ROW
+    framing): the pad sentinel sorts last and the pick index uses the
+    true count."""
+
+    def __init__(self, value_col, key_col, time_col, size, qs):
+        self.value_col = value_col
+        self.key_col = key_col
+        self.time_col = time_col
+        self.size = int(size)
+        self.qs = tuple(float(q) for q in qs)
+
+    def __call__(self, group: pa.Table) -> pa.Table:
+        t = group[self.time_col].to_numpy(zero_copy_only=False)
+        order = np.argsort(t, kind="mergesort")
+        x = np.asarray(group[self.value_col].to_numpy(zero_copy_only=False)
+                       )[order]
+        n, w = len(x), self.size
+        if np.issubdtype(x.dtype, np.integer):
+            pad = np.iinfo(x.dtype).max
+        else:
+            pad = np.inf  # sorts last; never selected (index < count)
+        padded = np.concatenate([np.full(w - 1, pad, dtype=x.dtype), x])
+        win = np.sort(np.lib.stride_tricks.sliding_window_view(padded, w),
+                      axis=1)
+        c = np.minimum(np.arange(n) + 1, w)
+        take = pa.array(order)
+        out = {
+            self.key_col: group[self.key_col].take(take),
+            self.time_col: group[self.time_col].take(take),
+            self.value_col: pa.array(x),
+        }
+        rows = np.arange(n)
+        for q in self.qs:
+            idx = np.ceil(q * c).astype(np.int64) - 1
+            out[f"roll_p{round(q * 1000):03d}"] = pa.array(
+                win[rows, np.maximum(idx, 0)])
+        return pa.table(out)
+
+
+def rolling_quantile(
+    ds: "ray.data.Dataset",
+    value_col: str,
+    key_col: str,
+    time_col: str = "bucket",
+    size: int = 24,
+    qs=(0.5,),
+) -> "ray.data.Dataset":
+    """Trailing rolling discrete quantiles (median by default) per key —
+    one groupby(key) shuffle, selection-only kernel (bit-exact vs a
+    windowed quantile_disc oracle for any dtype)."""
+    kernel = _RollingQuantileKernel(value_col, key_col, time_col, size, qs)
+    return ds.groupby(key_col).map_groups(kernel.__call__,
+                                          batch_format="pyarrow")
+
+
 class _EwmKernel:
     def __init__(self, value_col, key_col, time_col, alpha):
         self.value_col = value_col

@@ -510,6 +510,156 @@ def tfidf_top_terms(ds: "ray.data.Dataset", num_groups: int = 64,
     return with_df.groupby("_g2").map_groups(_pick, batch_format="pyarrow")
 
 
+def percent_rank_by_group(ds: "ray.data.Dataset", value_col: str,
+                          key_col: str, out_col: str = "pct_rank",
+                          ) -> "ray.data.Dataset":
+    """Per-row PERCENT_RANK of ``value_col`` within its ``key_col``
+    stratum — the quality-percentile score behind "keep the top X% of
+    each language" selection (the filtering sibling is
+    ``filter_by_group_quantile``; this one emits the per-doc score).
+    Definition matches SQL PERCENT_RANK: ``(rank - 1) / (n - 1)`` with
+    rank = 1 + count of STRICTLY smaller values in the stratum (ties
+    share the min rank); a single-row stratum scores 0.0.
+
+    Scale shape: one bounded groupby(key) shuffle of per-batch
+    (key, value) COUNT partials builds the per-stratum value histogram
+    (bounded: #strata x #distinct integer metric values — use the
+    quantile-threshold operator for continuous scores); cumulative
+    strictly-less counts broadcast once via ray.put; the corpus is
+    scanned once with a vectorized searchsorted — never shuffled. The
+    only float op is one IEEE division of two exact ints, so the SQL
+    window-function oracle matches bitwise."""
+    from ..state.broadcast import put_once, resolve_broadcast
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({key_col: batch[key_col], value_col: batch[value_col]})
+        g = t.group_by([key_col, value_col]).aggregate([([], "count_all")])
+        return g.rename_columns([key_col, value_col, "partial"])
+
+    def _per_key(group: pa.Table) -> pa.Table:
+        v = group[value_col].to_numpy(zero_copy_only=False)
+        if len(v) == 0:
+            return pa.table({
+                key_col: group[key_col].combine_chunks(),
+                "value": group[value_col].combine_chunks(),
+                "n_less": pa.array([], type=pa.int64()),
+                "n_total": pa.array([], type=pa.int64())})
+        c = group["partial"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(v, kind="stable")
+        v_s, c_s = v[order], c[order]
+        bnd = np.flatnonzero(np.concatenate([[True], v_s[1:] != v_s[:-1]]))
+        vals = v_s[bnd]
+        per_val = np.add.reduceat(c_s, bnd)
+        n_less = np.concatenate([[0], np.cumsum(per_val)[:-1]])
+        return pa.table({
+            key_col: group[key_col].take(pa.array([0] * len(vals))),
+            "value": pa.array(vals, type=group.schema.field(value_col).type),
+            "n_less": pa.array(n_less, type=pa.int64()),
+            "n_total": pa.array(np.full(len(vals), int(per_val.sum())),
+                                type=pa.int64()),
+        })
+
+    # one shuffle: partial (key, value) counts -> per-key histogram
+    hist = ds.map_batches(_partial, batch_format="pyarrow").groupby(
+        key_col).map_groups(_per_key, batch_format="pyarrow").to_pandas()
+    table = {
+        k: (sub["value"].to_numpy(), sub["n_less"].to_numpy(),
+            int(sub["n_total"].iloc[0]))
+        for k, sub in hist.groupby(key_col, sort=False)
+    }
+    ref = put_once(table)
+
+    def _score(batch: pa.Table) -> pa.Table:
+        by_key = resolve_broadcast(ref)
+        enc = batch[key_col].combine_chunks().dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False)
+        v = batch[value_col].to_numpy(zero_copy_only=False)
+        pr = np.zeros(len(batch), dtype=np.float64)
+        # only the (few) distinct strata cross into Python
+        for code, key in enumerate(enc.dictionary.to_pylist()):
+            vals, n_less, n = by_key[key]
+            m = codes == code
+            if n > 1:
+                idx = np.searchsorted(vals, v[m], side="left")
+                pr[m] = n_less[idx] / np.float64(n - 1)
+        return batch.append_column(out_col, pa.array(pr, type=pa.float64()))
+
+    return ds.map_batches(_score, batch_format="pyarrow")
+
+
+def build_ngram_blocklist(ds: "ray.data.Dataset", n: int = 5,
+                          every: int = 101, id_col: str = "doc_id",
+                          text_col: str = "text") -> np.ndarray:
+    """Sorted distinct 64-bit word-``n``-gram hashes of every
+    ``every``-th document — the deterministic stand-in for an external
+    eval-set n-gram table (in production the eval corpus is a fixed
+    bounded artifact; deriving it from the corpus keeps this
+    self-contained and oracle-checkable). N-gram identity is the same
+    polynomial shingle hash the MinHash path uses (collision-free at
+    this scale — dedup/minhash.py's exact-Jaccard oracle already relies
+    on that equivalence)."""
+    from ..dedup.hashing import shingle_hashes_batch, tokenize_arrow
+
+    def _grams(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        sel = batch.filter(pa.array(ids % every == 0))
+        if len(sel) == 0:
+            return pa.table({"gh": pa.array([], type=pa.int64())})
+        whash, offsets, counts = tokenize_arrow(sel[text_col])
+        flat, out_offs = shingle_hashes_batch(whash, offsets, n)
+        doc_of = np.repeat(np.arange(len(counts)), np.diff(out_offs))
+        # docs with < n words contribute no n-grams (mask the short fold)
+        gh = np.unique(flat[counts[doc_of] >= n].view(np.int64))
+        return pa.table({"gh": pa.array(gh, type=pa.int64())})
+
+    rows = ds.map_batches(_grams, batch_format="pyarrow").take_all()
+    return np.unique(np.array([r["gh"] for r in rows], dtype=np.int64))
+
+
+def ngram_decontaminate(ds: "ray.data.Dataset", n: int = 5,
+                        every: int = 101, id_col: str = "doc_id",
+                        text_col: str = "text") -> "ray.data.Dataset":
+    """Eval-set n-gram decontamination (the GPT-3 appendix-C method,
+    Brown et al. 2020: flag training docs sharing any word n-gram with
+    an eval set; 13-grams there, parameterized here): per doc,
+    ``n_gram_hits`` = number of DISTINCT eval n-grams it contains.
+    Unlike ``decontaminate`` (verbatim phrase substrings), membership
+    is at the tokenized n-gram level — robust to surrounding text.
+
+    Scale shape: the eval n-gram hash table is a bounded small side
+    broadcast once via ``ray.put``; each batch computes its docs'
+    distinct n-gram hashes (one vectorized shingle fold) and counts
+    membership with a searchsorted against the sorted blocklist — the
+    corpus is scanned once and never shuffled."""
+    from ..dedup.hashing import shingle_hashes_batch, tokenize_arrow
+
+    bl = build_ngram_blocklist(ds, n, every, id_col, text_col)
+    bl_ref = ray.put(bl)
+
+    def _score(batch: pa.Table) -> pa.Table:
+        grams = ray.get(bl_ref)
+        whash, offsets, counts = tokenize_arrow(batch[text_col])
+        nd = len(counts)
+        flat, out_offs = shingle_hashes_batch(whash, offsets, n)
+        doc_of = np.repeat(np.arange(nd), np.diff(out_offs))
+        valid = counts[doc_of] >= n
+        sh, d = flat[valid].view(np.int64), doc_of[valid]
+        # distinct per doc (each doc lives in one batch)
+        order = np.lexsort((sh, d))
+        sh, d = sh[order], d[order]
+        if len(sh):
+            first = np.ones(len(sh), dtype=bool)
+            first[1:] = (d[1:] != d[:-1]) | (sh[1:] != sh[:-1])
+            sh, d = sh[first], d[first]
+        idx = np.searchsorted(grams, sh)
+        hit = (idx < len(grams)) & (grams[np.minimum(idx, len(grams) - 1)] == sh)
+        hits = np.bincount(d[hit], minlength=nd).astype(np.int64)
+        return pa.table({id_col: batch[id_col],
+                         "n_gram_hits": pa.array(hits, type=pa.int64())})
+
+    return ds.map_batches(_score, batch_format="pyarrow")
+
+
 def filter_by_group_quantile(ds: "ray.data.Dataset", value_col: str,
                              key_col: str, q: float = 0.5,
                              ) -> "ray.data.Dataset":

@@ -539,3 +539,155 @@ class TestFilterByGroupQuantile:
                  ].sort_values("rid").reset_index(drop=True)
         pd.testing.assert_frame_equal(
             got[["g", "v", "rid"]], exp[["g", "v", "rid"]])
+
+
+class TestPercentRankByGroup:
+    def test_matches_duckdb(self, docs_ds):
+        from feasts_ray.text.analysis import add_token_counts
+        from feasts_ray.text.corpus import percent_rank_by_group
+
+        scored = docs_ds.map_batches(
+            add_token_counts, batch_format="pyarrow").select_columns(
+            ["doc_id", "lang", "n_words"])
+        got = percent_rank_by_group(scored, "n_words", "lang").to_pandas()
+        got = got.sort_values("doc_id", ignore_index=True)
+        exp = _con().execute("""
+            WITH nw AS (SELECT doc_id, lang,
+              CAST(CASE WHEN regexp_replace(text, '^\\s+|\\s+$', '', 'g') = ''
+              THEN 0 ELSE len(regexp_split_to_array(
+              regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+')) END
+              AS BIGINT) AS n_words FROM documents)
+            SELECT doc_id, lang, n_words, PERCENT_RANK() OVER (
+              PARTITION BY lang ORDER BY n_words) AS pct_rank FROM nw
+            ORDER BY doc_id""").df()
+        assert (got["n_words"].to_numpy() == exp["n_words"].to_numpy()).all()
+        # one IEEE division of exact ints on both sides: bitwise equal
+        assert (got["pct_rank"].to_numpy().view(np.int64)
+                == exp["pct_rank"].to_numpy().view(np.int64)).all()
+
+    def test_single_row_stratum_scores_zero(self, docs_ds):
+        from feasts_ray.text.analysis import add_token_counts
+        from feasts_ray.text.corpus import percent_rank_by_group
+
+        scored = docs_ds.map_batches(
+            add_token_counts, batch_format="pyarrow").select_columns(
+            ["doc_id", "lang", "n_words"])
+        got = percent_rank_by_group(scored, "n_words", "lang").to_pandas()
+        # 'zz' and 'es' each have exactly one doc
+        for lang in ("zz", "es"):
+            assert (got.loc[got["lang"] == lang, "pct_rank"] == 0.0).all()
+
+    @given(vals=st.lists(st.integers(0, 5), min_size=1, max_size=40))
+    @settings(max_examples=25, deadline=None)
+    def test_brute_force_property(self, vals):
+        """pct_rank == count(strictly less)/(n-1); heavy ties on purpose."""
+        from feasts_ray.text.corpus import percent_rank_by_group
+
+        df = pd.DataFrame({"doc_id": np.arange(len(vals), dtype=np.int64),
+                           "lang": "en",
+                           "n_words": np.array(vals, dtype=np.int64)})
+        got = percent_rank_by_group(
+            ray.data.from_pandas(df).repartition(3), "n_words", "lang"
+        ).to_pandas().sort_values("doc_id", ignore_index=True)
+        v = np.array(vals, dtype=np.int64)
+        n = len(v)
+        want = np.zeros(n) if n == 1 else np.array(
+            [(v < x).sum() / np.float64(n - 1) for x in v])
+        assert (got["pct_rank"].to_numpy().view(np.int64)
+                == want.view(np.int64)).all()
+
+
+class TestNgramDecontaminate:
+    def test_matches_duckdb(self, docs_ds):
+        from feasts_ray.text.corpus import ngram_decontaminate
+
+        got = ngram_decontaminate(docs_ds, n=5, every=101).to_pandas()
+        got = got.sort_values("doc_id", ignore_index=True)
+        exp = _con().execute("""
+            WITH w AS (SELECT doc_id, list_filter(
+              string_split_regex(text, '\\s+'), x -> x <> '') AS ws
+              FROM documents),
+            g AS (SELECT DISTINCT doc_id, gram FROM (
+              SELECT doc_id, unnest(list_transform(
+                generate_series(1, len(ws) - 4),
+                i -> array_to_string(ws[i:i+4], ' '))) AS gram
+              FROM w WHERE len(ws) >= 5)),
+            bl AS (SELECT DISTINCT gram FROM g WHERE doc_id % 101 = 0),
+            h AS (SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n
+              FROM g JOIN bl USING (gram) GROUP BY g.doc_id)
+            SELECT d.doc_id, COALESCE(h.n, 0) AS n_gram_hits
+            FROM documents d LEFT JOIN h ON h.doc_id = d.doc_id
+            ORDER BY d.doc_id""").df()
+        assert (got["n_gram_hits"].to_numpy()
+                == exp["n_gram_hits"].to_numpy()).all()
+
+    def test_planted_overlap_detected(self, docs_ds):
+        from feasts_ray.text.corpus import ngram_decontaminate
+
+        got = ngram_decontaminate(docs_ds, n=5, every=101).to_pandas()
+        hits = dict(zip(got["doc_id"], got["n_gram_hits"]))
+        # doc 0 IS the eval doc (9 words -> 5 distinct 5-grams, all hit)
+        assert hits[0] == 5
+        # doc 5 = doc 0's first 8 words -> 4 of its 5-grams are eval grams
+        assert hits[5] == 4
+        # doc 3 embeds those 8 words mid-string -> same 4 hits
+        assert hits[3] == 4
+        # short/filler docs (< 5 words) and empty docs: zero
+        assert hits[2] == 0 and hits[4] == 0 and hits[100] == 0
+
+
+class TestChunking:
+    def test_chunk_words_matches_duckdb(self, docs_ds):
+        from feasts_ray.text.chunking import chunk_words
+
+        got = chunk_words(docs_ds, size=3).to_pandas().sort_values(
+            ["doc_id", "chunk_idx"], ignore_index=True)
+        exp = _con().execute("""
+            WITH w AS (SELECT doc_id, list_filter(
+              string_split_regex(text, '\\s+'), x -> x <> '') AS ws
+              FROM documents),
+            tok AS (SELECT doc_id, unnest(ws) AS tkn,
+              generate_subscripts(ws, 1) AS i FROM w)
+            SELECT doc_id, CAST((i - 1) // 3 AS BIGINT) AS chunk_idx,
+              CAST(COUNT(*) AS BIGINT) AS n_words_chunk,
+              CAST(SUM(length(tkn)) AS BIGINT) AS chunk_chars,
+              arg_min(tkn, i) AS first_word, arg_max(tkn, i) AS last_word
+            FROM tok GROUP BY doc_id, (i - 1) // 3
+            ORDER BY doc_id, chunk_idx""").df()
+        for c in ("doc_id", "chunk_idx", "n_words_chunk", "chunk_chars"):
+            assert (got[c].to_numpy() == exp[c].to_numpy()).all(), c
+        for c in ("first_word", "last_word"):
+            assert got[c].tolist() == exp[c].tolist(), c
+
+    def test_chunk_list_roundtrip(self, ray_session):
+        """No-drop chunks reassemble to the input lists exactly
+        (zero-copy offsets path); drop_remainder drops only tails."""
+        from feasts_ray.text.chunking import chunk_list_column
+
+        rng = np.random.default_rng(7)
+        lens = [0, 1, 4, 8, 9, 16, 17, 0, 5]
+        toks = [rng.integers(0, 1000, size=n).astype(np.int32)
+                for n in lens]
+        tbl = pa.table({
+            "doc_id": pa.array(np.arange(len(lens)), type=pa.int64()),
+            "tokens": pa.array([t.tolist() for t in toks],
+                               type=pa.list_(pa.int32()))})
+        ds = ray.data.from_arrow(tbl)
+        out = chunk_list_column(ds, "tokens", size=8).to_pandas()
+        out = out.sort_values(["doc_id", "chunk_idx"], ignore_index=True)
+        for d, sub in out.groupby("doc_id"):
+            joined = np.concatenate([np.asarray(c) for c in sub["chunk"]])
+            assert (joined == toks[d]).all()
+            assert all(len(c) <= 8 for c in sub["chunk"])
+        # empty docs emit no chunks
+        assert set(out["doc_id"]) == {i for i, n in enumerate(lens) if n}
+
+        dropped = chunk_list_column(ds, "tokens", size=8,
+                                    drop_remainder=True).to_pandas()
+        dropped = dropped.sort_values(["doc_id", "chunk_idx"],
+                                      ignore_index=True)
+        for d, sub in dropped.groupby("doc_id"):
+            joined = np.concatenate([np.asarray(c) for c in sub["chunk"]])
+            keep = (len(toks[d]) // 8) * 8
+            assert (joined == toks[d][:keep]).all()
+            assert all(len(c) == 8 for c in sub["chunk"])

@@ -50,3 +50,50 @@ def test_quantiles_match_duckdb_disc(ray_session, n):
     assert int(got["n_vals"].iloc[0]) == n
     for c in ("p500", "p900", "p990"):
         assert int(got[c].iloc[0]) == int(want[c].iloc[0]), (c, n)
+
+
+@pytest.mark.parametrize("dtype", [np.int64, np.float64])
+def test_rolling_quantile_matches_duckdb(ray_session, dtype):
+    import duckdb
+
+    from feasts_ray.stages.rolling import rolling_quantile
+
+    rng = np.random.default_rng(11)
+    rows = []
+    for key in ("a", "b"):
+        x = rng.integers(0, 40, size=200).astype(dtype)
+        rows.append(pd.DataFrame({
+            "k": key, "t": np.arange(200, dtype=np.int64), "v": x}))
+    df = pd.concat(rows, ignore_index=True).sample(frac=1.0, random_state=1)
+    got = rolling_quantile(ray.data.from_pandas(df).repartition(4),
+                           value_col="v", key_col="k", time_col="t",
+                           size=24, qs=(0.5, 0.9)).to_pandas()
+    got = got.sort_values(["k", "t"], ignore_index=True)
+    want = duckdb.connect().execute("""
+        SELECT k, t, v,
+          quantile_disc(v, 0.5) OVER w AS roll_p500,
+          quantile_disc(v, 0.9) OVER w AS roll_p900
+        FROM df WINDOW w AS (PARTITION BY k ORDER BY t
+          ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
+        ORDER BY k, t""").df()
+    for c in ("v", "roll_p500", "roll_p900"):
+        # selection-only: the output is an ELEMENT of the window, so
+        # even the float case compares exactly
+        assert (got[c].to_numpy().astype(dtype)
+                == want[c].to_numpy().astype(dtype)).all(), c
+
+
+def test_rolling_quantile_head_windows_and_q0(ray_session):
+    """Partial head windows use the true count; q=0 picks the min."""
+    from feasts_ray.stages.rolling import rolling_quantile
+
+    df = pd.DataFrame({"k": "a", "t": np.arange(5, dtype=np.int64),
+                       "v": np.array([5, 1, 9, 1, 3], dtype=np.int64)})
+    got = rolling_quantile(ray.data.from_pandas(df), value_col="v",
+                           key_col="k", time_col="t", size=3,
+                           qs=(0.0, 0.5, 1.0)).to_pandas()
+    got = got.sort_values("t", ignore_index=True)
+    # windows: [5], [5,1], [5,1,9], [1,9,1], [9,1,3]
+    assert got["roll_p000"].tolist() == [5, 1, 1, 1, 1]
+    assert got["roll_p500"].tolist() == [5, 1, 5, 1, 3]
+    assert got["roll_p1000"].tolist() == [5, 5, 9, 9, 9]
