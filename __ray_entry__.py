@@ -1053,6 +1053,40 @@ JOIN series p ON p.event_type = s.event_type AND p.bucket = s.bucket - k.lag * 3
             "FROM g JOIN bl USING (gram) GROUP BY g.doc_id) "
             "SELECT d.doc_id, COALESCE(h.n, 0) AS n_gram_hits "
             "FROM documents d LEFT JOIN h ON h.doc_id = d.doc_id"),
+        # stream packing: the engine's distributed prefix sum must equal
+        # the window running sum exactly (all BIGINT; empty docs NULL)
+        "pack_stream_512": (
+            "WITH nw AS (SELECT doc_id, "
+            "CAST(CASE WHEN regexp_replace(text, '^\\s+|\\s+$', '', 'g') = '' "
+            "THEN 0 ELSE len(regexp_split_to_array("
+            "regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+')) END "
+            "AS BIGINT) AS n_words FROM documents), "
+            "c AS (SELECT doc_id, n_words, CAST(SUM(n_words) OVER ("
+            "ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum "
+            "FROM nw) "
+            "SELECT doc_id, n_words, cum - n_words AS cum_before, "
+            "CASE WHEN n_words > 0 THEN (cum - n_words) // 512 "
+            "ELSE NULL END AS first_seq, "
+            "CASE WHEN n_words > 0 THEN (cum - 1) // 512 "
+            "ELSE NULL END AS last_seq, "
+            "CASE WHEN n_words > 0 THEN "
+            "(cum - 1) // 512 - (cum - n_words) // 512 + 1 "
+            "ELSE 0 END AS n_seqs FROM c"),
+        # equal-width integer histogram: width = ceil((hi-lo+1)/20),
+        # floor-division binning — exact ints end to end
+        "length_histogram": (
+            "WITH nw AS (SELECT "
+            "CAST(CASE WHEN regexp_replace(text, '^\\s+|\\s+$', '', 'g') = '' "
+            "THEN 0 ELSE len(regexp_split_to_array("
+            "regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+')) END "
+            "AS BIGINT) AS v FROM documents), "
+            "w AS (SELECT MIN(v) AS lo, "
+            "GREATEST((MAX(v) - MIN(v) + 20) // 20, 1) AS width FROM nw) "
+            "SELECT CAST((v - lo) // width AS BIGINT) AS bin, "
+            "CAST(lo + ((v - lo) // width) * width AS BIGINT) AS bin_lo, "
+            "CAST(lo + ((v - lo) // width + 1) * width - 1 AS BIGINT) AS bin_hi, "
+            "CAST(COUNT(*) AS BIGINT) AS n "
+            "FROM nw, w GROUP BY (v - lo) // width, lo, width"),
         # rational tf-idf (score = tf/df; documented deviation from
         # tf*ln(N/df) — IEEE-reproducible, no libm): both engines divide
         # the same exact ints once, ties break on the binary-smallest term

@@ -651,6 +651,33 @@ def q_rolling_median_24h(sf_dir: str):
                             size=24, qs=(0.5, 0.9))
 
 
+def q_pack_stream_512(sf_dir: str):
+    """GPT-style stream-packing assignment: docs concatenated in doc_id
+    order, cut every 512 words; per doc the first/last training
+    sequence touched and the span count. The distributed GLOBAL PREFIX
+    SUM primitive (sort -> per-block offset table, O(#blocks) driver
+    rows -> broadcast + local cumsum over the same blocks); oracle is
+    one SUM OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+    (feasts_ray/text/chunking.py::pack_stream_assign)."""
+    from feasts_ray.text.chunking import pack_stream_assign
+
+    scored = _documents(sf_dir).map_batches(
+        add_token_counts, batch_format="pyarrow").select_columns(
+        ["doc_id", "n_words"])
+    return pack_stream_assign(scored, "n_words", seq_len=512)
+
+
+def q_length_histogram(sf_dir: str):
+    """Equal-width 20-bin histogram of per-doc word counts (corpus
+    length-distribution stat): exact integer bin arithmetic, non-empty
+    bins only (feasts_ray/text/corpus.py::histogram_int)."""
+    from feasts_ray.text.corpus import histogram_int
+
+    scored = _documents(sf_dir).map_batches(
+        add_token_counts, batch_format="pyarrow").select_columns(["n_words"])
+    return histogram_int(scored, "n_words", bins=20)
+
+
 def q_bpe_token_counts(sf_dir: str):
     return _documents(sf_dir).map_batches(
         BpeishTokenCounter, fn_constructor_args=("text",),
@@ -1425,6 +1452,8 @@ ALL_QUERIES = {
     "chunk_words_64": q_chunk_words_64,
     "ngram_decontaminate": q_ngram_decontaminate,
     "rolling_median_24h": q_rolling_median_24h,
+    "pack_stream_512": q_pack_stream_512,
+    "length_histogram": q_length_histogram,
     "repetition_signals": q_repetition_signals,
     "tfidf_top_terms": q_tfidf_top_terms,
     "quality_filter_by_lang": q_quality_filter_by_lang,

@@ -76,6 +76,77 @@ def chunk_list_column(ds: "ray.data.Dataset", list_col: str = "tokens",
     return ds.map_batches(_chunk, batch_format="pyarrow")
 
 
+def pack_stream_assign(ds: "ray.data.Dataset", count_col: str,
+                       id_col: str = "doc_id", seq_len: int = 512,
+                       ) -> "ray.data.Dataset":
+    """GPT-style stream-packing assignment: documents are concatenated
+    in ``id_col`` order into one token stream cut every ``seq_len``
+    tokens (the context-length packing of LLM training); for each doc,
+    emit which training sequences it lands in:
+
+    - ``cum_before``: tokens before this doc in the stream (the global
+      EXCLUSIVE prefix sum of ``count_col`` in id order),
+    - ``first_seq`` / ``last_seq``: first/last sequence index the doc
+      touches (NULL for empty docs),
+    - ``n_seqs``: how many sequences it spans (0 for empty docs).
+
+    This is the distributed GLOBAL PREFIX SUM primitive Ray Data lacks
+    (aggregates are unordered): ``sort(id)`` gives range-partitioned,
+    internally-sorted blocks; one pass collects per-block (min_id, sum)
+    partials — O(#blocks) rows on the driver, never O(#docs) — whose
+    exclusive running sum is the per-block offset table, broadcast once;
+    a second pass over the SAME materialized blocks (batch_size=None ==
+    one batch per block — the partitioning assumption this op relies
+    on) adds the local cumsum to its block's offset. All ints; the SQL
+    oracle is one SUM OVER (ORDER BY id ROWS UNBOUNDED PRECEDING)."""
+    import ray
+
+    narrow = ds.select_columns([id_col, count_col]).sort(id_col).materialize()
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        c = batch[count_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(ids) == 0:
+            return pa.table({"min_id": pa.array([], type=pa.int64()),
+                             "total": pa.array([], type=pa.int64())})
+        return pa.table({"min_id": pa.array([ids.min()], type=pa.int64()),
+                         "total": pa.array([int(c.sum())], type=pa.int64())})
+
+    parts = narrow.map_batches(_partial, batch_format="pyarrow",
+                               batch_size=None).to_pandas()
+    parts = parts.sort_values("min_id", ignore_index=True)
+    offs = np.concatenate([[0], np.cumsum(parts["total"].to_numpy())[:-1]])
+    bounds_ref = ray.put((parts["min_id"].to_numpy(), offs.astype(np.int64)))
+
+    def _assign(batch: pa.Table) -> pa.Table:
+        min_ids, offsets = ray.get(bounds_ref)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        c = batch[count_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(ids) == 0:
+            off = np.int64(0)
+        else:
+            off = offsets[np.searchsorted(min_ids, ids.min(), side="right") - 1]
+        cum_end = off + np.cumsum(c)
+        cum_before = cum_end - c
+        nz = c > 0
+        first = cum_before // seq_len
+        last = (cum_end - 1) // seq_len
+        n_seqs = np.where(nz, last - first + 1, 0)
+        return pa.table({
+            id_col: batch[id_col],
+            count_col: pa.array(c, type=pa.int64()),
+            "cum_before": pa.array(cum_before, type=pa.int64()),
+            "first_seq": pa.array(np.where(nz, first, 0),
+                                  type=pa.int64(), mask=~nz),
+            "last_seq": pa.array(np.where(nz, last, 0),
+                                 type=pa.int64(), mask=~nz),
+            "n_seqs": pa.array(n_seqs, type=pa.int64()),
+        })
+
+    return narrow.map_batches(_assign, batch_format="pyarrow",
+                              batch_size=None)
+
+
 def chunk_words(ds: "ray.data.Dataset", size: int = 64,
                 id_col: str = "doc_id", text_col: str = "text",
                 drop_remainder: bool = False) -> "ray.data.Dataset":

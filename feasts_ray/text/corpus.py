@@ -587,6 +587,47 @@ def percent_rank_by_group(ds: "ray.data.Dataset", value_col: str,
     return ds.map_batches(_score, batch_format="pyarrow")
 
 
+def histogram_int(ds: "ray.data.Dataset", value_col: str,
+                  bins: int = 20) -> "ray.data.Dataset":
+    """Equal-width histogram of an integer column (the corpus-stats
+    op behind length/quality distribution dashboards): bin width =
+    ceil((max - min + 1) / bins), bin = (v - min) // width; emits
+    (bin, bin_lo, bin_hi, n) for every NON-EMPTY bin — exact integers
+    throughout, so the SQL floor-division oracle matches bit-exactly.
+
+    Scale shape: one Min/Max aggregate fixes the edges; one corpus scan
+    emits per-batch bincount partials (<= ``bins`` rows per batch); a
+    ``bins``-sized groupby Sum finalizes. The corpus is never
+    shuffled."""
+    from ray.data.aggregate import Max, Min
+
+    mm = ds.aggregate(Min(value_col), Max(value_col))
+    lo = int(mm[f"min({value_col})"])
+    hi = int(mm[f"max({value_col})"])
+    width = max((hi - lo + bins) // bins, 1)
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        v = batch[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        bc = np.bincount((v - lo) // width)
+        nzb = np.flatnonzero(bc)
+        return pa.table({"bin": pa.array(nzb, type=pa.int64()),
+                         "partial": pa.array(bc[nzb], type=pa.int64())})
+
+    agg = ds.map_batches(_partial, batch_format="pyarrow").groupby(
+        "bin").aggregate(Sum("partial", alias_name="n"))
+
+    def _edges(batch: pa.Table) -> pa.Table:
+        b = batch["bin"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "bin": batch["bin"],
+            "bin_lo": pa.array(lo + b * width, type=pa.int64()),
+            "bin_hi": pa.array(lo + (b + 1) * width - 1, type=pa.int64()),
+            "n": batch["n"],
+        })
+
+    return agg.map_batches(_edges, batch_format="pyarrow")
+
+
 def build_ngram_blocklist(ds: "ray.data.Dataset", n: int = 5,
                           every: int = 101, id_col: str = "doc_id",
                           text_col: str = "text") -> np.ndarray:

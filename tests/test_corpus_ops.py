@@ -691,3 +691,94 @@ class TestChunking:
             keep = (len(toks[d]) // 8) * 8
             assert (joined == toks[d][:keep]).all()
             assert all(len(c) == 8 for c in sub["chunk"])
+
+
+class TestPackStreamAssign:
+    def test_matches_duckdb(self, docs_ds):
+        from feasts_ray.text.analysis import add_token_counts
+        from feasts_ray.text.chunking import pack_stream_assign
+
+        scored = docs_ds.map_batches(
+            add_token_counts, batch_format="pyarrow").select_columns(
+            ["doc_id", "n_words"])
+        got = pack_stream_assign(scored, "n_words", seq_len=7).to_pandas()
+        got = got.sort_values("doc_id", ignore_index=True)
+        exp = _con().execute("""
+            WITH nw AS (SELECT doc_id,
+              CAST(CASE WHEN regexp_replace(text, '^\\s+|\\s+$', '', 'g') = ''
+              THEN 0 ELSE len(regexp_split_to_array(
+              regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+')) END
+              AS BIGINT) AS n_words FROM documents),
+            c AS (SELECT doc_id, n_words, CAST(SUM(n_words) OVER (
+              ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+              FROM nw)
+            SELECT doc_id, n_words, cum - n_words AS cum_before,
+              CASE WHEN n_words > 0 THEN (cum - n_words) // 7 END AS first_seq,
+              CASE WHEN n_words > 0 THEN (cum - 1) // 7 END AS last_seq,
+              CASE WHEN n_words > 0 THEN
+                (cum - 1) // 7 - (cum - n_words) // 7 + 1
+              ELSE 0 END AS n_seqs
+            FROM c ORDER BY doc_id""").df()
+        for c in ("n_words", "cum_before", "n_seqs"):
+            assert (got[c].to_numpy() == exp[c].to_numpy()).all(), c
+        for c in ("first_seq", "last_seq"):
+            g, e = got[c], exp[c]
+            assert (g.isna() == e.isna()).all(), c
+            m = ~g.isna()
+            assert (g[m].to_numpy(np.int64) == e[m].to_numpy(np.int64)).all()
+
+    @given(counts=st.lists(st.integers(0, 9), min_size=1, max_size=60),
+           nblocks=st.integers(1, 5))
+    @settings(max_examples=20, deadline=None)
+    def test_prefix_sum_property(self, counts, nblocks):
+        """The distributed prefix sum equals np.cumsum regardless of
+        block count (empty docs included)."""
+        from feasts_ray.text.chunking import pack_stream_assign
+
+        df = pd.DataFrame({"doc_id": np.arange(len(counts), dtype=np.int64),
+                           "n": np.array(counts, dtype=np.int64)})
+        got = pack_stream_assign(
+            ray.data.from_pandas(df.sample(frac=1.0, random_state=2)
+                                 ).repartition(nblocks),
+            "n", seq_len=5).to_pandas().sort_values(
+            "doc_id", ignore_index=True)
+        want = np.cumsum(counts) - np.array(counts)
+        assert (got["cum_before"].to_numpy() == want).all()
+
+
+class TestHistogramInt:
+    def test_matches_duckdb(self, docs_ds):
+        from feasts_ray.text.analysis import add_token_counts
+        from feasts_ray.text.corpus import histogram_int
+
+        scored = docs_ds.map_batches(
+            add_token_counts, batch_format="pyarrow").select_columns(
+            ["n_words"])
+        got = histogram_int(scored, "n_words", bins=10).to_pandas()
+        got = got.sort_values("bin", ignore_index=True)
+        exp = _con().execute("""
+            WITH nw AS (SELECT
+              CAST(CASE WHEN regexp_replace(text, '^\\s+|\\s+$', '', 'g') = ''
+              THEN 0 ELSE len(regexp_split_to_array(
+              regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+')) END
+              AS BIGINT) AS v FROM documents),
+            w AS (SELECT MIN(v) AS lo,
+              GREATEST((MAX(v) - MIN(v) + 10) // 10, 1) AS width FROM nw)
+            SELECT CAST((v - lo) // width AS BIGINT) AS bin,
+              CAST(lo + ((v - lo) // width) * width AS BIGINT) AS bin_lo,
+              CAST(lo + ((v - lo) // width + 1) * width - 1 AS BIGINT) AS bin_hi,
+              CAST(COUNT(*) AS BIGINT) AS n
+            FROM nw, w GROUP BY (v - lo) // width, lo, width
+            ORDER BY bin""").df()
+        for c in ("bin", "bin_lo", "bin_hi", "n"):
+            assert (got[c].to_numpy() == exp[c].to_numpy()).all(), c
+
+    def test_constant_column_single_bin(self, ray_session):
+        from feasts_ray.text.corpus import histogram_int
+
+        df = pd.DataFrame({"v": np.full(50, 7, dtype=np.int64)})
+        got = histogram_int(ray.data.from_pandas(df).repartition(3),
+                            "v", bins=20).to_pandas()
+        assert len(got) == 1
+        assert got["bin"].iloc[0] == 0 and got["n"].iloc[0] == 50
+        assert got["bin_lo"].iloc[0] == 7 and got["bin_hi"].iloc[0] == 7
