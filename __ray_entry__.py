@@ -1053,6 +1053,12 @@ JOIN series p ON p.event_type = s.event_type AND p.bucket = s.bucket - k.lag * 3
             "FROM g JOIN bl USING (gram) GROUP BY g.doc_id) "
             "SELECT d.doc_id, COALESCE(h.n, 0) AS n_gram_hits "
             "FROM documents d LEFT JOIN h ON h.doc_id = d.doc_id"),
+        # reproducible epoch shuffle: rank in the md5(id#seed) total
+        # order (UBIGINT compare == the kernel's uint64 sort)
+        "shuffle_rank": (
+            "SELECT doc_id, ROW_NUMBER() OVER (ORDER BY "
+            + word_hash_expr("CAST(doc_id AS VARCHAR) || '#7'")
+            + ", doc_id) - 1 AS shuffle_rank FROM documents"),
         # stream packing: the engine's distributed prefix sum must equal
         # the window running sum exactly (all BIGINT; empty docs NULL)
         "pack_stream_512": (

@@ -667,6 +667,19 @@ def q_pack_stream_512(sf_dir: str):
     return pack_stream_assign(scored, "n_words", seq_len=512)
 
 
+def q_shuffle_rank(sf_dir: str):
+    """Reproducible epoch shuffle: each doc's position in the
+    md5(id#seed) total order — deterministic across runs/retries/
+    cluster sizes, new permutation per seed. One hash scan + one
+    sort shuffle + the O(#blocks) offset table
+    (feasts_ray/text/corpus.py::deterministic_shuffle_rank)."""
+    from feasts_ray.text.corpus import deterministic_shuffle_rank
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id"])
+    return deterministic_shuffle_rank(ds, seed=7)
+
+
 def q_length_histogram(sf_dir: str):
     """Equal-width 20-bin histogram of per-doc word counts (corpus
     length-distribution stat): exact integer bin arithmetic, non-empty
@@ -1454,6 +1467,7 @@ ALL_QUERIES = {
     "rolling_median_24h": q_rolling_median_24h,
     "pack_stream_512": q_pack_stream_512,
     "length_histogram": q_length_histogram,
+    "shuffle_rank": q_shuffle_rank,
     "repetition_signals": q_repetition_signals,
     "tfidf_top_terms": q_tfidf_top_terms,
     "quality_filter_by_lang": q_quality_filter_by_lang,

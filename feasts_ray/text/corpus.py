@@ -587,6 +587,75 @@ def percent_rank_by_group(ds: "ray.data.Dataset", value_col: str,
     return ds.map_batches(_score, batch_format="pyarrow")
 
 
+def deterministic_shuffle_rank(ds: "ray.data.Dataset",
+                               id_col: str = "doc_id", seed: int = 7,
+                               out_col: str = "shuffle_rank",
+                               ) -> "ray.data.Dataset":
+    """Reproducible epoch shuffle for training-data ordering: assign
+    every row its position in the total order of
+    ``md5_le64(str(id) || '#' || str(seed))`` (ties — impossible at
+    realistic scale but defined anyway — break on the id). The order is
+    a pure function of (id, seed): identical across runs, retries, and
+    cluster sizes, and a different permutation per epoch seed — the
+    property an RNG-state shuffle cannot give a distributed retryable
+    pipeline.
+
+    Scale shape: one hash map_batches + one sort(hash) shuffle
+    (range-partitioned, internally sorted blocks), then the same
+    O(#blocks)-driver-rows offset table the prefix-sum op uses
+    (text/chunking.py::pack_stream_assign) turns per-block positions
+    into global ranks. SQL mirror: ROW_NUMBER() OVER (ORDER BY
+    <md5-LE expr>, id) - 1."""
+    from ..dedup.hashing import hash_words_arrow
+
+    def _key(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].combine_chunks()
+        s = pc.binary_join_element_wise(
+            pc.cast(ids, pa.string()), pa.scalar(f"#{seed}"), "")
+        h = hash_words_arrow(s)
+        return pa.table({id_col: ids,
+                         "_sk": pa.array(h, type=pa.uint64())})
+
+    keyed = ds.select_columns([id_col]).map_batches(
+        _key, batch_format="pyarrow").sort(["_sk", id_col]).materialize()
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table({"min_sk": pa.array([], type=pa.uint64()),
+                             "min_id": pa.array([], type=pa.int64()),
+                             "n": pa.array([], type=pa.int64())})
+        return pa.table({
+            "min_sk": batch["_sk"].take(pa.array([0])),
+            "min_id": batch[id_col].take(pa.array([0])).cast(pa.int64()),
+            "n": pa.array([len(batch)], type=pa.int64())})
+
+    parts = keyed.map_batches(_partial, batch_format="pyarrow",
+                              batch_size=None).to_pandas()
+    parts = parts.sort_values(["min_sk", "min_id"], ignore_index=True)
+    offs = np.concatenate([[0], np.cumsum(parts["n"].to_numpy())[:-1]])
+    key_arr = parts["min_sk"].to_numpy().astype(np.uint64)
+    ref = ray.put((key_arr, offs.astype(np.int64)))
+
+    def _rank(batch: pa.Table) -> pa.Table:
+        keys, offsets = ray.get(ref)
+        n = len(batch)
+        if n == 0:
+            return pa.table({id_col: batch[id_col],
+                             out_col: pa.array([], type=pa.int64())})
+        sk0 = batch["_sk"][0].as_py()
+        # block identity: sorted blocks have unique (min_sk, min_id);
+        # min_sk alone suffices unless two blocks share their first
+        # hash, which needs a 64-bit collision AND a block split there
+        off = offsets[np.searchsorted(keys, np.uint64(sk0), side="left")]
+        return pa.table({
+            id_col: batch[id_col],
+            out_col: pa.array(off + np.arange(n, dtype=np.int64),
+                              type=pa.int64())})
+
+    return keyed.map_batches(_rank, batch_format="pyarrow",
+                             batch_size=None)
+
+
 def histogram_int(ds: "ray.data.Dataset", value_col: str,
                   bins: int = 20) -> "ray.data.Dataset":
     """Equal-width histogram of an integer column (the corpus-stats

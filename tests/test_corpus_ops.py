@@ -782,3 +782,41 @@ class TestHistogramInt:
         assert len(got) == 1
         assert got["bin"].iloc[0] == 0 and got["n"].iloc[0] == 50
         assert got["bin_lo"].iloc[0] == 7 and got["bin_hi"].iloc[0] == 7
+
+
+class TestDeterministicShuffleRank:
+    def test_matches_duckdb(self, docs_ds):
+        from feasts_ray.oracle.simhash_sql import word_hash_expr
+        from feasts_ray.text.corpus import deterministic_shuffle_rank
+
+        got = deterministic_shuffle_rank(docs_ds, seed=7).to_pandas()
+        got = got.sort_values("doc_id", ignore_index=True)
+        exp = _con().execute(
+            "SELECT doc_id, ROW_NUMBER() OVER (ORDER BY "
+            + word_hash_expr("CAST(doc_id AS VARCHAR) || '#7'")
+            + ", doc_id) - 1 AS shuffle_rank FROM documents "
+            "ORDER BY doc_id").df()
+        assert (got["shuffle_rank"].to_numpy()
+                == exp["shuffle_rank"].to_numpy()).all()
+
+    def test_permutation_and_seed_sensitivity(self, ray_session):
+        from feasts_ray.text.corpus import deterministic_shuffle_rank
+
+        df = pd.DataFrame({"doc_id": np.arange(777, dtype=np.int64)})
+        a = deterministic_shuffle_rank(
+            ray.data.from_pandas(df).repartition(5), seed=1).to_pandas()
+        b = deterministic_shuffle_rank(
+            ray.data.from_pandas(df).repartition(2), seed=1).to_pandas()
+        c = deterministic_shuffle_rank(
+            ray.data.from_pandas(df).repartition(5), seed=2).to_pandas()
+        a = a.sort_values("doc_id", ignore_index=True)
+        b = b.sort_values("doc_id", ignore_index=True)
+        c = c.sort_values("doc_id", ignore_index=True)
+        # a true permutation of 0..n-1
+        assert sorted(a["shuffle_rank"]) == list(range(777))
+        # block-count invariant (cluster-size reproducibility)
+        assert (a["shuffle_rank"].to_numpy()
+                == b["shuffle_rank"].to_numpy()).all()
+        # a different seed gives a different permutation
+        assert (a["shuffle_rank"].to_numpy()
+                != c["shuffle_rank"].to_numpy()).any()
