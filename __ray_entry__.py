@@ -1053,6 +1053,39 @@ JOIN series p ON p.event_type = s.event_type AND p.bucket = s.bucket - k.lag * 3
             "FROM g JOIN bl USING (gram) GROUP BY g.doc_id) "
             "SELECT d.doc_id, COALESCE(h.n, 0) AS n_gram_hits "
             "FROM documents d LEFT JOIN h ON h.doc_id = d.doc_id"),
+        # PII scrub: DuckDB regexp_* is the same RE2 engine as the
+        # kernel's pc.*_substring_regex — counts and redacted text
+        # agree by construction
+        "pii_scrub": (
+            "SELECT doc_id, "
+            "CAST(len(regexp_extract_all(text, "
+            "'[A-Za-z0-9._%+\\-]+@[A-Za-z0-9.\\-]+\\.[A-Za-z]{2,}')) "
+            "AS BIGINT) AS n_emails, "
+            "CAST(len(regexp_extract_all(text, "
+            "'\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) "
+            "AS BIGINT) AS n_ipv4, "
+            "regexp_replace(regexp_replace(text, "
+            "'[A-Za-z0-9._%+\\-]+@[A-Za-z0-9.\\-]+\\.[A-Za-z]{2,}', "
+            "'<EMAIL>', 'g'), "
+            "'\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', "
+            "'<IP>', 'g') AS text_redacted FROM documents"),
+        # within-doc line dedup: kernel groups lines by md5-LE hash,
+        # SQL by the line string (same collision-free equivalence)
+        "line_dedup": (
+            "WITH l AS (SELECT doc_id, "
+            "unnest(string_split(text, chr(10))) AS line, "
+            "generate_subscripts(string_split(text, chr(10)), 1) AS i "
+            "FROM documents), "
+            "f AS (SELECT doc_id, line, MIN(i) AS fi FROM l "
+            "GROUP BY doc_id, line), "
+            "c AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lines "
+            "FROM l GROUP BY doc_id), "
+            "d AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY fi) "
+            "AS text_dedup, CAST(COUNT(*) AS BIGINT) AS n_kept "
+            "FROM f GROUP BY doc_id) "
+            "SELECT c.doc_id, c.n_lines, c.n_lines - d.n_kept "
+            "AS n_lines_removed, d.text_dedup "
+            "FROM c JOIN d ON d.doc_id = c.doc_id"),
         # reproducible epoch shuffle: rank in the md5(id#seed) total
         # order (UBIGINT compare == the kernel's uint64 sort)
         "shuffle_rank": (

@@ -680,6 +680,29 @@ def q_shuffle_rank(sf_dir: str):
     return deterministic_shuffle_rank(ds, seed=7)
 
 
+def q_pii_scrub(sf_dir: str):
+    """PII redaction scan: count + redact emails and IPv4 literals.
+    One corpus scan, zero shuffles; DuckDB's regexp functions run the
+    same RE2 engine, so counts AND the redacted text match bit-exactly
+    (feasts_ray/text/analysis.py::add_pii_scrub)."""
+    from feasts_ray.text.analysis import add_pii_scrub
+
+    return _documents(sf_dir).map_batches(
+        add_pii_scrub, batch_format="pyarrow").select_columns(
+        ["doc_id", "n_emails", "n_ipv4", "text_redacted"])
+
+
+def q_line_dedup(sf_dir: str):
+    """Within-doc line dedup (C4/Gopher boilerplate removal: keep each
+    exact line's first occurrence, preserve order). Pure per-document,
+    zero shuffles (feasts_ray/text/analysis.py::dedup_lines)."""
+    from feasts_ray.text.analysis import dedup_lines
+
+    return _documents(sf_dir).map_batches(
+        dedup_lines, batch_format="pyarrow").select_columns(
+        ["doc_id", "n_lines", "n_lines_removed", "text_dedup"])
+
+
 def q_length_histogram(sf_dir: str):
     """Equal-width 20-bin histogram of per-doc word counts (corpus
     length-distribution stat): exact integer bin arithmetic, non-empty
@@ -1468,6 +1491,8 @@ ALL_QUERIES = {
     "pack_stream_512": q_pack_stream_512,
     "length_histogram": q_length_histogram,
     "shuffle_rank": q_shuffle_rank,
+    "pii_scrub": q_pii_scrub,
+    "line_dedup": q_line_dedup,
     "repetition_signals": q_repetition_signals,
     "tfidf_top_terms": q_tfidf_top_terms,
     "quality_filter_by_lang": q_quality_filter_by_lang,

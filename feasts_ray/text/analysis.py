@@ -187,3 +187,75 @@ def add_fingerprint(batch: pa.Table, text_col: str = "text") -> pa.Table:
             fps[m] = (fps[m] * prime) ^ whash[starts[m] + j]
     return batch.append_column(
         "fingerprint", pa.array(fps.astype(np.int64), type=pa.int64()))
+
+
+# RE2-safe PII patterns (no lookarounds). DuckDB's regexp functions run
+# the SAME RE2 engine as pc.*_substring_regex, so kernel and oracle
+# agree on every input by construction.
+PII_EMAIL = r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+def add_pii_scrub(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """PII scrubbing (the redaction step of a curation pipeline): count
+    and redact email addresses and IPv4 literals. Counts are over the
+    ORIGINAL text (leftmost non-overlapping RE2 matches); redaction
+    replaces emails with <EMAIL> first, then IPs with <IP> — the same
+    two regexp_replace('g') calls the SQL oracle issues, so
+    text_redacted matches bit-for-bit. One corpus scan, zero shuffles,
+    all vectorized C kernels."""
+    t = batch[text_col]
+    if isinstance(t, pa.ChunkedArray):
+        t = t.combine_chunks()
+    n_email = pc.count_substring_regex(t, PII_EMAIL).cast(pa.int64())
+    n_ip = pc.count_substring_regex(t, PII_IPV4).cast(pa.int64())
+    red = pc.replace_substring_regex(t, PII_EMAIL, "<EMAIL>")
+    red = pc.replace_substring_regex(red, PII_IPV4, "<IP>")
+    batch = batch.append_column("n_emails", n_email)
+    batch = batch.append_column("n_ipv4", n_ip)
+    return batch.append_column("text_redacted", red)
+
+
+def dedup_lines(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Within-document line dedup (the C4/Gopher boilerplate step: keep
+    each exact line's FIRST occurrence, preserve order). Emits
+    (doc_id..., n_lines, n_lines_removed, text_dedup). Line identity in
+    the kernel is the 64-bit md5-LE line hash (collision-free at this
+    scale — the same equivalence every dedup oracle relies on); the SQL
+    dedups on the line string itself. Pure per-document: one scan, zero
+    shuffles, vectorized (one split kernel + one lexsort)."""
+    from ..dedup.hashing import hash_words_arrow
+
+    t = batch[text_col]
+    if isinstance(t, pa.ChunkedArray):
+        t = t.combine_chunks()
+    lines = pc.split_pattern(t, "\n")
+    offsets = lines.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    counts = np.diff(offsets)
+    flat = lines.values
+    nd = len(counts)
+    if len(flat):
+        h = hash_words_arrow(flat).view(np.int64)
+        doc_of = np.repeat(np.arange(nd), counts)
+        idx = np.arange(len(h))
+        order = np.lexsort((idx, h, doc_of))
+        d_s, h_s = doc_of[order], h[order]
+        first = np.ones(len(h), dtype=bool)
+        first[1:] = (d_s[1:] != d_s[:-1]) | (h_s[1:] != h_s[:-1])
+        keep = np.zeros(len(h), dtype=bool)
+        keep[order[first]] = True
+        kept_counts = np.bincount(doc_of[keep], minlength=nd)
+        kept = flat.filter(pa.array(keep))
+        new_off = np.concatenate([[0], np.cumsum(kept_counts)])
+        rebuilt = pa.ListArray.from_arrays(
+            pa.array(new_off, type=pa.int32()), kept)
+        joined = pc.binary_join(rebuilt, "\n")
+    else:
+        kept_counts = counts
+        joined = pa.array([""] * nd, type=pa.string())
+    batch = batch.append_column("n_lines",
+                                pa.array(counts, type=pa.int64()))
+    batch = batch.append_column(
+        "n_lines_removed",
+        pa.array(counts - kept_counts, type=pa.int64()))
+    return batch.append_column("text_dedup", joined)

@@ -820,3 +820,115 @@ class TestDeterministicShuffleRank:
         # a different seed gives a different permutation
         assert (a["shuffle_rank"].to_numpy()
                 != c["shuffle_rank"].to_numpy()).any()
+
+
+PII_DOCS = pd.DataFrame({
+    "doc_id": np.arange(6, dtype=np.int64),
+    "text": [
+        "contact bob.smith+tag@test-site.org and alice@x.io today",
+        "server at 10.0.0.1 and 192.168.255.3, port 8080",
+        "mixed carol@a.b.co from 127.0.0.1\nsecond line",
+        "no pii here at all",
+        "",
+        "a@b.cc a@b.cc 1.2.3.4",   # repeated matches
+    ],
+})
+
+LINE_DOCS = pd.DataFrame({
+    "doc_id": np.arange(5, dtype=np.int64),
+    "text": [
+        "a\nb\na\nc\nb\na",        # dups preserved-order -> a,b,c
+        "single line",
+        "",                         # one empty line
+        "x\nx\nx",                  # all same -> x
+        "\n\na\n\n",                # empty lines dedup too -> '',a
+    ],
+})
+
+
+class TestPiiScrub:
+    def test_matches_duckdb_on_planted_pii(self, ray_session):
+        from feasts_ray.text.analysis import add_pii_scrub
+
+        ds = ray.data.from_pandas(PII_DOCS.copy()).repartition(2)
+        got = ds.map_batches(add_pii_scrub, batch_format="pyarrow"
+                             ).to_pandas().sort_values("doc_id",
+                                                       ignore_index=True)
+        con = duckdb.connect()
+        con.register("documents", PII_DOCS)
+        exp = con.execute(r"""
+            SELECT doc_id,
+              CAST(len(regexp_extract_all(text,
+                '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}'))
+                AS BIGINT) AS n_emails,
+              CAST(len(regexp_extract_all(text,
+                '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))
+                AS BIGINT) AS n_ipv4,
+              regexp_replace(regexp_replace(text,
+                '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}',
+                '<EMAIL>', 'g'),
+                '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b',
+                '<IP>', 'g') AS text_redacted
+            FROM documents ORDER BY doc_id""").df()
+        assert got["n_emails"].tolist() == exp["n_emails"].tolist()
+        assert got["n_ipv4"].tolist() == exp["n_ipv4"].tolist()
+        assert got["text_redacted"].tolist() == exp["text_redacted"].tolist()
+        # the planted counts, explicitly
+        assert got["n_emails"].tolist() == [2, 0, 1, 0, 0, 2]
+        assert got["n_ipv4"].tolist() == [0, 2, 1, 0, 0, 1]
+        assert got["text_redacted"].iloc[5] == "<EMAIL> <EMAIL> <IP>"
+
+
+class TestLineDedup:
+    def test_matches_duckdb_on_planted_lines(self, ray_session):
+        from feasts_ray.text.analysis import dedup_lines
+
+        ds = ray.data.from_pandas(LINE_DOCS.copy()).repartition(2)
+        got = ds.map_batches(dedup_lines, batch_format="pyarrow"
+                             ).to_pandas().sort_values("doc_id",
+                                                       ignore_index=True)
+        con = duckdb.connect()
+        con.register("documents", LINE_DOCS)
+        exp = con.execute("""
+            WITH l AS (SELECT doc_id,
+              unnest(string_split(text, chr(10))) AS line,
+              generate_subscripts(string_split(text, chr(10)), 1) AS i
+              FROM documents),
+            f AS (SELECT doc_id, line, MIN(i) AS fi FROM l
+              GROUP BY doc_id, line),
+            c AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lines
+              FROM l GROUP BY doc_id),
+            d AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY fi)
+              AS text_dedup, CAST(COUNT(*) AS BIGINT) AS n_kept
+              FROM f GROUP BY doc_id)
+            SELECT c.doc_id, c.n_lines, c.n_lines - d.n_kept
+              AS n_lines_removed, d.text_dedup
+            FROM c JOIN d ON d.doc_id = c.doc_id
+            ORDER BY c.doc_id""").df()
+        for col in ("n_lines", "n_lines_removed"):
+            assert got[col].tolist() == exp[col].tolist(), col
+        assert got["text_dedup"].tolist() == exp["text_dedup"].tolist()
+        assert got["text_dedup"].tolist() == [
+            "a\nb\nc", "single line", "", "x", "\na"]
+
+    @given(docs=st.lists(st.lists(
+        st.sampled_from(["", "a", "b", "line x", "  "]), min_size=0,
+        max_size=8), min_size=1, max_size=10))
+    @settings(max_examples=25, deadline=None)
+    def test_first_occurrence_property(self, docs):
+        from feasts_ray.text.analysis import dedup_lines
+
+        texts = ["\n".join(d) for d in docs]
+        t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                      "text": pa.array(texts, pa.string())})
+        got = dedup_lines(t).to_pandas()
+        for i, text in enumerate(texts):
+            lines = text.split("\n")
+            want, seen = [], set()
+            for ln in lines:
+                if ln not in seen:
+                    seen.add(ln)
+                    want.append(ln)
+            assert got["text_dedup"].iloc[i] == "\n".join(want)
+            assert got["n_lines"].iloc[i] == len(lines)
+            assert got["n_lines_removed"].iloc[i] == len(lines) - len(want)
