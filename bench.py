@@ -94,6 +94,9 @@ def run_queries() -> dict[str, float]:
              "quality_topk_per_lang", "distinct_users_by_type",
              "dup_span_stats", "repetition_signals", "tfidf_top_terms",
              "quality_filter_by_lang",
+             "percent_rank_by_lang", "chunk_words_64",
+             "ngram_decontaminate", "rolling_median_24h",
+             "pack_stream_512", "shuffle_rank", "pii_scrub", "line_dedup",
              "ann_topk", "features_1h", "stl_1h"]
     out: dict[str, float] = {}
     for name in names:
