@@ -1086,6 +1086,24 @@ JOIN series p ON p.event_type = s.event_type AND p.bucket = s.bucket - k.lag * 3
             "SELECT c.doc_id, c.n_lines, c.n_lines - d.n_kept "
             "AS n_lines_removed, d.text_dedup "
             "FROM c JOIN d ON d.doc_id = c.doc_id"),
+        # corpus-wide duplicated-line removal: keep each line's global
+        # first occurrence (min (doc_id, idx)); kernel keys on the
+        # md5-LE line hash, SQL on the line string (same equivalence)
+        "line_dedup_corpus": (
+            "WITH l AS (SELECT doc_id, "
+            "unnest(string_split(text, chr(10))) AS line, "
+            "generate_subscripts(string_split(text, chr(10)), 1) AS i "
+            "FROM documents), "
+            "r AS (SELECT doc_id, line, i, ROW_NUMBER() OVER ("
+            "PARTITION BY line ORDER BY doc_id, i) AS rn FROM l), "
+            "c AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lines, "
+            "CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS n_removed FROM r GROUP BY doc_id), "
+            "k AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY i) "
+            "AS text_clean FROM r WHERE rn = 1 GROUP BY doc_id) "
+            "SELECT c.doc_id, c.n_lines, c.n_removed AS n_lines_removed, "
+            "COALESCE(k.text_clean, '') AS text_clean "
+            "FROM c LEFT JOIN k ON k.doc_id = c.doc_id"),
         # reproducible epoch shuffle: rank in the md5(id#seed) total
         # order (UBIGINT compare == the kernel's uint64 sort)
         "shuffle_rank": (
@@ -1187,6 +1205,7 @@ JOIN series p ON p.event_type = s.event_type AND p.bucket = s.bucket - k.lag * 3
     # driver then verifies BOTH plans against DuckDB independently.
     out["asof_join_grouped_1h"] = out["asof_join_1h"]
     out["range_join_grouped"] = out["range_join_anomalies"]
+    out["line_dedup_corpus_grouped"] = out["line_dedup_corpus"]
     # Two-measure rollup: the Ray side decodes its result rows back OUT
     # of the kernel-written Gorilla/dod blobs, so a hash match here also
     # proves the multi-measure blob round-trip lossless. Means mirror the

@@ -703,6 +703,26 @@ def q_line_dedup(sf_dir: str):
         ["doc_id", "n_lines", "n_lines_removed", "text_dedup"])
 
 
+def q_line_dedup_corpus(sf_dir: str):
+    """CORPUS-WIDE duplicated-line removal (Lee et al. ACL 2022 at line
+    granularity): every exact line keeps only its first global
+    occurrence. One int-triple shuffle finds the drop set; drops return
+    via the adaptive broadcast plan here
+    (feasts_ray/text/corpus.py::dedup_lines_corpus)."""
+    from feasts_ray.text.corpus import dedup_lines_corpus
+
+    return dedup_lines_corpus(_documents(sf_dir), plan="broadcast")
+
+
+def q_line_dedup_corpus_grouped(sf_dir: str):
+    """The grouped (co-group shuffle) physical plan of
+    line_dedup_corpus — same oracle, independent driver signal (the
+    dual-plan pattern of the as-of/interval joins)."""
+    from feasts_ray.text.corpus import dedup_lines_corpus
+
+    return dedup_lines_corpus(_documents(sf_dir), plan="grouped")
+
+
 def q_length_histogram(sf_dir: str):
     """Equal-width 20-bin histogram of per-doc word counts (corpus
     length-distribution stat): exact integer bin arithmetic, non-empty
@@ -1493,6 +1513,8 @@ ALL_QUERIES = {
     "shuffle_rank": q_shuffle_rank,
     "pii_scrub": q_pii_scrub,
     "line_dedup": q_line_dedup,
+    "line_dedup_corpus": q_line_dedup_corpus,
+    "line_dedup_corpus_grouped": q_line_dedup_corpus_grouped,
     "repetition_signals": q_repetition_signals,
     "tfidf_top_terms": q_tfidf_top_terms,
     "quality_filter_by_lang": q_quality_filter_by_lang,

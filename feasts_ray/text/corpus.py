@@ -587,6 +587,166 @@ def percent_rank_by_group(ds: "ray.data.Dataset", value_col: str,
     return ds.map_batches(_score, batch_format="pyarrow")
 
 
+def _rebuild_without_lines(texts: pa.Array, ids: np.ndarray,
+                           drop_doc: np.ndarray, drop_idx: np.ndarray):
+    """Vectorized per-batch rebuild: remove line ``drop_idx`` of doc
+    ``drop_doc`` (0-based) from each doc's newline-joined text. Returns
+    (n_lines, n_removed, text_clean arrays)."""
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    lines = pc.split_pattern(texts, "\n")
+    offsets = lines.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    counts = np.diff(offsets)
+    flat = lines.values
+    nd = len(counts)
+    order = np.argsort(ids, kind="mergesort")
+    row = order[np.searchsorted(ids[order], drop_doc)]
+    keep = np.ones(len(flat), dtype=bool)
+    keep[offsets[:-1][row] + drop_idx] = False
+    removed = np.bincount(row, minlength=nd).astype(np.int64)
+    kept = flat.filter(pa.array(keep))
+    new_off = np.concatenate([[0], np.cumsum(counts - removed)])
+    rebuilt = pa.ListArray.from_arrays(pa.array(new_off, type=pa.int32()),
+                                       kept)
+    return counts.astype(np.int64), removed, pc.binary_join(rebuilt, "\n")
+
+
+def dedup_lines_corpus(ds: "ray.data.Dataset", id_col: str = "doc_id",
+                       text_col: str = "text", num_groups: int = 64,
+                       broadcast_budget: int = 256 << 20,
+                       plan: str = "auto") -> "ray.data.Dataset":
+    """CORPUS-WIDE duplicated-line removal (the removal step of
+    substring-level dedup, Lee et al. ACL 2022, applied at line
+    granularity — C4's cross-document boilerplate rule): every exact
+    line occurring >= 2 times anywhere keeps only its FIRST global
+    occurrence (min (doc_id, line_idx)); all other occurrences are cut.
+    Output: (doc_id, n_lines, n_lines_removed, text_clean). The sibling
+    ``dup_span_stats`` measures duplication; this one removes it.
+
+    Scale shape: one corpus scan emits (line-hash, doc, idx) int
+    triples (line text itself never enters the first exchange); ONE
+    bounded-group shuffle salted by line hash — the global occurrence
+    list of a line lands in one group, so the non-first occurrences ARE
+    the drop set. Drops return to documents by an adaptive second step
+    (the keep_best pattern): measured drop bytes x5 within
+    ``broadcast_budget`` -> ray.put once + zero-shuffle rebuild scan;
+    past the budget (or plan='grouped') -> tag+union+one doc-salted
+    groupby co-group, the only plan that shuffles text, once. Plans
+    pinned identical in tests. Line identity is the md5-LE line hash
+    (collision-free at this scale; every dedup oracle relies on the
+    same equivalence)."""
+    from ..dedup.hashing import hash_words_arrow
+    from ..state.broadcast import put_once, resolve_broadcast
+
+    def _occurrences(batch: pa.Table) -> pa.Table:
+        t = batch[text_col]
+        if isinstance(t, pa.ChunkedArray):
+            t = t.combine_chunks()
+        lines = pc.split_pattern(t, "\n")
+        offs = lines.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        counts = np.diff(offs)
+        h = hash_words_arrow(lines.values).view(np.int64)
+        doc_of = np.repeat(np.arange(len(counts)), counts)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)[doc_of]
+        idx = np.arange(len(h)) - offs[:-1][doc_of]
+        g = ((h.view(np.uint64) * _MIX64) % np.uint64(num_groups)
+             ).astype(np.int64)
+        return pa.table({"lh": pa.array(h, type=pa.int64()),
+                         id_col: pa.array(ids, type=pa.int64()),
+                         "idx": pa.array(idx, type=pa.int64()),
+                         "_g": pa.array(g, type=pa.int64())})
+
+    def _drops(group: pa.Table) -> pa.Table:
+        lh = group["lh"].to_numpy(zero_copy_only=False)
+        did = group[id_col].to_numpy(zero_copy_only=False)
+        idx = group["idx"].to_numpy(zero_copy_only=False)
+        if len(lh) == 0:
+            return pa.table({id_col: pa.array([], type=pa.int64()),
+                             "idx": pa.array([], type=pa.int64())})
+        order = np.lexsort((idx, did, lh))
+        lh_s = lh[order]
+        first = np.ones(len(lh_s), dtype=bool)
+        first[1:] = lh_s[1:] != lh_s[:-1]
+        dropped = order[~first]  # every occurrence but the global first
+        return pa.table({id_col: pa.array(did[dropped], type=pa.int64()),
+                         "idx": pa.array(idx[dropped], type=pa.int64())})
+
+    drops = ds.map_batches(_occurrences, batch_format="pyarrow").groupby(
+        "_g").map_groups(_drops, batch_format="pyarrow").materialize()
+
+    use_broadcast = plan == "broadcast" or (
+        plan == "auto" and drops.size_bytes() * 5 <= broadcast_budget)
+    if use_broadcast:
+        ddf = drops.to_pandas()
+        if len(ddf) == 0:  # empty Datasets lose their schema in pandas
+            dd = np.array([], dtype=np.int64)
+            di = np.array([], dtype=np.int64)
+        else:
+            dd = ddf[id_col].to_numpy()
+            di = ddf["idx"].to_numpy()
+        order = np.lexsort((di, dd))
+        lut_ref = put_once((dd[order], di[order]))
+
+        def _apply(batch: pa.Table) -> pa.Table:
+            dd, di = resolve_broadcast(lut_ref)
+            ids = batch[id_col].to_numpy(zero_copy_only=False)
+            lo = np.searchsorted(dd, ids, side="left")
+            hi = np.searchsorted(dd, ids, side="right")
+            span = hi - lo
+            take = np.repeat(lo, span) + (
+                np.arange(int(span.sum()))
+                - np.repeat(np.concatenate([[0], np.cumsum(span)[:-1]]),
+                            span))
+            n, rem, clean = _rebuild_without_lines(
+                batch[text_col], ids, dd[take], di[take])
+            return pa.table({id_col: batch[id_col],
+                             "n_lines": pa.array(n, type=pa.int64()),
+                             "n_lines_removed": pa.array(rem, pa.int64()),
+                             "text_clean": clean})
+
+        return ds.map_batches(_apply, batch_format="pyarrow")
+
+    # grouped co-group: tag + union + ONE doc-salted bounded-group
+    # shuffle (the only plan that moves text, exactly once)
+    def _tag_docs(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        g2 = ((ids.astype(np.uint64) * _MIX64) % np.uint64(num_groups)
+              ).astype(np.int64)
+        return pa.table({id_col: batch[id_col], "_text": batch[text_col],
+                         "idx": pa.array(np.full(len(ids), -1), pa.int64()),
+                         "_g2": pa.array(g2, type=pa.int64())})
+
+    def _tag_drops(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        g2 = ((ids.astype(np.uint64) * _MIX64) % np.uint64(num_groups)
+              ).astype(np.int64)
+        return pa.table({id_col: batch[id_col],
+                         "_text": pa.nulls(len(ids), type=pa.string()),
+                         "idx": batch["idx"],
+                         "_g2": pa.array(g2, type=pa.int64())})
+
+    union = ds.map_batches(_tag_docs, batch_format="pyarrow").union(
+        drops.map_batches(_tag_drops, batch_format="pyarrow"))
+
+    def _co_group(group: pa.Table) -> pa.Table:
+        idx = group["idx"].to_numpy(zero_copy_only=False)
+        is_doc = idx == -1
+        docs = group.filter(pa.array(is_doc))
+        dr = group.filter(pa.array(~is_doc))
+        ids = docs[id_col].to_numpy(zero_copy_only=False)
+        n, rem, clean = _rebuild_without_lines(
+            docs["_text"], ids,
+            dr[id_col].to_numpy(zero_copy_only=False),
+            dr["idx"].to_numpy(zero_copy_only=False))
+        return pa.table({id_col: docs[id_col],
+                         "n_lines": pa.array(n, type=pa.int64()),
+                         "n_lines_removed": pa.array(rem, pa.int64()),
+                         "text_clean": clean})
+
+    return union.groupby("_g2").map_groups(_co_group,
+                                           batch_format="pyarrow")
+
+
 def deterministic_shuffle_rank(ds: "ray.data.Dataset",
                                id_col: str = "doc_id", seed: int = 7,
                                out_col: str = "shuffle_rank",

@@ -932,3 +932,76 @@ class TestLineDedup:
             assert got["text_dedup"].iloc[i] == "\n".join(want)
             assert got["n_lines"].iloc[i] == len(lines)
             assert got["n_lines_removed"].iloc[i] == len(lines) - len(want)
+
+
+CORPUS_LINE_DOCS = pd.DataFrame({
+    "doc_id": np.arange(8, dtype=np.int64),
+    "text": [
+        "boiler\nunique a\nboiler",   # 0: within-doc dup too
+        "boiler\nunique b",           # 1: cross-doc dup (0 keeps it)
+        "unique c",
+        "",                           # 3: first '' -> kept
+        "",                           # 4: '' removed -> 0 lines
+        "x\n\ny",                     # 5: its '' removed
+        "unique b",                   # 6: whole-line dup of doc 1's line 2?
+        "boiler",                     # 7: dup again
+    ],
+})
+
+
+class TestDedupLinesCorpus:
+    def _expected(self):
+        con = duckdb.connect()
+        con.register("documents", CORPUS_LINE_DOCS)
+        return con.execute("""
+            WITH l AS (SELECT doc_id,
+              unnest(string_split(text, chr(10))) AS line,
+              generate_subscripts(string_split(text, chr(10)), 1) AS i
+              FROM documents),
+            r AS (SELECT doc_id, line, i, ROW_NUMBER() OVER (
+              PARTITION BY line ORDER BY doc_id, i) AS rn FROM l),
+            c AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lines,
+              CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_removed FROM r GROUP BY doc_id),
+            k AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY i)
+              AS text_clean FROM r WHERE rn = 1 GROUP BY doc_id)
+            SELECT c.doc_id, c.n_lines, c.n_removed AS n_lines_removed,
+              COALESCE(k.text_clean, '') AS text_clean
+            FROM c LEFT JOIN k ON k.doc_id = c.doc_id
+            ORDER BY c.doc_id""").df()
+
+    @pytest.mark.parametrize("plan", ["broadcast", "grouped"])
+    def test_both_plans_match_duckdb(self, ray_session, plan):
+        from feasts_ray.text.corpus import dedup_lines_corpus
+
+        ds = ray.data.from_pandas(CORPUS_LINE_DOCS.copy()).repartition(3)
+        got = dedup_lines_corpus(ds, plan=plan).to_pandas().sort_values(
+            "doc_id", ignore_index=True)
+        exp = self._expected()
+        for c in ("n_lines", "n_lines_removed"):
+            assert got[c].tolist() == exp[c].tolist(), (plan, c)
+        assert got["text_clean"].tolist() == exp["text_clean"].tolist(), plan
+        # explicit pins: global-first keeps doc 0's boiler, doc 1 keeps
+        # 'unique b', docs 6/7 lose their only line entirely
+        assert got.loc[6, "text_clean"] == "" and got.loc[6, "n_lines_removed"] == 1
+        assert got.loc[7, "text_clean"] == ""
+        assert got.loc[0, "text_clean"] == "boiler\nunique a"
+
+    def test_plans_identical_and_no_dup_noop(self, ray_session):
+        from feasts_ray.text.corpus import dedup_lines_corpus
+
+        ds = ray.data.from_pandas(CORPUS_LINE_DOCS.copy()).repartition(3)
+        a = dedup_lines_corpus(ds, plan="broadcast").to_pandas(
+            ).sort_values("doc_id", ignore_index=True)
+        b = dedup_lines_corpus(ds, plan="grouped").to_pandas(
+            ).sort_values("doc_id", ignore_index=True)
+        pd.testing.assert_frame_equal(a, b)
+        # an all-unique corpus passes through untouched (and exercises
+        # the empty-drop-set broadcast guard)
+        clean = pd.DataFrame({"doc_id": np.arange(3, dtype=np.int64),
+                              "text": ["only one", "two\nhere", "three"]})
+        out = dedup_lines_corpus(ray.data.from_pandas(clean),
+                                 plan="broadcast").to_pandas().sort_values(
+            "doc_id", ignore_index=True)
+        assert out["text_clean"].tolist() == clean["text"].tolist()
+        assert out["n_lines_removed"].sum() == 0
