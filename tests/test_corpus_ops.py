@@ -1005,3 +1005,19 @@ class TestDedupLinesCorpus:
             "doc_id", ignore_index=True)
         assert out["text_clean"].tolist() == clean["text"].tolist()
         assert out["n_lines_removed"].sum() == 0
+
+
+def test_pyarrow_sliced_list_offsets_contract():
+    """chunk_list_column and the line-dedup kernels rely on pyarrow's
+    sliced-ListArray contract: .offsets is slice-aware while .values
+    stays the full child buffer, so offsets index into values directly.
+    Pin it so a pyarrow upgrade that changes either side fails loudly."""
+    a = pa.array([[1, 2, 3], [4, 5], [6], [7, 8, 9, 10]],
+                 type=pa.list_(pa.int32()))
+    s = a.slice(1, 2)
+    off = s.offsets.to_numpy().astype(np.int64)
+    vals = s.values.to_numpy()
+    assert off.tolist() == [3, 5, 6]
+    assert len(vals) == 10
+    assert vals[off[0]:off[1]].tolist() == [4, 5]
+    assert vals[off[1]:off[2]].tolist() == [6]
