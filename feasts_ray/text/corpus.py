@@ -945,13 +945,15 @@ def filter_by_group_quantile(ds: "ray.data.Dataset", value_col: str,
     threshold table is broadcast once via ray.put and the corpus is
     scanned exactly once with a vectorized compare — never shuffled.
     For an unbounded key this would become a hash join on the key; the
-    stratum contract keeps it a broadcast."""
-    from ..stages.quantiles import group_quantiles
+    stratum contract keeps it a broadcast. Thresholds come from the
+    histogram exact-quantile path (group_quantiles_hist), so a stratum
+    of any row count still fits its task."""
+    from ..stages.quantiles import group_quantiles_hist
     from ..state.broadcast import put_once, resolve_broadcast
 
     col = f"p{round(q * 1000):03d}"
-    thr = group_quantiles(ds.select_columns([key_col, value_col]),
-                          value_col, key_col, qs=(q,)).to_pandas()
+    thr = group_quantiles_hist(ds.select_columns([key_col, value_col]),
+                               value_col, key_col, qs=(q,)).to_pandas()
     thr_ref = put_once(dict(zip(thr[key_col], thr[col])))
 
     def _keep(batch: pa.Table) -> pa.Table:

@@ -97,3 +97,22 @@ def test_rolling_quantile_head_windows_and_q0(ray_session):
     assert got["roll_p000"].tolist() == [5, 1, 1, 1, 1]
     assert got["roll_p500"].tolist() == [5, 1, 5, 1, 3]
     assert got["roll_p1000"].tolist() == [5, 5, 9, 9, 9]
+
+
+@pytest.mark.parametrize("n", [1, 2, 3, 7, 10, 101, 1000])
+def test_quantiles_hist_identical_to_sort_kernel(ray_session, n):
+    """The histogram scale path must emit the SAME rows as the
+    sort-in-group kernel (and therefore stay quantile_disc-exact)."""
+    from feasts_ray.stages.quantiles import (group_quantiles,
+                                             group_quantiles_hist)
+
+    rng = np.random.default_rng(n + 77)
+    df = pd.DataFrame({
+        "k": rng.choice(["x", "y", "z"], size=n),
+        "v": rng.integers(-50, 50, size=n).astype(np.int64)})
+    ds = ray.data.from_pandas(df).repartition(3)
+    a = group_quantiles(ds, "v", "k", qs=(0.5, 0.9, 0.99)).to_pandas()
+    b = group_quantiles_hist(ds, "v", "k", qs=(0.5, 0.9, 0.99)).to_pandas()
+    a = a.sort_values("k", ignore_index=True)
+    b = b.sort_values("k", ignore_index=True)
+    pd.testing.assert_frame_equal(a, b[a.columns])
