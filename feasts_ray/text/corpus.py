@@ -600,7 +600,12 @@ def _rebuild_without_lines(texts: pa.Array, ids: np.ndarray,
     flat = lines.values
     nd = len(counts)
     order = np.argsort(ids, kind="mergesort")
-    row = order[np.searchsorted(ids[order], drop_doc)]
+    pos = np.minimum(np.searchsorted(ids[order], drop_doc),
+                     max(len(ids) - 1, 0))
+    if len(drop_doc) and not np.array_equal(ids[order][pos], drop_doc):
+        raise KeyError("drop row references a doc id absent from its "
+                       "co-located batch/group — partitioning violated")
+    row = order[pos]
     keep = np.ones(len(flat), dtype=bool)
     keep[offsets[:-1][row] + drop_idx] = False
     removed = np.bincount(row, minlength=nd).astype(np.int64)
