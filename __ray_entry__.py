@@ -1053,6 +1053,22 @@ JOIN series p ON p.event_type = s.event_type AND p.bucket = s.bucket - k.lag * 3
             "FROM g JOIN bl USING (gram) GROUP BY g.doc_id) "
             "SELECT d.doc_id, COALESCE(h.n, 0) AS n_gram_hits "
             "FROM documents d LEFT JOIN h ON h.doc_id = d.doc_id"),
+        # deterministic split assignment: same md5-LE fold, CASE chain
+        # over cumulative shares (h=90 -> val, h=95 -> test boundaries)
+        "split_assign": (
+            "SELECT doc_id, CASE WHEN "
+            + word_hash_expr("CAST(doc_id AS VARCHAR) || '#split'")
+            + " % 100 < 90 THEN 'train' WHEN "
+            + word_hash_expr("CAST(doc_id AS VARCHAR) || '#split'")
+            + " % 100 < 95 THEN 'val' ELSE 'test' END AS split "
+            "FROM documents"),
+        # labeled-vs-predicted language confusion: GROUP BY over the
+        # langid oracle's prediction joined back to the labels
+        "langid_confusion": (
+            "WITH pred AS (" + _LANGID + ") "
+            "SELECT d.lang, p.lang_pred, CAST(COUNT(*) AS BIGINT) AS n "
+            "FROM documents d JOIN pred p ON p.doc_id = d.doc_id "
+            "GROUP BY d.lang, p.lang_pred"),
         # PII scrub: DuckDB regexp_* is the same RE2 engine as the
         # kernel's pc.*_substring_regex — counts and redacted text
         # agree by construction

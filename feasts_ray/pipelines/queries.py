@@ -723,6 +723,30 @@ def q_line_dedup_corpus_grouped(sf_dir: str):
     return dedup_lines_corpus(_documents(sf_dir), plan="grouped")
 
 
+def q_split_assign(sf_dir: str):
+    """Deterministic 90/5/5 train/val/test split assignment — pure
+    function of (doc_id, salt), reproducible across runs/retries/
+    cluster sizes; one scan, zero shuffles
+    (feasts_ray/text/corpus.py::assign_splits)."""
+    from feasts_ray.text.corpus import assign_splits
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id"])
+    return assign_splits(ds, {"train": 90, "val": 5, "test": 5})
+
+
+def q_langid_confusion(sf_dir: str):
+    """Labeled-language vs predicted-language confusion counts (dataset
+    composition QA): per-batch Arrow pair-count partials, one tiny
+    groupby Sum — corpus never shuffled
+    (feasts_ray/text/corpus.py::langid_confusion)."""
+    from feasts_ray.text.corpus import langid_confusion
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text", "lang"])
+    return langid_confusion(ds)
+
+
 def q_length_histogram(sf_dir: str):
     """Equal-width 20-bin histogram of per-doc word counts (corpus
     length-distribution stat): exact integer bin arithmetic, non-empty
@@ -1515,6 +1539,8 @@ ALL_QUERIES = {
     "line_dedup": q_line_dedup,
     "line_dedup_corpus": q_line_dedup_corpus,
     "line_dedup_corpus_grouped": q_line_dedup_corpus_grouped,
+    "split_assign": q_split_assign,
+    "langid_confusion": q_langid_confusion,
     "repetition_signals": q_repetition_signals,
     "tfidf_top_terms": q_tfidf_top_terms,
     "quality_filter_by_lang": q_quality_filter_by_lang,

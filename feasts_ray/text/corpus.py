@@ -821,6 +821,76 @@ def deterministic_shuffle_rank(ds: "ray.data.Dataset",
                              batch_size=None)
 
 
+def assign_splits(ds: "ray.data.Dataset",
+                  fractions: dict[str, int] | None = None,
+                  mod: int = 100, salt: str = "split",
+                  id_col: str = "doc_id") -> "ray.data.Dataset":
+    """Deterministic train/val/test split assignment: split =
+    first bucket whose cumulative share exceeds
+    ``md5_le64(str(id) || '#' || salt) % mod`` (fractions in units of
+    1/mod, in dict order). A pure function of (id, salt): stable across
+    runs/retries/cluster sizes, membership testable per row with no
+    scan, and independent of the sampling/shuffle hashes (different
+    salt). One corpus scan, zero shuffles; the CASE-chain SQL oracle
+    uses the same md5-LE fold."""
+    from ..dedup.hashing import hash_words_arrow
+
+    fractions = fractions or {"train": 90, "val": 5, "test": 5}
+    if sum(fractions.values()) != mod:
+        raise ValueError("fractions must sum to mod")
+    names = list(fractions)
+    cuts = np.cumsum([fractions[n] for n in names]).astype(np.uint64)
+
+    def _assign(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].combine_chunks()
+        s = pc.binary_join_element_wise(
+            pc.cast(ids, pa.string()), pa.scalar(f"#{salt}"), "")
+        h = hash_words_arrow(s) % np.uint64(mod)
+        which = np.searchsorted(cuts, h, side="right")
+        split = np.array(names, dtype=object)[which]
+        return pa.table({id_col: ids,
+                         "split": pa.array(split, type=pa.string())})
+
+    return ds.map_batches(_assign, batch_format="pyarrow")
+
+
+def langid_confusion(ds: "ray.data.Dataset", lang_col: str = "lang",
+                     text_col: str = "text") -> "ray.data.Dataset":
+    """Dataset composition report: confusion counts between the labeled
+    language column and the n-gram-heuristic prediction
+    (text/analysis.add_langid) — the QA table behind "how much of each
+    labeled language does the classifier agree with". Per-batch Arrow
+    pair-count partials (≤ #langs² rows/batch) → one tiny groupby Sum;
+    the corpus is never shuffled."""
+    from .analysis import add_langid
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        batch = add_langid(batch, text_col=text_col)
+        t = pa.table({lang_col: batch[lang_col],
+                      "lang_pred": batch["lang_pred"]})
+        g = t.group_by([lang_col, "lang_pred"]).aggregate(
+            [([], "count_all")])
+        return g.rename_columns([lang_col, "lang_pred", "partial"])
+
+    def _split_key(batch: pa.Table) -> pa.Table:
+        parts = pc.split_pattern(batch["_k"], "\x1f")
+        return pa.table({
+            lang_col: pc.list_element(parts, 0),
+            "lang_pred": pc.list_element(parts, 1),
+            "n": batch["n"]})
+
+    def _join_key(batch: pa.Table) -> pa.Table:
+        k = pc.binary_join_element_wise(
+            batch[lang_col].combine_chunks().cast(pa.string()),
+            batch["lang_pred"].combine_chunks().cast(pa.string()), "\x1f")
+        return pa.table({"_k": k, "partial": batch["partial"]})
+
+    partials = ds.map_batches(_partial, batch_format="pyarrow").map_batches(
+        _join_key, batch_format="pyarrow")
+    summed = partials.groupby("_k").aggregate(Sum("partial", alias_name="n"))
+    return summed.map_batches(_split_key, batch_format="pyarrow")
+
+
 def histogram_int(ds: "ray.data.Dataset", value_col: str,
                   bins: int = 20) -> "ray.data.Dataset":
     """Equal-width histogram of an integer column (the corpus-stats

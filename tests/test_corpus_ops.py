@@ -1021,3 +1021,62 @@ def test_pyarrow_sliced_list_offsets_contract():
     assert len(vals) == 10
     assert vals[off[0]:off[1]].tolist() == [4, 5]
     assert vals[off[1]:off[2]].tolist() == [6]
+
+
+class TestAssignSplits:
+    def test_matches_duckdb(self, docs_ds):
+        from feasts_ray.oracle.simhash_sql import word_hash_expr
+        from feasts_ray.text.corpus import assign_splits
+
+        got = assign_splits(docs_ds, {"train": 90, "val": 5, "test": 5}
+                            ).to_pandas().sort_values("doc_id",
+                                                      ignore_index=True)
+        h = word_hash_expr("CAST(doc_id AS VARCHAR) || '#split'")
+        exp = _con().execute(
+            f"SELECT doc_id, CASE WHEN {h} % 100 < 90 THEN 'train' "
+            f"WHEN {h} % 100 < 95 THEN 'val' ELSE 'test' END AS split "
+            "FROM documents ORDER BY doc_id").df()
+        assert got["split"].tolist() == exp["split"].tolist()
+
+    def test_partition_properties(self, docs_ds):
+        from feasts_ray.text.corpus import assign_splits
+
+        got = assign_splits(docs_ds, {"train": 90, "val": 5, "test": 5}
+                            ).to_pandas()
+        # every doc in exactly one split; shares roughly honored
+        assert len(got) == len(DOCS)
+        counts = got["split"].value_counts()
+        assert counts["train"] > 0.8 * len(DOCS)
+        assert 0 < counts.get("val", 0) < 0.15 * len(DOCS)
+        # deterministic across block counts
+        got2 = assign_splits(
+            ray.data.from_pandas(DOCS.copy()).repartition(7),
+            {"train": 90, "val": 5, "test": 5}).to_pandas()
+        m1 = dict(zip(got["doc_id"], got["split"]))
+        m2 = dict(zip(got2["doc_id"], got2["split"]))
+        assert m1 == m2
+
+    def test_fractions_must_sum(self, docs_ds):
+        from feasts_ray.text.corpus import assign_splits
+
+        with pytest.raises(ValueError):
+            assign_splits(docs_ds, {"train": 90, "val": 5})
+
+
+class TestLangidConfusion:
+    def test_matches_brute_force(self, docs_ds):
+        from feasts_ray.text.analysis import add_langid
+        from feasts_ray.text.corpus import langid_confusion
+
+        got = langid_confusion(docs_ds).to_pandas().sort_values(
+            ["lang", "lang_pred"], ignore_index=True)
+        # brute force: run the same kernel once, pandas-count the pairs
+        pred = docs_ds.map_batches(add_langid, batch_format="pyarrow"
+                                   ).to_pandas()
+        exp = (pred.groupby(["lang", "lang_pred"]).size().rename("n")
+               .reset_index().sort_values(["lang", "lang_pred"],
+                                          ignore_index=True))
+        assert got["lang"].tolist() == exp["lang"].tolist()
+        assert got["lang_pred"].tolist() == exp["lang_pred"].tolist()
+        assert got["n"].tolist() == exp["n"].tolist()
+        assert got["n"].sum() == len(DOCS)
