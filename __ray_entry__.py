@@ -1069,6 +1069,26 @@ JOIN series p ON p.event_type = s.event_type AND p.bucket = s.bucket - k.lag * 3
             "SELECT d.lang, p.lang_pred, CAST(COUNT(*) AS BIGINT) AS n "
             "FROM documents d JOIN pred p ON p.doc_id = d.doc_id "
             "GROUP BY d.lang, p.lang_pred"),
+        # exactly-k per-stratum sample: ROW_NUMBER over the md5-LE rank
+        "sample_k_per_lang": (
+            "WITH r AS (SELECT doc_id, lang, ROW_NUMBER() OVER ("
+            "PARTITION BY lang ORDER BY "
+            + word_hash_expr("CAST(doc_id AS VARCHAR) || '#samplek'")
+            + ", doc_id) AS rn FROM documents) "
+            "SELECT doc_id, lang FROM r WHERE rn <= 10"),
+        # winsorization: clip selects existing values (no arithmetic);
+        # thresholds are the exact discrete quantiles
+        "winsorize_by_lang": (
+            "WITH nw AS (SELECT doc_id, lang, "
+            "CAST(CASE WHEN regexp_replace(text, '^\\s+|\\s+$', '', 'g') = '' "
+            "THEN 0 ELSE len(regexp_split_to_array("
+            "regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+')) END "
+            "AS BIGINT) AS n_words FROM documents), "
+            "t AS (SELECT lang, quantile_disc(n_words, 0.05) AS lo, "
+            "quantile_disc(n_words, 0.95) AS hi FROM nw GROUP BY lang) "
+            "SELECT nw.doc_id, nw.lang, nw.n_words, "
+            "LEAST(GREATEST(nw.n_words, t.lo), t.hi) AS n_words_winsor "
+            "FROM nw JOIN t ON t.lang = nw.lang"),
         # PII scrub: DuckDB regexp_* is the same RE2 engine as the
         # kernel's pc.*_substring_regex — counts and redacted text
         # agree by construction

@@ -747,6 +747,33 @@ def q_langid_confusion(sf_dir: str):
     return langid_confusion(ds)
 
 
+def q_sample_k_per_lang(sf_dir: str):
+    """EXACTLY-10 deterministic uniform sample per language: md5-ranked
+    per-group top-k — stable across runs/retries/cluster sizes
+    (feasts_ray/text/corpus.py::sample_k_per_group)."""
+    from feasts_ray.text.corpus import sample_k_per_group
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "lang"])
+    return sample_k_per_group(ds, "lang", k=10)
+
+
+def q_winsorize_by_lang(sf_dir: str):
+    """Per-language winsorization of word counts into the [p05, p95]
+    discrete-quantile band (outlier clipping): histogram-quantile
+    thresholds broadcast once, corpus scanned once — clipping selects
+    existing values, no arithmetic
+    (feasts_ray/text/corpus.py::winsorize_by_group)."""
+    from feasts_ray.text.corpus import winsorize_by_group
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text", "lang"])
+    scored = ds.map_batches(add_token_counts, batch_format="pyarrow"
+                            ).select_columns(["doc_id", "lang", "n_words"])
+    return winsorize_by_group(scored, "n_words", "lang",
+                              q_lo=0.05, q_hi=0.95)
+
+
 def q_length_histogram(sf_dir: str):
     """Equal-width 20-bin histogram of per-doc word counts (corpus
     length-distribution stat): exact integer bin arithmetic, non-empty
@@ -1541,6 +1568,8 @@ ALL_QUERIES = {
     "line_dedup_corpus_grouped": q_line_dedup_corpus_grouped,
     "split_assign": q_split_assign,
     "langid_confusion": q_langid_confusion,
+    "sample_k_per_lang": q_sample_k_per_lang,
+    "winsorize_by_lang": q_winsorize_by_lang,
     "repetition_signals": q_repetition_signals,
     "tfidf_top_terms": q_tfidf_top_terms,
     "quality_filter_by_lang": q_quality_filter_by_lang,

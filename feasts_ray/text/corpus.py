@@ -510,6 +510,70 @@ def tfidf_top_terms(ds: "ray.data.Dataset", num_groups: int = 64,
     return with_df.groupby("_g2").map_groups(_pick, batch_format="pyarrow")
 
 
+def sample_k_per_group(ds: "ray.data.Dataset", group_col: str, k: int,
+                       id_col: str = "doc_id", salt: str = "samplek",
+                       ) -> "ray.data.Dataset":
+    """EXACTLY-k deterministic uniform sample per stratum (vs
+    ``sample_stratified``'s rate-based expected share): rank rows by
+    md5(id#salt) within the stratum and keep the k smallest — a pure
+    function of (id, salt), so the sample is stable across
+    runs/retries/cluster sizes and composes with the other hash ops
+    (different salt ⇒ independent choices). Implementation = the
+    existing per-group partial top-k (`topk_per_group`): each block
+    keeps its own k-smallest per group, ONE bounded shuffle of
+    ≤ k rows/group/block, per-group head. Oracle: ROW_NUMBER over the
+    same md5-LE expression."""
+    from ..dedup.hashing import hash_words_arrow
+
+    def _key(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].combine_chunks()
+        s = pc.binary_join_element_wise(
+            pc.cast(ids, pa.string()), pa.scalar(f"#{salt}"), "")
+        h = hash_words_arrow(s)
+        return batch.append_column("_h", pa.array(h, type=pa.uint64()))
+
+    keyed = ds.map_batches(_key, batch_format="pyarrow")
+    out = topk_per_group(keyed, group_col, ["_h", id_col], [True, True], k)
+    return out.drop_columns(["_h"])
+
+
+def winsorize_by_group(ds: "ray.data.Dataset", value_col: str,
+                       key_col: str, q_lo: float = 0.05,
+                       q_hi: float = 0.95) -> "ray.data.Dataset":
+    """Per-stratum winsorization (outlier clipping for score columns):
+    clip ``value_col`` into [q_lo, q_hi] discrete quantiles of its
+    stratum. Thresholds from the histogram exact-quantile path (one
+    bounded shuffle of distinct (key, value) pairs), broadcast once;
+    the corpus is scanned once with two vectorized compares — never
+    shuffled. Clipping SELECTS existing values (no arithmetic), so the
+    LEAST/GREATEST SQL oracle matches bit-exactly for any dtype."""
+    from ..stages.quantiles import group_quantiles_hist
+    from ..state.broadcast import put_once, resolve_broadcast
+
+    lo_col = f"p{round(q_lo * 1000):03d}"
+    hi_col = f"p{round(q_hi * 1000):03d}"
+    thr = group_quantiles_hist(ds.select_columns([key_col, value_col]),
+                               value_col, key_col,
+                               qs=(q_lo, q_hi)).to_pandas()
+    ref = put_once({k: (lo, hi) for k, lo, hi in
+                    zip(thr[key_col], thr[lo_col], thr[hi_col])})
+
+    def _clip(batch: pa.Table) -> pa.Table:
+        by_key = resolve_broadcast(ref)
+        enc = batch[key_col].combine_chunks().dictionary_encode()
+        # only the (few) distinct strata cross into Python
+        bounds = np.array([by_key[v] for v in enc.dictionary.to_pylist()])
+        codes = enc.indices.to_numpy(zero_copy_only=False)
+        v = batch[value_col].to_numpy(zero_copy_only=False)
+        clipped = np.minimum(np.maximum(v, bounds[codes, 0]),
+                             bounds[codes, 1])
+        return batch.append_column(
+            f"{value_col}_winsor",
+            pa.array(clipped, type=batch.schema.field(value_col).type))
+
+    return ds.map_batches(_clip, batch_format="pyarrow")
+
+
 def percent_rank_by_group(ds: "ray.data.Dataset", value_col: str,
                           key_col: str, out_col: str = "pct_rank",
                           ) -> "ray.data.Dataset":

@@ -1080,3 +1080,57 @@ class TestLangidConfusion:
         assert got["lang_pred"].tolist() == exp["lang_pred"].tolist()
         assert got["n"].tolist() == exp["n"].tolist()
         assert got["n"].sum() == len(DOCS)
+
+
+class TestSampleKPerGroup:
+    def test_matches_duckdb(self, docs_ds):
+        from feasts_ray.oracle.simhash_sql import word_hash_expr
+        from feasts_ray.text.corpus import sample_k_per_group
+
+        got = sample_k_per_group(docs_ds.select_columns(
+            ["doc_id", "lang"]), "lang", k=5).to_pandas().sort_values(
+            "doc_id", ignore_index=True)
+        h = word_hash_expr("CAST(doc_id AS VARCHAR) || '#samplek'")
+        exp = _con().execute(
+            f"WITH r AS (SELECT doc_id, lang, ROW_NUMBER() OVER ("
+            f"PARTITION BY lang ORDER BY {h}, doc_id) AS rn "
+            "FROM documents) SELECT doc_id, lang FROM r WHERE rn <= 5 "
+            "ORDER BY doc_id").df()
+        assert got["doc_id"].tolist() == exp["doc_id"].tolist()
+        # exactly min(k, group size) per stratum; stable across blocks
+        sizes = DOCS.groupby("lang").size()
+        counts = got.groupby("lang").size()
+        for lang, n in sizes.items():
+            assert counts.get(lang, 0) == min(5, n), lang
+        got2 = sample_k_per_group(
+            ray.data.from_pandas(DOCS[["doc_id", "lang"]].copy()
+                                 ).repartition(7), "lang", k=5
+        ).to_pandas().sort_values("doc_id", ignore_index=True)
+        assert got["doc_id"].tolist() == got2["doc_id"].tolist()
+
+
+class TestWinsorizeByGroup:
+    def test_matches_duckdb(self, docs_ds):
+        from feasts_ray.text.analysis import add_token_counts
+        from feasts_ray.text.corpus import winsorize_by_group
+
+        scored = docs_ds.map_batches(
+            add_token_counts, batch_format="pyarrow").select_columns(
+            ["doc_id", "lang", "n_words"])
+        got = winsorize_by_group(scored, "n_words", "lang", 0.05, 0.95
+                                 ).to_pandas().sort_values(
+            "doc_id", ignore_index=True)
+        exp = _con().execute("""
+            WITH nw AS (SELECT doc_id, lang,
+              CAST(CASE WHEN regexp_replace(text, '^\\s+|\\s+$', '', 'g') = ''
+              THEN 0 ELSE len(regexp_split_to_array(
+              regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+')) END
+              AS BIGINT) AS n_words FROM documents),
+            t AS (SELECT lang, quantile_disc(n_words, 0.05) AS lo,
+              quantile_disc(n_words, 0.95) AS hi FROM nw GROUP BY lang)
+            SELECT nw.doc_id, LEAST(GREATEST(nw.n_words, t.lo), t.hi)
+              AS n_words_winsor
+            FROM nw JOIN t ON t.lang = nw.lang ORDER BY nw.doc_id""").df()
+        assert got["n_words_winsor"].tolist() == exp["n_words_winsor"].tolist()
+        # clipped values are always existing-order-preserving bounds
+        assert (got["n_words_winsor"] <= got["n_words"].max()).all()
