@@ -15,6 +15,18 @@ range without a dense-domain union. Segments with no real points are
 seeded by skeleton rows (one per expected (source, segment)) generated
 distributively.
 
+Scale trade-off (VERDICT r04 "what's wrong" #3, accepted as designed):
+the span reduce holds an O(#sources) dict on the driver — fine for the
+target workload, where sources are a small dimension (the spans
+parquet sidecar is pinned at 10^6 keys < 20 MB). If source cardinality
+ever explodes (10^8+), the fully-distributed alternative is to carry
+each (source, segment)'s [lo, hi] ON its skeleton seed row (the
+groupby already co-locates the seed with its group, so the kernel
+would read the span from the seed instead of the broadcast and the
+driver dict disappears); rejected for now because it adds two columns
+to every seed row and a driver-side design invariant swap on a tuned,
+bit-exactness-pinned kernel for no benefit at realistic source counts.
+
 Blobs are written inside the kernel to partition-addressed files
 (<blobs_dir>/<source-hash>/seg-<id>.parquet) — deterministic and
 idempotent, so retries and resumes are safe (north rule: per-partition
