@@ -1134,3 +1134,62 @@ class TestWinsorizeByGroup:
         assert got["n_words_winsor"].tolist() == exp["n_words_winsor"].tolist()
         # clipped values are always existing-order-preserving bounds
         assert (got["n_words_winsor"] <= got["n_words"].max()).all()
+
+
+class TestChunkingProperties:
+    @given(lens=st.lists(st.integers(0, 30), min_size=1, max_size=20),
+           size=st.integers(1, 9))
+    @settings(max_examples=25, deadline=None)
+    def test_chunk_words_brute_force(self, lens, size):
+        """Chunk scalars == a per-doc Python brute force for arbitrary
+        doc lengths and chunk sizes."""
+        from feasts_ray.text.chunking import chunk_words
+
+        texts = [" ".join(f"w{d}x{i}" for i in range(n))
+                 for d, n in enumerate(lens)]
+        t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                      "text": pa.array(texts, pa.string())})
+        got = chunk_words(ray.data.from_arrow(t), size=size).to_pandas()
+        if len(got):  # all-empty corpora lose schema in empty to_pandas
+            got = got.sort_values(["doc_id", "chunk_idx"],
+                                  ignore_index=True)
+        rows = []
+        for d, n in enumerate(lens):
+            words = texts[d].split()
+            for ci in range((n + size - 1) // size):
+                w = words[ci * size:(ci + 1) * size]
+                rows.append((d, ci, len(w), sum(len(x) for x in w),
+                             w[0], w[-1]))
+        assert len(got) == len(rows)
+        for i, (d, ci, nw, cc, fw, lw) in enumerate(rows):
+            r = got.iloc[i]
+            assert (r["doc_id"], r["chunk_idx"], r["n_words_chunk"],
+                    r["chunk_chars"], r["first_word"], r["last_word"]) \
+                == (d, ci, nw, cc, fw, lw)
+
+
+class TestNgramDecontaminateProperty:
+    @given(docs=st.lists(st.lists(st.sampled_from("abcde"), min_size=0,
+                                  max_size=8), min_size=2, max_size=14))
+    @settings(max_examples=25, deadline=None)
+    def test_brute_force(self, docs):
+        """Hit counts == Python-set brute force (n=2, every=2) over a
+        tiny alphabet that forces heavy n-gram collisions."""
+        from feasts_ray.text.corpus import ngram_decontaminate
+
+        texts = [" ".join(d) for d in docs]
+        t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                      "text": pa.array(texts, pa.string())})
+        got = ngram_decontaminate(ray.data.from_arrow(t), n=2, every=2
+                                  ).to_pandas().sort_values(
+            "doc_id", ignore_index=True)
+
+        def grams(words):
+            return {tuple(words[i:i + 2]) for i in range(len(words) - 1)}
+
+        bl = set()
+        for d, words in enumerate(docs):
+            if d % 2 == 0:
+                bl |= grams(words)
+        for d, words in enumerate(docs):
+            assert got["n_gram_hits"].iloc[d] == len(grams(words) & bl), d
