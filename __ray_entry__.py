@@ -795,6 +795,33 @@ FROM series
 WINDOW w AS (PARTITION BY event_type ORDER BY bucket
              ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
 """.format(sec2=_EV_SEC.format(u=3600)),
+        # rolling correlation: exact BIGINT window sums; the correlation
+        # is the single mirrored float expression num/(sqrt(d1)*sqrt(d2))
+        "rolling_corr_24h": """
+WITH sec AS ({sec2}),
+agg AS (SELECT event_type, bucket, COUNT(*) AS x FROM sec GROUP BY event_type, bucket),
+span AS (SELECT event_type, MIN(bucket) AS lo, MAX(bucket) AS hi FROM agg GROUP BY event_type),
+dense AS (SELECT event_type, unnest(generate_series(lo, hi, 3600)) AS bucket FROM span),
+series AS (
+  SELECT d.event_type, d.bucket, CAST(COALESCE(a.x, 0) AS BIGINT) AS x
+  FROM dense d LEFT JOIN agg a ON a.event_type = d.event_type AND a.bucket = d.bucket),
+j AS (SELECT a.bucket, a.x AS x, b.x AS y
+  FROM series a JOIN series b ON b.bucket = a.bucket
+  WHERE a.event_type = 'click' AND b.event_type = 'view'),
+wsum AS (SELECT bucket, x, y,
+  CAST(COUNT(*) OVER w AS BIGINT) AS c,
+  CAST(SUM(x) OVER w AS BIGINT) AS sx, CAST(SUM(y) OVER w AS BIGINT) AS sy,
+  CAST(SUM(x*y) OVER w AS BIGINT) AS sxy,
+  CAST(SUM(x*x) OVER w AS BIGINT) AS sxx,
+  CAST(SUM(y*y) OVER w AS BIGINT) AS syy
+  FROM j WINDOW w AS (ORDER BY bucket ROWS BETWEEN 23 PRECEDING AND CURRENT ROW))
+SELECT 'click|view' AS pair, bucket, x AS x_count, y AS y_count,
+  CASE WHEN c*sxx - sx*sx > 0 AND c*syy - sy*sy > 0 THEN
+    CAST(c*sxy - sx*sy AS DOUBLE)
+    / (sqrt(CAST(c*sxx - sx*sx AS DOUBLE)) * sqrt(CAST(c*syy - sy*sy AS DOUBLE)))
+  END AS roll_corr
+FROM wsum
+""".format(sec2=_EV_SEC.format(u=3600)),
         # rolling discrete quantiles: selection-only (the output is an
         # ELEMENT of the window under the quantile_disc definition
         # sorted[ceil(q*n)-1]) — no float arithmetic on either side

@@ -99,7 +99,7 @@ def run_queries() -> dict[str, float]:
              "pack_stream_512", "shuffle_rank", "pii_scrub", "line_dedup",
              "line_dedup_corpus", "line_dedup_corpus_grouped",
              "split_assign", "langid_confusion",
-             "sample_k_per_lang", "winsorize_by_lang",
+             "sample_k_per_lang", "winsorize_by_lang", "rolling_corr_24h",
              "ann_topk", "features_1h", "stl_1h"]
     out: dict[str, float] = {}
     for name in names:

@@ -1285,6 +1285,40 @@ def q_rolling_24h(sf_dir: str):
     return out.map_batches(_cast, batch_format="pyarrow")
 
 
+def q_rolling_corr_24h(sf_dir: str):
+    """Trailing 24h rolling Pearson correlation between the hourly
+    click and view count series (the windowed multivariate sibling of
+    CCF): exact int64 window sums -> ONE mirrored IEEE expression, so
+    even the float correlations match the window-SUM SQL oracle
+    bitwise; windows with <2 points or a constant side are NULL
+    (feasts_ray/stages/rolling.py::rolling_corr)."""
+    from ..stages.rolling import rolling_corr
+
+    rolled = rollup_table(_events(sf_dir), HOUR, fill_gaps=True)
+
+    def _pair(group: pa.Table) -> pa.Table:
+        types = group["event_type"].to_pylist()
+        cnt = group["count"].to_numpy(zero_copy_only=False)
+        row = dict(zip(types, cnt))
+        if "click" not in row or "view" not in row:
+            return pa.table({
+                "pair": pa.array([], type=pa.string()),
+                "bucket": pa.array([], type=pa.int64()),
+                "x_count": pa.array([], type=pa.int64()),
+                "y_count": pa.array([], type=pa.int64())})
+        return pa.table({
+            "pair": pa.array(["click|view"], type=pa.string()),
+            "bucket": group["bucket"].slice(0, 1).cast(pa.int64()),
+            "x_count": pa.array([int(row["click"])], type=pa.int64()),
+            "y_count": pa.array([int(row["view"])], type=pa.int64())})
+
+    joined = rolled.filter(
+        lambda r: r["event_type"] in ("click", "view")
+    ).groupby("bucket").map_groups(_pair, batch_format="pyarrow")
+    return rolling_corr(joined, "x_count", "y_count", key_col="pair",
+                        time_col="bucket", size=24)
+
+
 def q_anomalies_1h(sf_dir: str):
     """Rolling z-score anomaly flags over hourly event counts: |x - mu|
     > 3*sd against the trailing-24h window (composition of the rollup and
@@ -1570,6 +1604,7 @@ ALL_QUERIES = {
     "langid_confusion": q_langid_confusion,
     "sample_k_per_lang": q_sample_k_per_lang,
     "winsorize_by_lang": q_winsorize_by_lang,
+    "rolling_corr_24h": q_rolling_corr_24h,
     "repetition_signals": q_repetition_signals,
     "tfidf_top_terms": q_tfidf_top_terms,
     "quality_filter_by_lang": q_quality_filter_by_lang,

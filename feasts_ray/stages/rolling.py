@@ -146,6 +146,73 @@ def rolling_quantile(
                                           batch_format="pyarrow")
 
 
+class _RollingCorrKernel:
+    """Trailing-window Pearson correlation of two integer series per
+    key. All five window sums (count, Σx, Σy, Σxy, Σx², Σy²) are EXACT
+    int64 prefix-sum differences; the correlation is ONE mirrored IEEE
+    expression — num/(sqrt(d1)*sqrt(d2)) over the exact ints — so the
+    window-SUM SQL oracle matches every double bitwise. Windows whose
+    x or y variance term is <= 0 (fewer than 2 points, or constant)
+    yield NULL, same as the SQL CASE."""
+
+    def __init__(self, x_col, y_col, key_col, time_col, size):
+        self.x_col, self.y_col = x_col, y_col
+        self.key_col, self.time_col = key_col, time_col
+        self.size = int(size)
+
+    def __call__(self, group: pa.Table) -> pa.Table:
+        t = group[self.time_col].to_numpy(zero_copy_only=False)
+        order = np.argsort(t, kind="mergesort")
+        x = group[self.x_col].to_numpy(zero_copy_only=False).astype(
+            np.int64)[order]
+        y = group[self.y_col].to_numpy(zero_copy_only=False).astype(
+            np.int64)[order]
+        n, w = len(x), self.size
+
+        def win(v: np.ndarray) -> np.ndarray:
+            cs = np.concatenate([[0], np.cumsum(v)])
+            lo = np.maximum(np.arange(n) + 1 - w, 0)
+            return cs[np.arange(n) + 1] - cs[lo]
+
+        c = np.minimum(np.arange(n) + 1, w).astype(np.int64)
+        sx, sy = win(x), win(y)
+        sxy, sxx, syy = win(x * y), win(x * x), win(y * y)
+        num = c * sxy - sx * sy
+        d1 = c * sxx - sx * sx
+        d2 = c * syy - sy * sy
+        ok = (d1 > 0) & (d2 > 0)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            corr = num.astype(np.float64) / (
+                np.sqrt(d1.astype(np.float64))
+                * np.sqrt(d2.astype(np.float64)))
+        take = pa.array(order)
+        return pa.table({
+            self.key_col: group[self.key_col].take(take),
+            self.time_col: group[self.time_col].take(take),
+            self.x_col: pa.array(x, type=pa.int64()),
+            self.y_col: pa.array(y, type=pa.int64()),
+            "roll_corr": pa.array(np.where(ok, corr, 0.0),
+                                  type=pa.float64(), mask=~ok),
+        })
+
+
+def rolling_corr(
+    ds: "ray.data.Dataset",
+    x_col: str,
+    y_col: str,
+    key_col: str,
+    time_col: str = "bucket",
+    size: int = 24,
+) -> "ray.data.Dataset":
+    """Trailing rolling Pearson correlation of two integer columns per
+    key: one groupby(key) shuffle, O(n) prefix-sum kernel, bit-exact vs
+    a window-SUM SQL oracle (exact int sums, one mirrored float
+    expression)."""
+    kernel = _RollingCorrKernel(x_col, y_col, key_col, time_col, size)
+    return ds.groupby(key_col).map_groups(kernel.__call__,
+                                          batch_format="pyarrow")
+
+
 class _EwmKernel:
     def __init__(self, value_col, key_col, time_col, alpha):
         self.value_col = value_col

@@ -116,3 +116,46 @@ def test_quantiles_hist_identical_to_sort_kernel(ray_session, n):
     a = a.sort_values("k", ignore_index=True)
     b = b.sort_values("k", ignore_index=True)
     pd.testing.assert_frame_equal(a, b[a.columns])
+
+
+def test_rolling_corr_matches_duckdb_and_numpy(ray_session):
+    import duckdb
+
+    from feasts_ray.stages.rolling import rolling_corr
+
+    rng = np.random.default_rng(23)
+    n = 300
+    x = rng.integers(0, 30, size=n)
+    y = (x // 2 + rng.integers(0, 10, size=n))  # correlated + noise
+    df = pd.DataFrame({"k": "p", "t": np.arange(n, dtype=np.int64),
+                       "x": x.astype(np.int64), "y": y.astype(np.int64)})
+    got = rolling_corr(ray.data.from_pandas(df).repartition(3),
+                       "x", "y", key_col="k", time_col="t", size=12
+                       ).to_pandas().sort_values("t", ignore_index=True)
+    want = duckdb.connect().execute("""
+        WITH w AS (SELECT t, x, y,
+          CAST(COUNT(*) OVER win AS BIGINT) AS c,
+          CAST(SUM(x) OVER win AS BIGINT) AS sx,
+          CAST(SUM(y) OVER win AS BIGINT) AS sy,
+          CAST(SUM(x*y) OVER win AS BIGINT) AS sxy,
+          CAST(SUM(x*x) OVER win AS BIGINT) AS sxx,
+          CAST(SUM(y*y) OVER win AS BIGINT) AS syy
+          FROM df WINDOW win AS (ORDER BY t
+            ROWS BETWEEN 11 PRECEDING AND CURRENT ROW))
+        SELECT t, CASE WHEN c*sxx - sx*sx > 0 AND c*syy - sy*sy > 0 THEN
+          CAST(c*sxy - sx*sy AS DOUBLE) / (sqrt(CAST(c*sxx - sx*sx AS DOUBLE))
+            * sqrt(CAST(c*syy - sy*sy AS DOUBLE))) END AS roll_corr
+        FROM w ORDER BY t""").df()
+    g, e = got["roll_corr"], want["roll_corr"]
+    assert (g.isna() == e.isna()).all()
+    m = ~g.isna()
+    # identical expression tree: bitwise equal
+    assert (g[m].to_numpy().view(np.int64)
+            == e[m].to_numpy().view(np.int64)).all()
+    # and numerically the Pearson correlation (numpy reference)
+    for i in (11, 50, 299):
+        lo = max(0, i - 11)
+        ref = np.corrcoef(x[lo:i + 1], y[lo:i + 1])[0, 1]
+        assert abs(g.iloc[i] - ref) < 1e-12
+    # head window of 1 point: NULL
+    assert np.isnan(g.iloc[0])
