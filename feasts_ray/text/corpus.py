@@ -1060,9 +1060,13 @@ def ngram_decontaminate(ds: "ray.data.Dataset", n: int = 5,
             first = np.ones(len(sh), dtype=bool)
             first[1:] = (d[1:] != d[:-1]) | (sh[1:] != sh[:-1])
             sh, d = sh[first], d[first]
-        idx = np.searchsorted(grams, sh)
-        hit = (idx < len(grams)) & (grams[np.minimum(idx, len(grams) - 1)] == sh)
-        hits = np.bincount(d[hit], minlength=nd).astype(np.int64)
+        if len(grams) == 0:
+            hits = np.zeros(nd, dtype=np.int64)
+        else:
+            idx = np.searchsorted(grams, sh)
+            hit = (idx < len(grams)) & (
+                grams[np.minimum(idx, len(grams) - 1)] == sh)
+            hits = np.bincount(d[hit], minlength=nd).astype(np.int64)
         return pa.table({id_col: batch[id_col],
                          "n_gram_hits": pa.array(hits, type=pa.int64())})
 
