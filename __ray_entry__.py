@@ -795,6 +795,35 @@ FROM series
 WINDOW w AS (PARTITION BY event_type ORDER BY bucket
              ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
 """.format(sec2=_EV_SEC.format(u=3600)),
+        # robust z: median and MAD are exact discrete quantiles; the
+        # score is one IEEE division of a BIGINT deviation by the MAD
+        "robust_z_by_lang": (
+            "WITH nw AS (SELECT doc_id, lang, "
+            "CAST(CASE WHEN regexp_replace(text, '^\\s+|\\s+$', '', 'g') = '' "
+            "THEN 0 ELSE len(regexp_split_to_array("
+            "regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+')) END "
+            "AS BIGINT) AS n_words FROM documents), "
+            "m AS (SELECT lang, quantile_disc(n_words, 0.5) AS med "
+            "FROM nw GROUP BY lang), "
+            "a AS (SELECT nw.doc_id, nw.lang, nw.n_words, "
+            "nw.n_words - m.med AS dev FROM nw JOIN m ON m.lang = nw.lang), "
+            "d AS (SELECT lang, quantile_disc(abs(dev), 0.5) AS mad "
+            "FROM a GROUP BY lang) "
+            "SELECT a.doc_id, a.lang, a.n_words, "
+            "CASE WHEN d.mad > 0 THEN CAST(a.dev AS DOUBLE) "
+            "/ CAST(d.mad AS DOUBLE) END AS robust_z "
+            "FROM a JOIN d ON d.lang = a.lang"),
+        # Q6-style selective aggregate: revenue as exact
+        # cents x discount-percent BIGINT products
+        "revenue_q6": (
+            "SELECT CAST(COUNT(*) AS BIGINT) AS n_rows, "
+            "CAST(COALESCE(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT) "
+            "* CAST(ROUND(l_discount * 100) AS BIGINT)), 0) AS BIGINT) "
+            "AS revenue_cents_pct FROM lineitem "
+            "WHERE l_shipdate >= DATE '1996-01-01' "
+            "AND l_shipdate < DATE '1997-01-01' "
+            "AND CAST(ROUND(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7 "
+            "AND CAST(ROUND(l_quantity) AS BIGINT) < 24"),
         # rolling correlation: exact BIGINT window sums; the correlation
         # is the single mirrored float expression num/(sqrt(d1)*sqrt(d2))
         "rolling_corr_24h": """

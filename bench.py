@@ -100,6 +100,7 @@ def run_queries() -> dict[str, float]:
              "line_dedup_corpus", "line_dedup_corpus_grouped",
              "split_assign", "langid_confusion",
              "sample_k_per_lang", "winsorize_by_lang", "rolling_corr_24h",
+             "robust_z_by_lang", "revenue_q6",
              "ann_topk", "features_1h", "stl_1h"]
     out: dict[str, float] = {}
     for name in names:

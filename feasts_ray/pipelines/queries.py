@@ -297,6 +297,44 @@ def q_top_users(sf_dir: str):
     return pdf[["user_id", "total_cents", "n_events"]]
 
 
+def q_revenue_q6(sf_dir: str):
+    """TPC-H Q6-style forecasting-revenue query: one filtered scan +
+    one global sum — the selective-predicate aggregate shape. Revenue
+    accumulates as exact integer cents x discount-percent
+    (SUM(cents * pct) in int64), so the single output row matches the
+    SQL oracle bit-for-bit; date/discount/quantity predicates are
+    integer compares on both engines."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_quantity", "l_extendedprice", "l_discount",
+                 "l_shipdate"])
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        qty = np.rint(batch["l_quantity"].to_numpy(
+            zero_copy_only=False)).astype(np.int64)
+        cents = np.rint(batch["l_extendedprice"].to_numpy(
+            zero_copy_only=False) * 100.0).astype(np.int64)
+        pct = np.rint(batch["l_discount"].to_numpy(
+            zero_copy_only=False) * 100.0).astype(np.int64)
+        ship = batch["l_shipdate"].cast(pa.timestamp("us")).cast(
+            pa.int64()).to_numpy(zero_copy_only=False)
+        lo = np.datetime64("1996-01-01").astype("datetime64[us]").astype(np.int64)
+        hi = np.datetime64("1997-01-01").astype("datetime64[us]").astype(np.int64)
+        keep = ((ship >= lo) & (ship < hi) & (pct >= 5) & (pct <= 7)
+                & (qty < 24))
+        return pa.table({
+            "n": pa.array([int(keep.sum())], type=pa.int64()),
+            "rev": pa.array([int((cents[keep] * pct[keep]).sum())],
+                            type=pa.int64())})
+
+    agg = ds.map_batches(_partial, batch_format="pyarrow").aggregate(
+        Sum("n", alias_name="n_rows"),
+        Sum("rev", alias_name="revenue_cents_pct"))
+    return pd.DataFrame([{
+        "n_rows": np.int64(agg["n_rows"]),
+        "revenue_cents_pct": np.int64(agg["revenue_cents_pct"])}])
+
+
 def q_pricing_summary(sf_dir: str):
     """TPC-H Q1-style pricing summary: grouped multi-aggregate over
     lineitem with exact integer cents / ten-thousandths so every derived
@@ -1285,6 +1323,21 @@ def q_rolling_24h(sf_dir: str):
     return out.map_batches(_cast, batch_format="pyarrow")
 
 
+def q_robust_z_by_lang(sf_dir: str):
+    """Per-doc robust z-score of word count within its language:
+    (x - median) / MAD with both thresholds exact discrete quantiles —
+    the skew-resistant outlier score. Two histogram-quantile passes
+    (distinct pairs shuffle, never rows), corpus scanned twice, never
+    shuffled (feasts_ray/text/corpus.py::robust_zscore_by_group)."""
+    from feasts_ray.text.corpus import robust_zscore_by_group
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text", "lang"])
+    scored = ds.map_batches(add_token_counts, batch_format="pyarrow"
+                            ).select_columns(["doc_id", "lang", "n_words"])
+    return robust_zscore_by_group(scored, "n_words", "lang")
+
+
 def q_rolling_corr_24h(sf_dir: str):
     """Trailing 24h rolling Pearson correlation between the hourly
     click and view count series (the windowed multivariate sibling of
@@ -1605,6 +1658,8 @@ ALL_QUERIES = {
     "sample_k_per_lang": q_sample_k_per_lang,
     "winsorize_by_lang": q_winsorize_by_lang,
     "rolling_corr_24h": q_rolling_corr_24h,
+    "robust_z_by_lang": q_robust_z_by_lang,
+    "revenue_q6": q_revenue_q6,
     "repetition_signals": q_repetition_signals,
     "tfidf_top_terms": q_tfidf_top_terms,
     "quality_filter_by_lang": q_quality_filter_by_lang,

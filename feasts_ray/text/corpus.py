@@ -574,6 +574,62 @@ def winsorize_by_group(ds: "ray.data.Dataset", value_col: str,
     return ds.map_batches(_clip, batch_format="pyarrow")
 
 
+def robust_zscore_by_group(ds: "ray.data.Dataset", value_col: str,
+                           key_col: str) -> "ray.data.Dataset":
+    """Per-row robust z-score within a stratum: (x - median) / MAD,
+    with median and MAD = median(|x - median|) both DISCRETE quantiles
+    (quantile_disc semantics) — the outlier score quality filters use
+    when means/stddevs are skew-poisoned. Rows in zero-MAD strata get
+    NULL (a constant stratum has no outlier scale).
+
+    Scale shape: two histogram exact-quantile passes (each shuffles
+    distinct (key, value) pairs, never rows — stages/quantiles.py
+    ::group_quantiles_hist), thresholds broadcast once each; the
+    corpus is scanned twice, never shuffled. For integer metrics both
+    quantiles are exact ints, so the score is one IEEE division and
+    the SQL oracle matches bitwise."""
+    from ..stages.quantiles import group_quantiles_hist
+    from ..state.broadcast import put_once, resolve_broadcast
+
+    med = group_quantiles_hist(ds.select_columns([key_col, value_col]),
+                               value_col, key_col, qs=(0.5,)).to_pandas()
+    med_ref = put_once(dict(zip(med[key_col], med["p500"])))
+
+    def _absdev(batch: pa.Table) -> pa.Table:
+        m = resolve_broadcast(med_ref)
+        enc = batch[key_col].combine_chunks().dictionary_encode()
+        meds = np.array([m[v] for v in enc.dictionary.to_pylist()])
+        codes = enc.indices.to_numpy(zero_copy_only=False)
+        v = batch[value_col].to_numpy(zero_copy_only=False)
+        return pa.table({key_col: batch[key_col],
+                         "_absdev": pa.array(np.abs(v - meds[codes]))})
+
+    mad = group_quantiles_hist(
+        ds.map_batches(_absdev, batch_format="pyarrow"),
+        "_absdev", key_col, qs=(0.5,)).to_pandas()
+    both_ref = put_once({k: (m, d) for k, m, d in zip(
+        mad[key_col], [dict(zip(med[key_col], med["p500"]))[k]
+                       for k in mad[key_col]], mad["p500"])})
+
+    def _score(batch: pa.Table) -> pa.Table:
+        table = resolve_broadcast(both_ref)
+        enc = batch[key_col].combine_chunks().dictionary_encode()
+        pairs = np.array([table[v] for v in enc.dictionary.to_pylist()],
+                         dtype=np.float64).reshape(-1, 2)
+        codes = enc.indices.to_numpy(zero_copy_only=False)
+        v = batch[value_col].to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        meds, mads = pairs[codes, 0], pairs[codes, 1]
+        ok = mads > 0
+        with np.errstate(invalid="ignore", divide="ignore"):
+            z = (v - meds) / mads
+        return batch.append_column(
+            "robust_z", pa.array(np.where(ok, z, 0.0),
+                                 type=pa.float64(), mask=~ok))
+
+    return ds.map_batches(_score, batch_format="pyarrow")
+
+
 def percent_rank_by_group(ds: "ray.data.Dataset", value_col: str,
                           key_col: str, out_col: str = "pct_rank",
                           ) -> "ray.data.Dataset":

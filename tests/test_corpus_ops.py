@@ -1193,3 +1193,52 @@ class TestNgramDecontaminateProperty:
                 bl |= grams(words)
         for d, words in enumerate(docs):
             assert got["n_gram_hits"].iloc[d] == len(grams(words) & bl), d
+
+
+class TestRobustZscoreByGroup:
+    def test_matches_duckdb(self, docs_ds):
+        from feasts_ray.text.analysis import add_token_counts
+        from feasts_ray.text.corpus import robust_zscore_by_group
+
+        scored = docs_ds.map_batches(
+            add_token_counts, batch_format="pyarrow").select_columns(
+            ["doc_id", "lang", "n_words"])
+        got = robust_zscore_by_group(scored, "n_words", "lang"
+                                     ).to_pandas().sort_values(
+            "doc_id", ignore_index=True)
+        exp = _con().execute("""
+            WITH nw AS (SELECT doc_id, lang,
+              CAST(CASE WHEN regexp_replace(text, '^\\s+|\\s+$', '', 'g') = ''
+              THEN 0 ELSE len(regexp_split_to_array(
+              regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+')) END
+              AS BIGINT) AS n_words FROM documents),
+            m AS (SELECT lang, quantile_disc(n_words, 0.5) AS med
+              FROM nw GROUP BY lang),
+            a AS (SELECT nw.doc_id, nw.lang, nw.n_words,
+              nw.n_words - m.med AS dev FROM nw JOIN m ON m.lang = nw.lang),
+            d AS (SELECT lang, quantile_disc(abs(dev), 0.5) AS mad
+              FROM a GROUP BY lang)
+            SELECT a.doc_id, CASE WHEN d.mad > 0 THEN
+              CAST(a.dev AS DOUBLE) / CAST(d.mad AS DOUBLE) END AS robust_z
+            FROM a JOIN d ON d.lang = a.lang ORDER BY a.doc_id""").df()
+        g, e = got["robust_z"], exp["robust_z"]
+        assert (g.isna() == e.isna()).all()
+        m = ~g.isna()
+        assert (g[m].to_numpy().view(np.int64)
+                == e[m].to_numpy().view(np.int64)).all()
+
+    def test_zero_mad_stratum_is_null(self, ray_session):
+        from feasts_ray.text.corpus import robust_zscore_by_group
+
+        # a constant stratum (zero MAD) and a normal one
+        df = pd.DataFrame({
+            "doc_id": np.arange(8, dtype=np.int64),
+            "lang": ["c"] * 4 + ["v"] * 4,
+            "n_words": np.array([7, 7, 7, 7, 1, 2, 3, 9], dtype=np.int64)})
+        got = robust_zscore_by_group(
+            ray.data.from_pandas(df).repartition(2), "n_words", "lang"
+        ).to_pandas().sort_values("doc_id", ignore_index=True)
+        assert got.loc[got["lang"] == "c", "robust_z"].isna().all()
+        v = got.loc[got["lang"] == "v", "robust_z"]
+        # med=2 (disc), absdevs {1,0,1,7} -> MAD=1; z = dev/1
+        assert v.tolist() == [-1.0, 0.0, 1.0, 7.0]
