@@ -1298,6 +1298,8 @@ JOIN series p ON p.event_type = s.event_type AND p.bucket = s.bucket - k.lag * 3
     out["asof_join_grouped_1h"] = out["asof_join_1h"]
     out["range_join_grouped"] = out["range_join_anomalies"]
     out["line_dedup_corpus_grouped"] = out["line_dedup_corpus"]
+    # certified-exact Misra-Gries heavy hitters == the exact top-k
+    out["word_freq_topk_mg"] = out["word_freq_topk"]
     # Two-measure rollup: the Ray side decodes its result rows back OUT
     # of the kernel-written Gorilla/dod blobs, so a hash match here also
     # proves the multi-measure blob round-trip lossless. Means mirror the

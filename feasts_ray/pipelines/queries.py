@@ -525,6 +525,19 @@ def q_word_freq_topk(sf_dir: str):
     return word_freq_topk(_documents(sf_dir), k=50)
 
 
+def q_word_freq_topk_mg(sf_dir: str):
+    """The bounded-memory scale path of word_freq_topk: two-pass
+    Misra-Gries heavy hitters — per-batch survivor union (averaging
+    argument guarantees recall of every word with count > N/capacity)
+    + exact broadcast recount + an exactness CERTIFICATE (raises if the
+    k-th count can't clear N/capacity). The vocabulary never shuffles.
+    Same oracle as word_freq_topk: certified exact == exact
+    (feasts_ray/text/corpus.py::word_freq_topk_heavy)."""
+    from feasts_ray.text.corpus import word_freq_topk_heavy
+
+    return word_freq_topk_heavy(_documents(sf_dir), k=50, capacity=4096)
+
+
 def q_decontaminate(sf_dir: str):
     """Benchmark-decontamination scan: n_hits = number of distinct
     blocklist phrases (first-8-word prefixes of every 101st doc — a
@@ -1732,6 +1745,7 @@ ALL_QUERIES = {
     "ewm_1h": q_ewm_1h,
     "value_quantiles": q_value_quantiles,
     "word_freq_topk": q_word_freq_topk,
+    "word_freq_topk_mg": q_word_freq_topk_mg,
     "decontaminate": q_decontaminate,
     "sample_stratified": q_sample_stratified,
     "rollup_1m_incremental": q_rollup_1m_incremental,

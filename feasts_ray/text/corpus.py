@@ -74,6 +74,82 @@ def word_freq_topk(ds: "ray.data.Dataset", k: int = 50,
     return out[["word", "total"]]
 
 
+def word_freq_topk_heavy(ds: "ray.data.Dataset", k: int = 50,
+                         capacity: int = 4096, text_col: str = "text",
+                         ) -> pd.DataFrame:
+    """EXACT global top-k words via two-pass Misra–Gries heavy hitters
+    (Misra & Gries 1982) — the bounded-memory scale path for
+    ``word_freq_topk`` when the vocabulary itself is too large to
+    shuffle (a 100 TB crawl's vocabulary): the full (word, count)
+    exchange disappears; only ≤ ``capacity`` survivors per batch plus
+    the bounded candidate recount move.
+
+    Pass 1: each batch keeps its local MG sketch's survivors. By the
+    averaging argument, ANY word with global count > N/capacity
+    survives in at least one batch (if count(x) > N/cap then some
+    batch has count_b(x) > N_b/cap), so the survivor UNION is a
+    superset of every such word. Pass 2: broadcast the candidate set
+    and recount EXACTLY in one scan. The result is certified exact iff
+    the k-th candidate count > N/capacity — checked, and a
+    ValueError asks for more capacity otherwise (exactness never
+    silently degrades, same contract as dedup/ngram's bucket mode)."""
+    import ray as _ray
+
+    def _mg_survivors(batch: pa.Table) -> pa.Table:
+        words = _split_words(batch[text_col])
+        vc = words.value_counts()
+        w = vc.field("values")
+        c = vc.field("counts").to_numpy(zero_copy_only=False)
+        if len(c) > capacity:
+            # Misra-Gries decrement: keep items whose count exceeds the
+            # (capacity+1)-th largest (all retained counters stay
+            # >= count - threshold > 0); survivor bound still holds
+            # because local count > N_b/capacity implies survival
+            thr = np.partition(c, len(c) - capacity - 1)[len(c) - capacity - 1]
+            w = w.filter(pa.array(c > thr))
+        return pa.table({"word": w})
+
+    surv = ds.map_batches(_mg_survivors, batch_format="pyarrow").to_pandas()
+    # N (total tokens) is recomputed exactly in the recount pass
+    candidates = sorted(set(surv["word"]))
+    cand_ref = _ray.put(candidates)
+
+    def _recount(batch: pa.Table) -> pa.Table:
+        cand = _ray.get(cand_ref)
+        words = _split_words(batch[text_col])
+        vc = words.value_counts()
+        w = vc.field("values")
+        c = vc.field("counts").to_numpy(zero_copy_only=False)
+        idx = pc.index_in(w, pa.array(cand, type=pa.string())).fill_null(-1)
+        m = idx.to_numpy(zero_copy_only=False).astype(np.int64)
+        hit = m >= 0
+        part = np.zeros(len(cand) + 1, dtype=np.int64)
+        np.add.at(part, m[hit], c[hit])
+        part[len(cand)] = int(c.sum())  # last slot: batch token total
+        return pa.table({"slot": pa.array(np.arange(len(cand) + 1),
+                                          type=pa.int64()),
+                         "partial": pa.array(part, type=pa.int64())})
+
+    from ray.data.aggregate import Sum as _Sum
+
+    totals = ds.map_batches(_recount, batch_format="pyarrow").groupby(
+        "slot").aggregate(_Sum("partial", alias_name="total")).to_pandas()
+    totals = totals.sort_values("slot", ignore_index=True)
+    n_tokens = int(totals["total"].iloc[-1])
+    counts = totals["total"].to_numpy()[:-1]
+    out = pd.DataFrame({"word": candidates, "total": counts})
+    out = out.sort_values(["total", "word"], ascending=[False, True],
+                          kind="mergesort", ignore_index=True).head(k)
+    if len(out) and capacity > 0:
+        kth = int(out["total"].iloc[-1])
+        if kth * capacity <= n_tokens:
+            raise ValueError(
+                f"top-{k} not certified exact: k-th count {kth} <= "
+                f"N/capacity = {n_tokens}/{capacity}; raise capacity")
+    out["total"] = out["total"].astype(np.int64)
+    return out[["word", "total"]]
+
+
 def build_blocklist(ds: "ray.data.Dataset", every: int = 101,
                     n_words: int = 8, id_col: str = "doc_id",
                     text_col: str = "text") -> list[str]:

@@ -1242,3 +1242,47 @@ class TestRobustZscoreByGroup:
         v = got.loc[got["lang"] == "v", "robust_z"]
         # med=2 (disc), absdevs {1,0,1,7} -> MAD=1; z = dev/1
         assert v.tolist() == [-1.0, 0.0, 1.0, 7.0]
+
+
+class TestWordFreqTopkHeavy:
+    def test_certified_exact_equals_full_topk(self, docs_ds):
+        from feasts_ray.text.corpus import word_freq_topk, \
+            word_freq_topk_heavy
+
+        exact = word_freq_topk(docs_ds, k=20)
+        heavy = word_freq_topk_heavy(docs_ds, k=20, capacity=4096)
+        pd.testing.assert_frame_equal(heavy.reset_index(drop=True),
+                                      exact.reset_index(drop=True))
+
+    def test_small_capacity_refuses_instead_of_degrading(self, docs_ds):
+        from feasts_ray.text.corpus import word_freq_topk_heavy
+
+        # capacity far below the vocabulary: the k-th candidate cannot
+        # clear the N/capacity certificate -> hard error, never a
+        # silently-approximate result
+        with pytest.raises(ValueError, match="not certified exact"):
+            word_freq_topk_heavy(docs_ds, k=20, capacity=4)
+
+    def test_survivor_bound_holds_under_pruning(self, ray_session):
+        """With capacity < per-batch vocabulary the MG prune kicks in,
+        yet every word whose global count clears N/capacity must still
+        reach the exact recount (certified equality with the brute
+        force)."""
+        from feasts_ray.text.corpus import word_freq_topk, \
+            word_freq_topk_heavy
+
+        rng = np.random.default_rng(3)
+        # heavy head + long tail: 3 hot words + 400 singletons
+        texts = []
+        for i in range(200):
+            words = ["hot1", "hot2"] + (["hot3"] if i % 2 == 0 else []) \
+                + [f"tail{i}a", f"tail{i}b"]
+            rng.shuffle(words)
+            texts.append(" ".join(words))
+        df = pd.DataFrame({"doc_id": np.arange(200, dtype=np.int64),
+                           "text": texts})
+        ds = ray.data.from_pandas(df).repartition(4)
+        heavy = word_freq_topk_heavy(ds, k=3, capacity=64)
+        exact = word_freq_topk(ds, k=3)
+        pd.testing.assert_frame_equal(heavy.reset_index(drop=True),
+                                      exact.reset_index(drop=True))
